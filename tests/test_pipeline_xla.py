@@ -1,0 +1,76 @@
+"""End-to-end XLA-tier pipeline vs the NumPy oracle, across precisions,
+spectrum modes, and upscale factors (reference test strategy per SURVEY §4:
+golden-oracle pixel-tolerance matching)."""
+import numpy as np
+import pytest
+
+from conftest import make_test_image
+from vkresample_tpu import Engine, Precision, UpscalePlan, upscale
+from vkresample_tpu.oracle import numpy_ref as oracle
+
+
+def _maxdiff(a, b):
+    return int(np.max(np.abs(a.astype(np.int32) - b.astype(np.int32))))
+
+
+@pytest.mark.parametrize("r2c", [True, False])
+@pytest.mark.parametrize("u", [1.0, 2.0])
+def test_xla_matches_oracle_fp32(u, r2c):
+    img = make_test_image(64, 96, 3, seed=10)
+    plan = UpscalePlan(h=64, w=96, upscale=u, r2c=r2c, engine=Engine.XLA)
+    got = np.asarray(upscale(img, u, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    assert got.shape == want.shape
+    assert _maxdiff(got, want) <= 1  # fp32 vs fp64 quantization boundary ties
+
+
+def test_xla_matches_oracle_fp64():
+    img = make_test_image(48, 64, 3, seed=11)
+    plan = UpscalePlan(
+        h=48, w=64, upscale=2.0, precision=Precision.DOUBLE, engine=Engine.XLA
+    )
+    got = np.asarray(upscale(img, 2.0, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    assert _maxdiff(got, want) == 0  # identical math in fp64
+
+
+def test_xla_matches_oracle_half():
+    img = make_test_image(64, 64, 3, seed=12)
+    plan = UpscalePlan(
+        h=64, w=64, upscale=2.0, precision=Precision.HALF, engine=Engine.XLA
+    )
+    got = np.asarray(upscale(img, 2.0, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    # half mode = uint8 ingest + fp32 compute: same tolerance as fp32
+    assert _maxdiff(got, want) <= 1
+
+
+def test_xla_fractional_upscale():
+    img = make_test_image(64, 128, 3, seed=13)
+    plan = UpscalePlan(h=64, w=128, upscale=1.5, engine=Engine.XLA)
+    got = np.asarray(upscale(img, 1.5, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    assert got.shape == (96, 192, 3)
+    assert _maxdiff(got, want) <= 1
+
+
+def test_xla_odd_channel_counts_and_gray():
+    img = make_test_image(32, 48, 1, seed=14)
+    plan = UpscalePlan(h=32, w=48, upscale=2.0, channels=1, engine=Engine.XLA)
+    got = np.asarray(upscale(img, 2.0, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    assert _maxdiff(got, want) <= 1
+
+
+def test_xla_7smooth_mixed_radix_sizes():
+    # 7-smooth non-pow2: 96=2^5*3, 2x -> 192; 140=2^2*5*7 -> 280
+    img = make_test_image(96, 140, 3, seed=15)
+    plan = UpscalePlan(h=96, w=140, upscale=2.0, engine=Engine.XLA)
+    got = np.asarray(upscale(img, 2.0, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    assert _maxdiff(got, want) <= 1
+
+
+def test_rejects_non_uint8():
+    with pytest.raises(TypeError):
+        upscale(np.zeros((8, 8, 3), np.float32), 2.0)

@@ -1,0 +1,74 @@
+"""FidelityFX-CAS-style sharpening, exact reference math.
+
+Reference shader: /root/reference/VkResample.cpp:887-923.  Inputs are
+pre-scaled by upscale^2 (the inverse-FFT renormalization factor set at
+VkResample.cpp:1615), clamped to [0,1]; a two-level min/max over the cross
+and corner neighborhoods drives the adaptive sharpening weight
+
+    scale = -s * sqrt(min(minl/(1-minl), (1-maxl)/maxl))
+    out   = (c + scale * sum(cross)) / (1 + 4*scale)
+
+The c2c spectrum path feeds *complex* values whose magnitude (GLSL
+length(vec2), VkResample.cpp:904) is the pixel value — absorbing the tiny
+imaginary residue of the unsplit Nyquist bin.
+
+This module holds the pure-XLA formulation; ops/cas_pallas.py has the fused
+Pallas kernel used on the hot path.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cas_sharpen(v: jnp.ndarray, sharpen: float) -> jnp.ndarray:
+    """Sharpen over the last two axes (..., H, W).
+
+    v: real or complex, already scaled by upscale^2.
+    Returns real image, same leading axes, not yet clamped/quantized.
+    """
+    ln = jnp.abs(v)  # complex magnitude or real abs (GLSL length())
+    ln = jnp.clip(ln, 0.0, 1.0)
+    dtype = ln.dtype
+
+    p = jnp.pad(ln, [(0, 0)] * (ln.ndim - 2) + [(1, 1), (1, 1)], mode="edge")
+    c = p[..., 1:-1, 1:-1]
+    n = p[..., :-2, 1:-1]
+    s = p[..., 2:, 1:-1]
+    w = p[..., 1:-1, :-2]
+    e = p[..., 1:-1, 2:]
+    nw = p[..., :-2, :-2]
+    ne = p[..., :-2, 2:]
+    sw = p[..., 2:, :-2]
+    se = p[..., 2:, 2:]
+
+    min_cross = jnp.minimum(n, jnp.minimum(w, jnp.minimum(c, jnp.minimum(e, s))))
+    min_all = jnp.minimum(
+        min_cross, jnp.minimum(nw, jnp.minimum(ne, jnp.minimum(sw, se)))
+    )
+    max_cross = jnp.maximum(n, jnp.maximum(w, jnp.maximum(c, jnp.maximum(e, s))))
+    max_all = jnp.maximum(
+        max_cross, jnp.maximum(nw, jnp.maximum(ne, jnp.maximum(sw, se)))
+    )
+    minlen = 0.5 * (min_cross + min_all)
+    maxlen = 0.5 * (max_cross + max_all)
+
+    one = jnp.asarray(1.0, dtype)
+    lo = minlen / (one - minlen)
+    hi = (one - maxlen) / maxlen
+    sc = jnp.where(lo < hi, lo, hi)
+    sc = jnp.where(jnp.isnan(sc), jnp.zeros((), dtype), sc)
+    sc = -jnp.asarray(sharpen, dtype) * jnp.sqrt(jnp.maximum(sc, 0.0))
+
+    return (c + sc * (n + w + e + s)) / (one + 4.0 * sc)
+
+
+def quantize_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """255*x, clamped, truncated to uint8 (reference casts unclamped,
+    VkResample.cpp:1715 — UB out of range; we clamp)."""
+    return jnp.clip(x * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+
+def normalize_u8(img: jnp.ndarray, dtype) -> jnp.ndarray:
+    """uint8 -> float in [0,1] (reference host marshal /255,
+    VkResample.cpp:1644)."""
+    return img.astype(dtype) / jnp.asarray(255.0, dtype)

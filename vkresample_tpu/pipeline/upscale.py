@@ -1,0 +1,115 @@
+"""Single-image upscale pipeline: one jitted graph, uint8 in -> uint8 out.
+
+The reference records [fwd FFT -> shift -> inv FFT -> sharpen] into one
+command buffer per frame (/root/reference/VkResample.cpp:1249-1279); the TPU
+analog is one jitted XLA program covering the entire pipeline — one host
+dispatch, no intermediate host syncs, uint8 at both HBM boundaries.
+
+All plan-time specialization (sizes, zero bands, radix factorizations,
+precision policy) happens in Python at trace time, mirroring how VkFFT bakes
+everything into generated shader text (vkFFT.h:98-156: "everything baked
+into shader text").
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Engine, Precision
+from ..core.plan import UpscalePlan
+from ..ops import cas as cas_ops
+from ..ops import spectrum as spectrum_ops
+
+
+def _upscale_core_xla(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
+    """(..., h, w) float -> (..., H, W) float (pre-quantization).
+
+    XLA reference tier: jnp.fft + materialized big spectrum.
+    """
+    u2 = jnp.asarray(float(np.float32(plan.upscale)) ** 2, x.dtype)
+    if plan.r2c:
+        F = jnp.fft.rfft2(x)
+        G = spectrum_ops.assemble_big_spectrum(F, plan)
+        y = jnp.fft.irfft2(G, s=(plan.H, plan.W))
+        v = u2 * y
+    else:
+        F = jnp.fft.fft2(x)
+        G = spectrum_ops.assemble_big_spectrum(F, plan)
+        y = jnp.fft.ifft2(G)
+        v = u2.astype(y.real.dtype) * y
+    return cas_ops.cas_sharpen(v, plan.sharpen)
+
+
+def _upscale_core(x: jnp.ndarray, plan: UpscalePlan, engine: Engine) -> jnp.ndarray:
+    if engine is Engine.XLA:
+        return _upscale_core_xla(x, plan)
+    if engine is Engine.MXU:
+        from ..fft import mxu_pipeline
+
+        return mxu_pipeline.upscale_core_mxu(x, plan)
+    raise ValueError(f"unresolved engine {engine}")
+
+
+def _pipeline(img_u8: jnp.ndarray, plan: UpscalePlan, engine: Engine) -> jnp.ndarray:
+    """(h, w, C) uint8 -> (H, W, C) uint8."""
+    cdtype = plan.precision.compute_dtype
+    x = cas_ops.normalize_u8(img_u8, cdtype)  # (h, w, C)
+    x = jnp.moveaxis(x, -1, 0)  # planar per-channel, like the reference
+    out = _upscale_core(x, plan, engine)
+    out = cas_ops.quantize_u8(out)
+    return jnp.moveaxis(out, 0, -1)
+
+
+@functools.lru_cache(maxsize=64)
+def build_upscale(plan: UpscalePlan) -> Callable:
+    """Compile-once plan cache: the analog of initializeVulkanFFT being
+    called once per (shape, precision, upscale) and reused across frames
+    (VkResample.cpp:1506-1508, reuse loop at 1627)."""
+    engine = plan.resolve_engine()
+    fn = jax.jit(functools.partial(_pipeline, plan=plan, engine=engine))
+    if plan.precision is Precision.DOUBLE:
+
+        def fn_x64(img, _fn=fn):
+            with jax.enable_x64():
+                return _fn(img)
+
+        return fn_x64
+    return fn
+
+
+def upscale(
+    img,
+    upscale: float,
+    precision: Precision = Precision.SINGLE,
+    sharpen: float = 0.2,
+    r2c: bool = True,
+    engine: Engine = Engine.AUTO,
+    plan: Optional[UpscalePlan] = None,
+):
+    """Convenience entry: upscale one (h, w, C) uint8 image.
+
+    Returns (H, W, C) uint8 on device (call np.asarray / block to fetch).
+    """
+    img = jnp.asarray(img)
+    if img.dtype != jnp.uint8:
+        raise TypeError(f"expected uint8 image, got {img.dtype}")
+    h, w = img.shape[0], img.shape[1]
+    c = img.shape[2] if img.ndim == 3 else 1
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if plan is None:
+        plan = UpscalePlan(
+            h=h,
+            w=w,
+            upscale=upscale,
+            precision=precision,
+            sharpen=sharpen,
+            r2c=r2c,
+            channels=c,
+            engine=engine,
+        )
+    return build_upscale(plan)(img)
