@@ -167,9 +167,13 @@ class UpscalePlan:
     @property
     def mxu_supported(self) -> bool:
         """MXU tier requires 7-smooth dims (like the reference engine,
-        vkFFT.h:4719-4726) on every transform size it executes."""
+        vkFFT.h:4719-4726), an integer upscale factor (the phase-decomposed
+        inverse), and even source dims (row-pair R2C packing)."""
         return (
-            is_7smooth(self.h)
+            self.integer_upscale is not None
+            and self.h % 2 == 0
+            and self.w % 2 == 0
+            and is_7smooth(self.h)
             and is_7smooth(self.w)
             and is_7smooth(self.H)
             and is_7smooth(self.W)
