@@ -1,0 +1,244 @@
+"""PNG I/O: ctypes binding to the native libpng codec, with PIL fallback.
+
+The native module (native/pngio.cpp) fills the role of the reference's
+vendored stb_image/stb_image_write (VkResample.cpp:1362, 1754) plus its
+decode worker threads.  It is built lazily with `make` on first use; if the
+toolchain or libpng is unavailable we fall back to PIL (pure-Python path,
+same pixel semantics: force 3-channel RGB).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libvkrpng.so"))
+
+_lib = None
+_lib_lock = threading.Lock()
+_lib_failed = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                _lib_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.vkr_png_decode.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.vkr_png_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vkr_png_encode.restype = ctypes.c_int
+        lib.vkr_png_encode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.vkr_free.argtypes = [ctypes.c_void_p]
+        lib.vkr_pool_create.restype = ctypes.c_void_p
+        lib.vkr_pool_create.argtypes = [ctypes.c_int]
+        lib.vkr_pool_destroy.argtypes = [ctypes.c_void_p]
+        lib.vkr_pool_decode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vkr_pool_encode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+# ---------------------------------------------------------------------------
+# single-image API
+# ---------------------------------------------------------------------------
+
+
+def read_png(path: str) -> np.ndarray:
+    """Decode a PNG to (h, w, 3) uint8 RGB (req_comp=3 semantics of the
+    reference's stbi_load call)."""
+    lib = _load_native()
+    if lib is not None:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        buf = lib.vkr_png_decode(path.encode(), ctypes.byref(w), ctypes.byref(h))
+        if buf:
+            n = w.value * h.value * 3
+            arr = np.ctypeslib.as_array(buf, shape=(n,)).copy()
+            lib.vkr_free(buf)
+            return arr.reshape(h.value, w.value, 3)
+        raise FileNotFoundError(f"Image not found: {path}")
+    from PIL import Image
+
+    try:
+        img = Image.open(path).convert("RGB")
+    except (FileNotFoundError, OSError) as e:
+        raise FileNotFoundError(f"Image not found: {path}") from e
+    return np.asarray(img, np.uint8)
+
+
+def write_png(path: str, img: np.ndarray, compression_level: int = 6) -> None:
+    """Encode (h, w, 3) uint8 RGB to a PNG file."""
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) uint8, got {img.shape}")
+    lib = _load_native()
+    if lib is not None:
+        h, w = img.shape[:2]
+        rc = lib.vkr_png_encode(
+            path.encode(),
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            w,
+            h,
+            compression_level,
+        )
+        if rc != 0:
+            raise OSError(f"PNG encode failed ({rc}): {path}")
+        return
+    from PIL import Image
+
+    Image.fromarray(img, "RGB").save(path, compress_level=compression_level)
+
+
+# ---------------------------------------------------------------------------
+# batched (thread-pool) API — the -numthreads capability
+# ---------------------------------------------------------------------------
+
+
+class PngPool:
+    """Worker pool for parallel PNG decode/encode of same-sized frames.
+
+    Native path: one C++ pool (native/pngio.cpp).  Fallback: Python
+    ThreadPoolExecutor over PIL (PIL releases the GIL during codec work).
+    """
+
+    def __init__(self, num_threads: int = 1):
+        self.num_threads = max(1, int(num_threads))
+        self._lib = _load_native()
+        if self._lib is not None:
+            self._pool = self._lib.vkr_pool_create(self.num_threads)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = None
+            self._exec = ThreadPoolExecutor(max_workers=self.num_threads)
+
+    def close(self):
+        if self._lib is not None and self._pool:
+            self._lib.vkr_pool_destroy(self._pool)
+            self._pool = None
+        elif getattr(self, "_exec", None) is not None:
+            self._exec.shutdown()
+            self._exec = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def decode_batch(self, paths: Sequence[str], w: int, h: int) -> np.ndarray:
+        """Decode N same-sized PNGs into one (N, h, w, 3) uint8 array."""
+        n = len(paths)
+        out = np.empty((n, h, w, 3), np.uint8)
+        if self._lib is not None:
+            c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+            status = (ctypes.c_int * n)()
+            self._lib.vkr_pool_decode_batch(
+                self._pool,
+                c_paths,
+                n,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                w,
+                h,
+                status,
+            )
+            for i, st in enumerate(status):
+                if st == -1:
+                    raise FileNotFoundError(f"Image not found: {paths[i]}")
+                if st == -2:
+                    raise ValueError(
+                        f"size mismatch in batch: {paths[i]} is not {w}x{h}"
+                    )
+            return out
+        futs = [self._exec.submit(read_png, p) for p in paths]
+        for i, f in enumerate(futs):
+            img = f.result()
+            if img.shape[:2] != (h, w):
+                raise ValueError(f"size mismatch in batch: {paths[i]}")
+            out[i] = img
+        return out
+
+    def encode_batch(
+        self, paths: Sequence[str], data: np.ndarray, compression_level: int = 6
+    ) -> None:
+        """Encode (N, h, w, 3) uint8 frames to N PNG files."""
+        data = np.ascontiguousarray(data, np.uint8)
+        n, h, w, _ = data.shape
+        assert n == len(paths)
+        if self._lib is not None:
+            c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+            status = (ctypes.c_int * n)()
+            self._lib.vkr_pool_encode_batch(
+                self._pool,
+                c_paths,
+                n,
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                w,
+                h,
+                compression_level,
+                status,
+            )
+            for i, st in enumerate(status):
+                if st != 0:
+                    raise OSError(f"PNG encode failed ({st}): {paths[i]}")
+            return
+        futs = [
+            self._exec.submit(write_png, p, data[i], compression_level)
+            for i, p in enumerate(paths)
+        ]
+        for f in futs:
+            f.result()

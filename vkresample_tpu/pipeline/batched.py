@@ -1,0 +1,41 @@
+"""Batched upscale: vmapped single-frame pipeline, optionally sharded over
+a device mesh (frame data parallelism, zero collectives on the hot path —
+SURVEY §2.4 / BASELINE north star)."""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import Engine
+from ..core.plan import UpscalePlan
+from ..parallel import mesh as mesh_lib
+from .upscale import _pipeline
+
+
+@functools.lru_cache(maxsize=32)
+def build_batched_upscale(
+    plan: UpscalePlan, mesh: Optional[jax.sharding.Mesh] = None
+) -> Callable:
+    """(N, h, w, C) uint8 -> (N, H, W, C) uint8, one jitted program.
+
+    With a mesh, frames shard over the 'dp' axis; each chip runs its own
+    per-frame FFT pipeline (no cross-chip collectives, matching the
+    reference's independent per-thread Vulkan devices).
+    """
+    engine = plan.resolve_engine()
+    fn = jax.vmap(functools.partial(_pipeline, plan=plan, engine=engine))
+    if mesh is None:
+        return jax.jit(fn)
+    sh = mesh_lib.frames_sharding(mesh)
+    return jax.jit(fn, in_shardings=sh, out_shardings=sh)
+
+
+def upscale_batch(imgs, plan: UpscalePlan, mesh=None):
+    """Convenience wrapper: batch of uint8 frames -> upscaled batch."""
+    imgs = jnp.asarray(imgs)
+    if imgs.dtype != jnp.uint8 or imgs.ndim != 4:
+        raise TypeError(f"expected (N, h, w, C) uint8, got {imgs.shape} {imgs.dtype}")
+    return build_batched_upscale(plan, mesh)(imgs)
