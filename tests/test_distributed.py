@@ -1,0 +1,43 @@
+"""Pencil-decomposed distributed upscale over the virtual 8-device mesh:
+output must match the single-device pipeline exactly (same math, different
+layout + collectives)."""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from conftest import make_test_image
+from vkresample_tpu import Engine, UpscalePlan, upscale
+from vkresample_tpu.parallel.distributed import build_sp_upscale
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), axis_names=("sp",))
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.parametrize("u", [1.0, 2.0])
+def test_sp_matches_single_device(n_shards, u):
+    h, w = 64, 96
+    img = make_test_image(h, w, 3, seed=50)
+    plan = UpscalePlan(h=h, w=w, upscale=u, engine=Engine.MXU)
+    mesh = _mesh(n_shards)
+    fn = build_sp_upscale(plan, mesh)
+    got = np.asarray(fn(img))
+    want = np.asarray(upscale(img, u, plan=plan))
+    # different fusion/reassociation across program structures flips
+    # quantization ties -> standard <=1 u8 LSB tolerance
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sp_rejects_bad_shard_count():
+    plan = UpscalePlan(h=36, w=64, upscale=2.0, engine=Engine.MXU)
+    with pytest.raises(ValueError, match="shards"):
+        build_sp_upscale(plan, _mesh(8))  # 36 rows can't split into 16 pairs
+
+
+def test_sp_rejects_fractional():
+    plan = UpscalePlan(h=64, w=96, upscale=1.5)
+    with pytest.raises(ValueError, match="integer"):
+        build_sp_upscale(plan, _mesh(2))

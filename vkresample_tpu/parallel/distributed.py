@@ -1,0 +1,201 @@
+"""Pencil-decomposed distributed upscale: one frame sharded across chips.
+
+The reference has no distributed mode (SURVEY §2.4) — its long-sequence
+mechanism is the multi-upload 4-step FFT within one GPU (vkFFT.h:4733-4771).
+On TPU the analogous capability *across chips* is a pencil decomposition
+over an 'sp' mesh axis: rows of the frame live on different chips, FFT
+passes run locally, and a single all-to-all re-pencils between the x and y
+passes — collectives ride ICI, never DCN.  This serves frames too large
+for one chip's HBM/VMEM (e.g. 16K x 8K).
+
+Layout walk (S = shard count, per-chip shapes):
+  input   (C, h/S, w)   rows sharded
+  x-FFT   local (row-pair packed R2C)        -> (C, h/S, w/2+1)
+  A2A     re-pencil to columns sharded       -> (C, h, (w/2+1)/S)*
+  y-FFT   local over full h                  -> small spectrum, cols sharded
+  y-phase inverse local                      -> (C, h, K/S) per phase
+  A2A     back to rows sharded               -> (C, h/S, K) per phase
+  x-phase C2R local, interleave              -> (C, u*h/S, u*w)
+  CAS     with 1-row halo exchange (ppermute)-> output rows block per chip
+
+(*) the half-spectrum column count w/2+1 is padded to w/2+S columns so it
+splits evenly; the pad columns are zero and ignored.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import Precision
+from ..core.plan import UpscalePlan
+from ..fft.mixed_radix import fft
+from ..fft.rfft2 import (
+    _c2r_rows_packed,
+    _mul_row_twiddle,
+    _phase_twiddle_x_r2c,
+    _phase_twiddle_y,
+    rfft2_packed,
+)
+from ..ops import cas as cas_ops
+
+
+def _halo_rows(x: jnp.ndarray, axis_name: str):
+    """Exchange one edge row with ring neighbors along `axis_name`;
+    returns (row_above, row_below) with edge clamping at the ends
+    (CAS clamp-to-edge semantics, VkResample.cpp:889-892)."""
+    s = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    top = x[..., :1, :]
+    bot = x[..., -1:, :]
+    # from_prev[i] = bot of shard i-1 ; from_next[i] = top of shard i+1
+    from_prev = jax.lax.ppermute(
+        bot, axis_name, [(i, (i + 1) % s) for i in range(s)]
+    )
+    from_next = jax.lax.ppermute(
+        top, axis_name, [(i, (i - 1) % s) for i in range(s)]
+    )
+    # clamp at global edges: first shard's "above" is its own top row,
+    # last shard's "below" is its own bottom row
+    above = jnp.where(idx == 0, top, from_prev)
+    below = jnp.where(idx == s - 1, bot, from_next)
+    return above, below
+
+
+def _cas_sharded(v: jnp.ndarray, sharpen: float, axis_name: str) -> jnp.ndarray:
+    """CAS over row-sharded (..., rows, W) with halo rows from neighbors."""
+    above, below = _halo_rows(v, axis_name)
+    vpad = jnp.concatenate([above, v, below], axis=-2)
+    # cas_sharpen edge-pads; rows already haloed, so pad only x then crop y
+    ln = jnp.clip(jnp.abs(vpad), 0.0, 1.0)
+    p = jnp.pad(ln, [(0, 0)] * (ln.ndim - 1) + [(1, 1)], mode="edge")
+    c = p[..., 1:-1, 1:-1]
+    n = p[..., :-2, 1:-1]
+    s_ = p[..., 2:, 1:-1]
+    w_ = p[..., 1:-1, :-2]
+    e = p[..., 1:-1, 2:]
+    nw = p[..., :-2, :-2]
+    ne = p[..., :-2, 2:]
+    sw = p[..., 2:, :-2]
+    se = p[..., 2:, 2:]
+    min_cross = jnp.minimum(n, jnp.minimum(w_, jnp.minimum(c, jnp.minimum(e, s_))))
+    min_all = jnp.minimum(min_cross, jnp.minimum(nw, jnp.minimum(ne, jnp.minimum(sw, se))))
+    max_cross = jnp.maximum(n, jnp.maximum(w_, jnp.maximum(c, jnp.maximum(e, s_))))
+    max_all = jnp.maximum(max_cross, jnp.maximum(nw, jnp.maximum(ne, jnp.maximum(sw, se))))
+    minlen = 0.5 * (min_cross + min_all)
+    maxlen = 0.5 * (max_cross + max_all)
+    one = jnp.asarray(1.0, ln.dtype)
+    lo = minlen / (one - minlen)
+    hi = (one - maxlen) / maxlen
+    sc = jnp.where(lo < hi, lo, hi)
+    sc = jnp.where(jnp.isnan(sc), jnp.zeros((), ln.dtype), sc)
+    sc = -jnp.asarray(sharpen, ln.dtype) * jnp.sqrt(jnp.maximum(sc, 0.0))
+    out = (c + sc * (n + w_ + e + s_)) / (one + 4.0 * sc)
+    # the 1:-1 row slicing above already consumed the halo rows: `c` is
+    # exactly the local row block
+    return out
+
+
+def _sp_body(img_block: jnp.ndarray, plan: UpscalePlan, S: int, axis_name: str):
+    """shard_map body: (h/S, w, C) uint8 block -> (H/S, W, C) uint8 block."""
+    u = plan.integer_upscale
+    h, w = plan.h, plan.w
+    # pad half-spectrum cols (w/2+1) up to a multiple of S so A2A splits evenly
+    kpad = ((w // 2 + 1 + S - 1) // S) * S
+    cdtype = plan.precision.compute_dtype
+
+    x = cas_ops.normalize_u8(img_block, cdtype)
+    x = jnp.moveaxis(x, -1, 0)  # (C, h/S, w)
+
+    # x-FFT local over complete rows (row-pair packed R2C)
+    Fr, Fi = rfft2_packed_rows_only(x)
+    # pad cols to a multiple of S, re-pencil: (C, h/S, kpad) -> (C, h, kpad/S)
+    padc = kpad - Fr.shape[-1]
+    Fr = jnp.pad(Fr, [(0, 0), (0, 0), (0, padc)])
+    Fi = jnp.pad(Fi, [(0, 0), (0, 0), (0, padc)])
+    Fr = jax.lax.all_to_all(Fr, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    Fi = jax.lax.all_to_all(Fi, axis_name, split_axis=2, concat_axis=1, tiled=True)
+
+    # y-FFT local over full h
+    Fr, Fi = fft((Fr, Fi), axis=-2)
+
+    dt = Fr.dtype.name
+    keep_nyquist = plan.kept_hi_x > 0
+    kx = w // 2 + (1 if keep_nyquist else 0)
+
+    # phase inverse: y-pass local (cols sharded), A2A, x-pass local
+    out_rows = []
+    for ry in range(u):
+        Br, Bi = fft(
+            _mul_row_twiddle((Fr, Fi), _phase_twiddle_y(h, u, ry, dt), axis=-2),
+            axis=-2,
+            inverse=True,
+            normalize=True,
+        )
+        # back to rows sharded: (C, h, kpad/S) -> (C, h/S, kpad)
+        Br = jax.lax.all_to_all(Br, axis_name, split_axis=1, concat_axis=2, tiled=True)
+        Bi = jax.lax.all_to_all(Bi, axis_name, split_axis=1, concat_axis=2, tiled=True)
+        Br, Bi = Br[..., :kx], Bi[..., :kx]
+        cols = []
+        for rx in range(u):
+            Pp = _mul_row_twiddle((Br, Bi), _phase_twiddle_x_r2c(w, u, rx, kx, dt), axis=-1)
+            cols.append(_c2r_rows_packed(Pp, w, keep_nyquist, 128))
+        # interleave x phases: (rx, C, h/S, w) -> (C, h/S, w, rx) -> (C, h/S, W)
+        xi = jnp.stack(cols, 0)
+        xi = jnp.moveaxis(xi, 0, -1)
+        out_rows.append(xi.reshape(xi.shape[:-2] + (u * w,)))
+    # interleave y phases: (ry, C, h/S, W) -> (C, h/S, ry, W) -> (C, uh/S, W)
+    yi = jnp.stack(out_rows, 0)
+    yi = jnp.moveaxis(yi, 0, -2)
+    v = yi.reshape(yi.shape[:-3] + (u * x.shape[-2], u * w))
+
+    out = _cas_sharded(v, plan.sharpen, axis_name)
+    out = cas_ops.quantize_u8(out)
+    return jnp.moveaxis(out, 0, -1)  # (H/S, W, C)
+
+
+def rfft2_packed_rows_only(x: jnp.ndarray):
+    """Row-pair packed R2C x-pass only (no y transform): (..., r, w) real
+    -> (..., r, w/2+1) complex."""
+    h, w = x.shape[-2], x.shape[-1]
+    assert h % 2 == 0
+    zr = x[..., 0::2, :]
+    zi = x[..., 1::2, :]
+    Zr, Zi = fft((zr, zi), axis=-1)
+    Zr_rev = jnp.concatenate([Zr[..., :1], jnp.flip(Zr[..., 1:], -1)], -1)
+    Zi_rev = jnp.concatenate([Zi[..., :1], jnp.flip(Zi[..., 1:], -1)], -1)
+    kk = w // 2 + 1
+    Zr_, Zi_ = Zr[..., :kk], Zi[..., :kk]
+    Zr_rev, Zi_rev = Zr_rev[..., :kk], Zi_rev[..., :kk]
+    er = 0.5 * (Zr_ + Zr_rev)
+    ei = 0.5 * (Zi_ - Zi_rev)
+    dr = 0.5 * (Zi_ + Zi_rev)
+    di = 0.5 * (Zr_rev - Zr_)
+    Fr = jnp.stack([er, dr], axis=-2).reshape(x.shape[:-2] + (h, kk))
+    Fi = jnp.stack([ei, di], axis=-2).reshape(x.shape[:-2] + (h, kk))
+    return Fr, Fi
+
+
+@functools.lru_cache(maxsize=16)
+def build_sp_upscale(plan: UpscalePlan, mesh: Mesh, axis_name: str = "sp") -> Callable:
+    """One frame (h, w, C) uint8, rows sharded over `axis_name` ->
+    (H, W, C) uint8, rows sharded.  Requires the MXU fast path
+    (integer u, even 7-smooth dims) and h % (2*S) == 0."""
+    S = mesh.shape[axis_name]
+    if plan.integer_upscale is None:
+        raise ValueError("distributed pipeline requires an integer upscale factor")
+    if plan.h % (2 * S):
+        raise ValueError(f"h={plan.h} must divide into 2*{S} row-paired shards")
+
+    body = functools.partial(_sp_body, plan=plan, S=S, axis_name=axis_name)
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(axis_name, None, None),
+        out_specs=P(axis_name, None, None),
+    )
+    return jax.jit(sharded)

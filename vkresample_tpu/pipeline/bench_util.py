@@ -1,0 +1,59 @@
+"""Robust device-side benchmark harness.
+
+Two hazards motivate this design:
+  1. On tunneled/remote PJRT backends, ``block_until_ready`` can ack before
+     device execution completes, making host-side dispatch loops measure
+     nothing.  We therefore time a SINGLE device program containing a
+     ``lax.fori_loop`` of K pipeline iterations with a data dependency
+     chained through the loop carry (so XLA cannot hoist or parallelize
+     them), and force completion with a scalar readback.
+  2. One-time costs (program launch, readback latency) are removed by
+     measuring two loop lengths and using the difference quotient:
+     t_per_iter = (T(k2) - T(k1)) / (k2 - k1).
+
+This reproduces the reference's ``-n`` semantics — X pipeline repeats per
+submit, one sync (VkResample.cpp:1249-1279) — but with the repeats inside
+one XLA program (the analog of recording X iterations into one command
+buffer) and a forced result fetch as the fence.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_looped(pipeline: Callable) -> Callable:
+    """Wrap a (h,w,C)u8 -> (H,W,C)u8 pipeline into run(x, k) -> scalar
+    that executes the pipeline k times serially on-device."""
+
+    def run(x, k):
+        def body(i, carry):
+            # perturb one pixel with the carry so iteration i+1 depends on
+            # iteration i's output — forbids hoisting/parallelizing
+            xi = x.at[0, 0, 0].set(carry)
+            out = pipeline(xi)
+            return out[0, 0, 0]
+
+        c = jax.lax.fori_loop(0, k, body, x[0, 0, 0])
+        return c.astype(jnp.int32)
+
+    return jax.jit(run)
+
+
+def time_device(pipeline: Callable, x, k1: int = 4, k2: int = 20) -> float:
+    """Returns ms per pipeline iteration, launch/readback overhead removed."""
+    run = make_looped(pipeline)
+
+    def measure(k) -> float:
+        t0 = time.perf_counter()
+        v = run(x, k)
+        int(v)  # forced scalar readback = real completion fence
+        return time.perf_counter() - t0
+
+    measure(k1)  # compile both shapes of nothing (k is traced) + warm path
+    t1 = measure(k1)
+    t2 = measure(k2)
+    return max(t2 - t1, 1e-9) * 1000.0 / (k2 - k1)
