@@ -114,15 +114,19 @@ def test_mxu_matches_xla_tier():
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
-def test_auto_engine_routes_mxu_for_smooth_integer():
+def test_auto_engine_routing():
     p = Plan(h=64, w=128, upscale=2.0, engine=Engine.AUTO)
     assert p.resolve_engine() is Engine.MXU
+    # fractional but 7-smooth output: MXU big-spectrum path
     p2 = Plan(h=64, w=128, upscale=1.5, engine=Engine.AUTO)
-    assert p2.resolve_engine() is Engine.XLA
+    assert p2.resolve_engine() is Engine.MXU
+    # non-7-smooth output dims: XLA fallback
+    p3 = Plan(h=64, w=127 * 2, upscale=0.5 + 1.0, engine=Engine.AUTO)
+    assert p3.resolve_engine() is Engine.XLA
 
 
-def test_mxu_rejects_fractional():
-    p = Plan(h=64, w=128, upscale=1.5, engine=Engine.MXU)
+def test_mxu_rejects_non_smooth():
+    p = Plan(h=64, w=127 * 2, upscale=1.5, engine=Engine.MXU)
     with pytest.raises(ValueError):
         p.resolve_engine()
 
@@ -135,3 +139,22 @@ def test_mxu_half_precision():
     got = np.asarray(upscale(img, 2.0, plan=plan))
     want = oracle.upscale_oracle(img, plan)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("r2c", [True, False])
+def test_mxu_fractional_big_spectrum(r2c):
+    """Fractional factors route through the materialized-big-spectrum MXU
+    path (mxu_mode == 'big') and must match the oracle."""
+    img = make_test_image(64, 128, 3, seed=23)
+    plan = Plan(h=64, w=128, upscale=1.5, r2c=r2c, engine=Engine.MXU)
+    assert plan.mxu_mode == "big"
+    got = np.asarray(upscale(img, 1.5, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    assert got.shape == want.shape == (96, 192, 3)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_mxu_mode_classification():
+    assert Plan(h=64, w=128, upscale=2.0).mxu_mode == "phases"
+    assert Plan(h=64, w=128, upscale=1.5).mxu_mode == "big"
+    assert Plan(h=64, w=127, upscale=2.0).mxu_mode is None  # 127 prime

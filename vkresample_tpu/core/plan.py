@@ -165,19 +165,42 @@ class UpscalePlan:
         return self.W - self.x_right
 
     @property
-    def mxu_supported(self) -> bool:
-        """MXU tier requires 7-smooth dims (like the reference engine,
-        vkFFT.h:4719-4726), an integer upscale factor (the phase-decomposed
-        inverse), and even source dims (row-pair R2C packing)."""
-        return (
-            self.integer_upscale is not None
-            and self.h % 2 == 0
-            and self.w % 2 == 0
-            and is_7smooth(self.h)
+    def mxu_mode(self) -> Optional[str]:
+        """How the MXU tier would execute this plan:
+
+        'phases' — integer factor: phase-decomposed zero-band inverse (the
+                   fast path; zero bins never computed).
+        'big'    — fractional factor: big spectrum materialized, transforms
+                   still MXU matmuls.
+        None     — not MXU-executable (non-7-smooth dims or parity
+                   constraints of the row-pair R2C packing).
+
+        7-smooth requirement mirrors the reference engine
+        (vkFFT.h:4719-4726).
+        """
+        smooth = (
+            is_7smooth(self.h)
             and is_7smooth(self.w)
             and is_7smooth(self.H)
             and is_7smooth(self.W)
         )
+        if not smooth:
+            return None
+        if (
+            self.integer_upscale is not None
+            and self.h % 2 == 0
+            and self.w % 2 == 0
+        ):
+            return "phases"
+        if self.r2c:
+            if self.h % 2 == 0 and self.H % 2 == 0 and self.W % 2 == 0:
+                return "big"
+            return None
+        return "big"
+
+    @property
+    def mxu_supported(self) -> bool:
+        return self.mxu_mode is not None
 
     def resolve_engine(self) -> Engine:
         if self.engine is Engine.AUTO:

@@ -205,6 +205,26 @@ def irfft2_phases(
     return ph.reshape(out_shape)
 
 
+def irfft2_big(F: CPair, H: int, W: int, max_factor: int = 128) -> jnp.ndarray:
+    """Plain (non-phase) C2R inverse at the big size: (..., H, W//2+1) half
+    spectrum -> (..., H, W) real, normalized 1/(H*W).
+
+    Used for fractional upscale factors where phase decomposition doesn't
+    apply: the big spectrum is materialized (XLA-tier semantics) but the
+    transforms still run on the MXU.  Requires even H (output-row pairing).
+    """
+    B = fft(F, axis=-2, inverse=True, normalize=True, max_factor=max_factor)
+    return _c2r_rows_packed(
+        (B[0], B[1]), W, keep_nyquist=True, max_factor=max_factor
+    )
+
+
+def ifft2_big_c2c(F: CPair, max_factor: int = 128) -> CPair:
+    """Plain complex 2D inverse (y then x), normalized — c2c fractional path."""
+    B = fft(F, axis=-2, inverse=True, normalize=True, max_factor=max_factor)
+    return fft(B, axis=-1, inverse=True, normalize=True, max_factor=max_factor)
+
+
 def ifft2_phases_c2c(
     F: CPair, h: int, w: int, u: int, max_factor: int = 128
 ) -> CPair:
