@@ -117,18 +117,23 @@ def test_mxu_matches_xla_tier():
 def test_auto_engine_routing():
     p = Plan(h=64, w=128, upscale=2.0, engine=Engine.AUTO)
     assert p.resolve_engine() is Engine.MXU
-    # fractional but 7-smooth output: MXU big-spectrum path
+    # fractional but 7-smooth output: still MXU (dense)
     p2 = Plan(h=64, w=128, upscale=1.5, engine=Engine.AUTO)
     assert p2.resolve_engine() is Engine.MXU
-    # non-7-smooth output dims: XLA fallback
-    p3 = Plan(h=64, w=127 * 2, upscale=0.5 + 1.0, engine=Engine.AUTO)
-    assert p3.resolve_engine() is Engine.XLA
+    # small non-7-smooth dims: dense DFT handles any size
+    p3 = Plan(h=64, w=127 * 2, upscale=1.5, engine=Engine.AUTO)
+    assert p3.mxu_mode == "dense"
+    assert p3.resolve_engine() is Engine.MXU
 
 
-def test_mxu_rejects_non_smooth():
-    p = Plan(h=64, w=127 * 2, upscale=1.5, engine=Engine.MXU)
-    with pytest.raises(ValueError):
-        p.resolve_engine()
+def test_mxu_non_smooth_dense_matches_oracle():
+    # 127 is prime: the reference engine would reject this size; the dense
+    # DFT engine handles it (capability superset), still oracle-exact
+    img = make_test_image(64, 127, 3, seed=24)
+    plan = Plan(h=64, w=127, upscale=2.0, engine=Engine.MXU)
+    got = np.asarray(upscale(img, 2.0, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
 def test_mxu_half_precision():
@@ -142,12 +147,12 @@ def test_mxu_half_precision():
 
 
 @pytest.mark.parametrize("r2c", [True, False])
-def test_mxu_fractional_big_spectrum(r2c):
-    """Fractional factors route through the materialized-big-spectrum MXU
-    path (mxu_mode == 'big') and must match the oracle."""
+def test_mxu_fractional_dense(r2c):
+    """Fractional factors run on the dense zero-band engine and must match
+    the oracle."""
     img = make_test_image(64, 128, 3, seed=23)
     plan = Plan(h=64, w=128, upscale=1.5, r2c=r2c, engine=Engine.MXU)
-    assert plan.mxu_mode == "big"
+    assert plan.mxu_mode == "dense"
     got = np.asarray(upscale(img, 1.5, plan=plan))
     want = oracle.upscale_oracle(img, plan)
     assert got.shape == want.shape == (96, 192, 3)
@@ -155,6 +160,28 @@ def test_mxu_fractional_big_spectrum(r2c):
 
 
 def test_mxu_mode_classification():
-    assert Plan(h=64, w=128, upscale=2.0).mxu_mode == "phases"
-    assert Plan(h=64, w=128, upscale=1.5).mxu_mode == "big"
-    assert Plan(h=64, w=127, upscale=2.0).mxu_mode is None  # 127 prime
+    assert Plan(h=64, w=128, upscale=2.0).mxu_mode == "dense"
+    # beyond the dense matrix cap the mixed-radix paths take over
+    assert Plan(h=4096, w=4096, upscale=2.0).mxu_mode == "phases"
+    assert Plan(h=4096, w=4096, upscale=1.5).mxu_mode == "big"
+    assert Plan(h=4096, w=4094, upscale=2.0).mxu_mode is None  # 2047=23*89
+
+
+@pytest.mark.parametrize("r2c", [True, False])
+@pytest.mark.parametrize("u", [2.0, 1.5])
+def test_mixed_radix_paths_still_route(monkeypatch, u, r2c):
+    """Force the dense threshold down so the phases/big mixed-radix paths
+    keep end-to-end coverage."""
+    from vkresample_tpu.fft import mxu_pipeline
+
+    monkeypatch.setattr(mxu_pipeline, "DENSE_MAX", 1)
+    img = make_test_image(64, 96, 3, seed=25)
+    plan = Plan(h=64, w=96, upscale=u, r2c=r2c, engine=Engine.MXU)
+    from vkresample_tpu.ops import cas as cas_ops
+    import jax.numpy as jnp
+
+    x = jnp.moveaxis(cas_ops.normalize_u8(jnp.asarray(img), jnp.float32), -1, 0)
+    out = mxu_pipeline.upscale_core_mxu(x, plan)
+    got = np.asarray(jnp.moveaxis(cas_ops.quantize_u8(out), 0, -1))
+    want = oracle.upscale_oracle(img, plan)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -47,6 +47,31 @@ class Precision(enum.IntEnum):
             return jnp.bfloat16
         return jnp.float32
 
+    @property
+    def matmul_precision(self):
+        """MXU contraction precision per mode.
+
+        SINGLE/DOUBLE use HIGHEST (exact fp32 accumulation — strict
+        oracle parity).  HALF uses HIGH (bf16_3x operand decomposition,
+        ~fp32-accurate at ~2x the speed of HIGHEST) — the mode whose
+        reference counterpart already tolerates fp16 storage error.
+        Override with env VKRESAMPLE_MM_PRECISION=default|high|highest.
+        """
+        import os
+
+        import jax
+
+        ov = os.environ.get("VKRESAMPLE_MM_PRECISION")
+        if ov:
+            return {
+                "default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST,
+            }[ov.lower()]
+        if self is Precision.HALF:
+            return jax.lax.Precision.HIGH
+        return jax.lax.Precision.HIGHEST
+
 
 class Engine(enum.Enum):
     """Which FFT execution tier to use.

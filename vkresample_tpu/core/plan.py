@@ -168,16 +168,20 @@ class UpscalePlan:
     def mxu_mode(self) -> Optional[str]:
         """How the MXU tier would execute this plan:
 
-        'phases' — integer factor: phase-decomposed zero-band inverse (the
-                   fast path; zero bins never computed).
-        'big'    — fractional factor: big spectrum materialized, transforms
-                   still MXU matmuls.
-        None     — not MXU-executable (non-7-smooth dims or parity
-                   constraints of the row-pair R2C packing).
-
-        7-smooth requirement mirrors the reference engine
-        (vkFFT.h:4719-4726).
+        'dense'  — every axis fits a dense DFT matrix (<= 4096): one MXU
+                   contraction per axis, zero-band relocation folded into
+                   rectangular inverse matrices.  Any size, any factor.
+        'phases' — larger sizes, integer factor: mixed-radix FFT with the
+                   phase-decomposed zero-band inverse.
+        'big'    — larger sizes, fractional factor: big spectrum
+                   materialized, mixed-radix MXU transforms.
+        None     — not MXU-executable (large non-7-smooth dims or parity
+                   constraints of the row-pair R2C packing; 7-smooth
+                   requirement of the mixed-radix path mirrors the
+                   reference engine, vkFFT.h:4719-4726).
         """
+        if max(self.h, self.w, self.H, self.W) <= 4096:
+            return "dense"
         smooth = (
             is_7smooth(self.h)
             and is_7smooth(self.w)

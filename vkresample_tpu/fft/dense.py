@@ -1,0 +1,186 @@
+"""Dense DFT engine: every transform axis as one constant-matrix contraction.
+
+On TPU, for the sizes this application lives at (<= 4K), the O(N^2) dense
+DFT beats O(N log N) Cooley-Tukey: FLOPs ride the 128x128 MXU at full rate
+with ZERO inter-stage relayouts (the mixed-radix path pays a full HBM
+round-trip per stage for its reshape/transpose), and the zero-band-aware
+inverse collapses into a *rectangular* (N_out x n_kept) matrix that
+
+  - encodes the spectrum relocation (shift pass, VkResample.cpp:516-545)
+    in its frequency map sigma(j),
+  - skips zeroed bins by simply not having columns for them (the TPU analog
+    of VkFFT's zero-pad guards, vkFFT.h:1277-1470 — zero bins never touched),
+  - emits output rows directly in final order (no phase interleave),
+  - works uniformly for integer AND fractional factors, and
+  - folds the 1/N normalization and the CAS u^2 pre-scale cancellation in.
+
+The C2R x-pass uses two REAL matmuls (cos/sin banks), which drops the
+imaginary parts of the DC/Nyquist bins exactly as the reference's C2R does
+(see docs/MATH.md §3).
+
+Complex x complex contractions use 3-real-matmul Karatsuba with the
+(Dr+Di) bank precomputed.  Matmul precision is a parameter: HIGHEST for
+strict fp32/f64 parity, HIGH (bf16_3x, ~fp32-accurate) as the fast default,
+DEFAULT (bf16) for the half-precision mode where operand rounding is within
+the mode's tolerance.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .complexops import CPair
+
+# ---------------------------------------------------------------------------
+# constant matrix banks (numpy, cached per geometry)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _fwd_r2c_bank(w: int, K: int, dtype: str):
+    """R2C forward x-pass: X[k] = sum_n x[n] e^{-2pi i k n / w}, k in [0,K).
+    Returns real (w, K) cos and -sin banks (contract over n)."""
+    n = np.arange(w)[:, None]
+    k = np.arange(K)[None, :]
+    ang = -2.0 * np.pi * n * k / w
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
+@lru_cache(maxsize=None)
+def _fwd_c2c_bank(n: int, dtype: str):
+    """Square forward DFT (n, n): D[j, t] = e^{-2pi i j t / n} (contract j)."""
+    jt = np.arange(n)[:, None] * np.arange(n)[None, :]
+    ang = -2.0 * np.pi * jt / n
+    dr = np.cos(ang).astype(dtype)
+    di = np.sin(ang).astype(dtype)
+    return dr, di, (dr + di).astype(dtype)
+
+
+@lru_cache(maxsize=None)
+def _inv_y_bank(
+    h: int, H: int, kept_lo: int, kept_hi: int, dtype: str
+):
+    """Zero-band inverse y matrix (h, H): DY[j, m] = (1/h) e^{+2pi i sigma(j) m / H}
+    with sigma(j) = j for j < kept_lo, j - h for j >= h - kept_hi, and a
+    ZERO column for dropped bins (contract over j).
+
+    The 1/h (not 1/H) normalization folds the u_y factor of the CAS
+    upscale^2 pre-scale (VkResample.cpp:1615) — see docs/MATH.md §4.
+    """
+    j = np.arange(h)
+    sigma = np.where(j < kept_lo, j, j - h).astype(np.float64)
+    keep = (j < kept_lo) | (j >= h - kept_hi)
+    m = np.arange(H)[None, :]
+    ang = 2.0 * np.pi * sigma[:, None] * m / H
+    scale = keep.astype(np.float64)[:, None] / h
+    dr = (np.cos(ang) * scale).astype(dtype)
+    di = (np.sin(ang) * scale).astype(dtype)
+    return dr, di, (dr + di).astype(dtype)
+
+
+@lru_cache(maxsize=None)
+def _inv_x_r2c_bank(
+    w: int, W: int, kept_lo: int, keep_nyquist: bool, K: int, dtype: str
+):
+    """Zero-band C2R x matrices (K, W):
+    out[n] = sum_k A[k, n] Re P[k] + B[k, n] Im P[k]
+    A[k, n] = c_k cos(2pi k n / W)/w,  B[k, n] = -c_k sin(2pi k n / W)/w
+    c_0 = 1, c_k = 2 for 0 < k < w/2; Nyquist col (k = w/2, present only
+    when keep_nyquist) has c = 1 and B = 0 (Im dropped, per C2R semantics).
+    Dropped bins (k >= kept_lo and not Nyquist-kept) are zero columns.
+    """
+    k = np.arange(K)[:, None].astype(np.float64)
+    n = np.arange(W)[None, :]
+    ang = 2.0 * np.pi * k * n / W
+    c = np.full((K, 1), 2.0)
+    c[0, 0] = 1.0
+    keep = (np.arange(K) < kept_lo).astype(np.float64)[:, None]
+    bmask = keep.copy()
+    if keep_nyquist and K > w // 2:
+        c[w // 2, 0] = 1.0
+        keep[w // 2, 0] = 1.0  # A keeps Re(Nyquist); B stays 0 (Im dropped)
+    A = (np.cos(ang) * c * keep / w).astype(dtype)
+    B = (-np.sin(ang) * c * bmask / w).astype(dtype)
+    return A, B
+
+
+@lru_cache(maxsize=None)
+def _inv_x_c2c_bank(w: int, W: int, kept_lo: int, kept_hi: int, dtype: str):
+    """Zero-band complex inverse x matrix (w, W) with sigma_c mapping
+    (c2c relocation, VkResample.cpp:527-545), 1/w normalized."""
+    k = np.arange(w)
+    sigma = np.where(k < kept_lo, k, k - w).astype(np.float64)
+    keep = (k < kept_lo) | (k >= w - kept_hi)
+    n = np.arange(W)[None, :]
+    ang = 2.0 * np.pi * sigma[:, None] * n / W
+    scale = keep.astype(np.float64)[:, None] / w
+    dr = (np.cos(ang) * scale).astype(dtype)
+    di = (np.sin(ang) * scale).astype(dtype)
+    return dr, di, (dr + di).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# contractions
+# ---------------------------------------------------------------------------
+
+
+def _cc_contract(D, x: CPair, spec: str, precision) -> CPair:
+    """(complex constant) x (complex data) via Karatsuba (3 real matmuls)."""
+    dr, di, drpdi = (jnp.asarray(a) for a in D)
+    xr, xi = x
+    t1 = jnp.einsum(spec, dr, xr, precision=precision)
+    t2 = jnp.einsum(spec, di, xi, precision=precision)
+    t3 = jnp.einsum(spec, drpdi, xr + xi, precision=precision)
+    return t1 - t2, t3 - t1 - t2
+
+
+def fwd_r2c_x(x: jnp.ndarray, K: int, precision) -> CPair:
+    """(..., h, w) real -> (..., h, K) half spectrum (x-axis forward)."""
+    w = x.shape[-1]
+    C, S = _fwd_r2c_bank(w, K, x.dtype.name)
+    xr = jnp.einsum("...w,wk->...k", x, jnp.asarray(C), precision=precision)
+    xi = jnp.einsum("...w,wk->...k", x, jnp.asarray(S), precision=precision)
+    return xr, xi
+
+
+def fwd_c2c_y(X: CPair, precision) -> CPair:
+    """Forward complex DFT over axis -2."""
+    h = X[0].shape[-2]
+    D = _fwd_c2c_bank(h, X[0].dtype.name)
+    return _cc_contract(D, X, "jt,...jk->...tk", precision)
+
+
+def fwd_c2c_x(X: CPair, precision) -> CPair:
+    """Forward complex DFT over axis -1."""
+    w = X[0].shape[-1]
+    D = _fwd_c2c_bank(w, X[0].dtype.name)
+    return _cc_contract(D, X, "jt,...j->...t", precision)
+
+
+def inv_y(F: CPair, h: int, H: int, kept_lo: int, kept_hi: int, precision) -> CPair:
+    """Zero-band inverse over axis -2: (..., h, K) -> (..., H, K)."""
+    D = _inv_y_bank(h, H, kept_lo, kept_hi, F[0].dtype.name)
+    return _cc_contract(D, F, "jm,...jk->...mk", precision)
+
+
+def inv_x_r2c(
+    P: CPair, w: int, W: int, kept_lo: int, keep_nyquist: bool, precision
+) -> jnp.ndarray:
+    """Zero-band C2R over axis -1: (..., K) complex -> (..., W) real."""
+    K = P[0].shape[-1]
+    A, B = _inv_x_r2c_bank(w, W, kept_lo, keep_nyquist, K, P[0].dtype.name)
+    return jnp.einsum(
+        "...k,kn->...n", P[0], jnp.asarray(A), precision=precision
+    ) + jnp.einsum("...k,kn->...n", P[1], jnp.asarray(B), precision=precision)
+
+
+def inv_x_c2c(
+    P: CPair, w: int, W: int, kept_lo: int, kept_hi: int, precision
+) -> CPair:
+    """Zero-band complex inverse over axis -1: (..., w) -> (..., W)."""
+    D = _inv_x_c2c_bank(w, W, kept_lo, kept_hi, P[0].dtype.name)
+    return _cc_contract(D, P, "kn,...k->...n", precision)

@@ -34,8 +34,42 @@ def _assemble_pair(F, plan):
     return assemble_big_spectrum(F[0], plan), assemble_big_spectrum(F[1], plan)
 
 
+# largest axis length the dense engine will build a DFT matrix for; bigger
+# plans fall back to the mixed-radix Cooley-Tukey path
+DENSE_MAX = 4096
+
+
+def _upscale_core_dense(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
+    """Dense-DFT pipeline: every axis one constant-matrix MXU contraction,
+    zero-band relocation folded into rectangular inverse matrices (see
+    fft/dense.py).  Handles integer AND fractional factors uniformly."""
+    from . import dense
+
+    prec = plan.precision.matmul_precision
+    h, w, H, W = plan.h, plan.w, plan.H, plan.W
+
+    if plan.r2c:
+        keep_nyquist = plan.kept_hi_x > 0
+        K = w // 2 + (1 if keep_nyquist else 0)
+        F = dense.fwd_r2c_x(x, K, prec)  # (..., h, K)
+        F = dense.fwd_c2c_y(F, prec)  # (..., h, K)
+        B = dense.inv_y(F, h, H, plan.kept_lo_y, plan.kept_hi_y, prec)
+        out = dense.inv_x_r2c(B, w, W, plan.kept_lo_x, keep_nyquist, prec)
+        return cas_ops.cas_sharpen(out, plan.sharpen)
+
+    zeros = jnp.zeros_like(x)
+    F = dense.fwd_c2c_x((x, zeros), prec)
+    F = dense.fwd_c2c_y(F, prec)
+    B = dense.inv_y(F, h, H, plan.kept_lo_y, plan.kept_hi_y, prec)
+    yr, yi = dense.inv_x_c2c(B, w, W, plan.kept_lo_x, plan.kept_hi_x, prec)
+    mag = jnp.sqrt(yr * yr + yi * yi)
+    return cas_ops.cas_sharpen(mag, plan.sharpen)
+
+
 def upscale_core_mxu(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
     """(..., h, w) float -> (..., H, W) float (pre-quantization)."""
+    if max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX:
+        return _upscale_core_dense(x, plan)
     mode = plan.mxu_mode
     if mode is None:
         raise ValueError(
