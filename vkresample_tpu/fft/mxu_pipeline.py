@@ -39,10 +39,11 @@ def _assemble_pair(F, plan):
 DENSE_MAX = 4096
 
 
-def _upscale_core_dense(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
+def _precas_dense(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
     """Dense-DFT pipeline: every axis one constant-matrix MXU contraction,
     zero-band relocation folded into rectangular inverse matrices (see
-    fft/dense.py).  Handles integer AND fractional factors uniformly."""
+    fft/dense.py).  Handles integer AND fractional factors uniformly.
+    Returns the pre-CAS image in CAS units (u^2 renorm folded)."""
     from . import dense
 
     prec = plan.precision.matmul_precision
@@ -54,22 +55,31 @@ def _upscale_core_dense(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
         F = dense.fwd_r2c_x(x, K, prec)  # (..., h, K)
         F = dense.fwd_c2c_y(F, prec)  # (..., h, K)
         B = dense.inv_y(F, h, H, plan.kept_lo_y, plan.kept_hi_y, prec)
-        out = dense.inv_x_r2c(B, w, W, plan.kept_lo_x, keep_nyquist, prec)
-        return cas_ops.cas_sharpen(out, plan.sharpen)
+        return dense.inv_x_r2c(B, w, W, plan.kept_lo_x, keep_nyquist, prec)
 
     zeros = jnp.zeros_like(x)
     F = dense.fwd_c2c_x((x, zeros), prec)
     F = dense.fwd_c2c_y(F, prec)
     B = dense.inv_y(F, h, H, plan.kept_lo_y, plan.kept_hi_y, prec)
     yr, yi = dense.inv_x_c2c(B, w, W, plan.kept_lo_x, plan.kept_hi_x, prec)
-    mag = jnp.sqrt(yr * yr + yi * yi)
-    return cas_ops.cas_sharpen(mag, plan.sharpen)
+    # c2c CAS consumes the complex magnitude (VkResample.cpp:904)
+    return jnp.sqrt(yr * yr + yi * yi)
+
+
+def upscale_precas_mxu(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
+    """(..., h, w) float -> (..., H, W) float pre-CAS image in CAS units
+    (real values for r2c, complex magnitude for c2c)."""
+    if max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX:
+        return _precas_dense(x, plan)
+    return _precas_mixed_radix(x, plan)
 
 
 def upscale_core_mxu(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
-    """(..., h, w) float -> (..., H, W) float (pre-quantization)."""
-    if max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX:
-        return _upscale_core_dense(x, plan)
+    """(..., h, w) float -> (..., H, W) float (post-CAS, pre-quantization)."""
+    return cas_ops.cas_sharpen(upscale_precas_mxu(x, plan), plan.sharpen)
+
+
+def _precas_mixed_radix(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
     mode = plan.mxu_mode
     if mode is None:
         raise ValueError(
@@ -88,7 +98,7 @@ def upscale_core_mxu(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
         else:  # fractional factor: big spectrum materialized, MXU FFTs
             G = _assemble_pair(F, plan)
             out = u2 * irfft2_big(G, plan.H, plan.W)
-        return cas_ops.cas_sharpen(out, plan.sharpen)
+        return out
 
     zeros = jnp.zeros_like(x)
     F = fft2_c2c((x, zeros))
@@ -99,5 +109,4 @@ def upscale_core_mxu(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
         yr, yi = ifft2_big_c2c(G)
         yr, yi = u2 * yr, u2 * yi
     # c2c CAS consumes the complex magnitude (VkResample.cpp:904)
-    mag = jnp.sqrt(yr * yr + yi * yi)
-    return cas_ops.cas_sharpen(mag, plan.sharpen)
+    return jnp.sqrt(yr * yr + yi * yi)

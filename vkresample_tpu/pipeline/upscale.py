@@ -25,8 +25,8 @@ from ..ops import cas as cas_ops
 from ..ops import spectrum as spectrum_ops
 
 
-def _upscale_core_xla(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
-    """(..., h, w) float -> (..., H, W) float (pre-quantization).
+def _precas_xla(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
+    """(..., h, w) float -> (..., H, W) float pre-CAS image in CAS units.
 
     XLA reference tier: jnp.fft + materialized big spectrum.
     """
@@ -34,34 +34,59 @@ def _upscale_core_xla(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
     if plan.r2c:
         F = jnp.fft.rfft2(x)
         G = spectrum_ops.assemble_big_spectrum(F, plan)
-        y = jnp.fft.irfft2(G, s=(plan.H, plan.W))
-        v = u2 * y
-    else:
-        F = jnp.fft.fft2(x)
-        G = spectrum_ops.assemble_big_spectrum(F, plan)
-        y = jnp.fft.ifft2(G)
-        v = u2.astype(y.real.dtype) * y
-    return cas_ops.cas_sharpen(v, plan.sharpen)
+        return u2 * jnp.fft.irfft2(G, s=(plan.H, plan.W))
+    F = jnp.fft.fft2(x)
+    G = spectrum_ops.assemble_big_spectrum(F, plan)
+    # c2c CAS consumes the complex magnitude (VkResample.cpp:904)
+    return u2 * jnp.abs(jnp.fft.ifft2(G))
 
 
-def _upscale_core(x: jnp.ndarray, plan: UpscalePlan, engine: Engine) -> jnp.ndarray:
+def _upscale_core_xla(x, plan):
+    """Post-CAS float core (kept for tests/ablation)."""
+    return cas_ops.cas_sharpen(_precas_xla(x, plan), plan.sharpen)
+
+
+def _precas(x: jnp.ndarray, plan: UpscalePlan, engine: Engine) -> jnp.ndarray:
     if engine is Engine.XLA:
-        return _upscale_core_xla(x, plan)
+        return _precas_xla(x, plan)
     if engine is Engine.MXU:
         from ..fft import mxu_pipeline
 
-        return mxu_pipeline.upscale_core_mxu(x, plan)
+        return mxu_pipeline.upscale_precas_mxu(x, plan)
     raise ValueError(f"unresolved engine {engine}")
 
 
-def _pipeline(img_u8: jnp.ndarray, plan: UpscalePlan, engine: Engine) -> jnp.ndarray:
-    """(h, w, C) uint8 -> (H, W, C) uint8."""
+def _use_pallas_cas(plan: UpscalePlan) -> bool:
+    import os
+
+    if os.environ.get("VKRESAMPLE_NO_PALLAS"):
+        return False
+    if plan.precision is Precision.DOUBLE:
+        return False  # f64 stays on the XLA path
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _pipeline(
+    img_u8: jnp.ndarray,
+    plan: UpscalePlan,
+    engine: Engine,
+    planar_out: bool = False,
+) -> jnp.ndarray:
+    """(h, w, C) uint8 -> (H, W, C) uint8 (or (C, H, W) when planar_out)."""
     cdtype = plan.precision.compute_dtype
     x = cas_ops.normalize_u8(img_u8, cdtype)  # (h, w, C)
     x = jnp.moveaxis(x, -1, 0)  # planar per-channel, like the reference
-    out = _upscale_core(x, plan, engine)
-    out = cas_ops.quantize_u8(out)
-    return jnp.moveaxis(out, 0, -1)
+    v = _precas(x, plan, engine)
+    if _use_pallas_cas(plan):
+        from ..ops.cas_pallas import cas_quantize_pallas
+
+        out = cas_quantize_pallas(v, plan.sharpen)
+    else:
+        out = cas_ops.quantize_u8(cas_ops.cas_sharpen(v, plan.sharpen))
+    return out if planar_out else jnp.moveaxis(out, 0, -1)
 
 
 @functools.lru_cache(maxsize=64)
