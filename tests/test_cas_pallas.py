@@ -1,0 +1,46 @@
+"""Pallas fused CAS+quantize kernel vs oracle (interpret mode on CPU; the
+compiled path is exercised on real TPU by bench/CLI)."""
+import numpy as np
+import pytest
+from jax import numpy as jnp
+
+from vkresample_tpu.ops.cas_pallas import cas_quantize_pallas
+from vkresample_tpu.oracle import numpy_ref as oracle
+
+
+def _want(v, s):
+    return np.stack(
+        [
+            oracle.quantize_u8(
+                oracle.cas_sharpen(v[c].astype(np.float64), s, magnitude=False)
+            )
+            for c in range(v.shape[0])
+        ]
+    )
+
+
+@pytest.mark.parametrize("shape", [(3, 64, 256), (1, 32, 128), (3, 48, 384)])
+def test_pallas_cas_matches_oracle(shape):
+    rng = np.random.default_rng(shape[1])
+    v = (rng.random(shape).astype(np.float32) * 1.3 - 0.1)  # incl. out-of-range
+    got = np.asarray(
+        cas_quantize_pallas(jnp.asarray(v), 0.2, block_rows=16, interpret=True)
+    )
+    assert np.abs(got.astype(int) - _want(v, 0.2).astype(int)).max() <= 1
+
+
+def test_pallas_cas_sharpen_zero():
+    rng = np.random.default_rng(7)
+    v = rng.random((1, 32, 128)).astype(np.float32)
+    got = np.asarray(
+        cas_quantize_pallas(jnp.asarray(v), 0.0, block_rows=8, interpret=True)
+    )
+    assert np.abs(got.astype(int) - _want(v, 0.0).astype(int)).max() <= 1
+
+
+def test_pallas_cas_fallback_degenerate_width():
+    # W not a lane multiple -> XLA fallback path, still correct
+    rng = np.random.default_rng(9)
+    v = rng.random((2, 16, 100)).astype(np.float32)
+    got = np.asarray(cas_quantize_pallas(jnp.asarray(v), 0.2, interpret=True))
+    assert np.abs(got.astype(int) - _want(v, 0.2).astype(int)).max() <= 1

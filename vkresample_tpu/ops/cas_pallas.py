@@ -1,14 +1,16 @@
 """Fused CAS sharpen + quantize as a Pallas TPU kernel.
 
-One pass over HBM: reads the pre-CAS f32 image once (plus a 2-row halo per
+One pass over HBM: reads the pre-CAS f32 image once (plus a halo band per
 tile), computes the full CAS stencil (VkResample.cpp:887-923) in VMEM, and
 writes uint8 — where the XLA formulation materializes intermediate f32
 stencil operands.  Planar (C, H, W) layout in and out.
 
 Grid: (C, H/BH).  Input stays in HBM (ANY memory space); each grid step
-DMAs its overlapping (BH+2, W) row band into VMEM scratch (block index
-maps are block-granular, so halos need manual DMA), handles x-edge
-clamping in-kernel, and stores a (BH, W) uint8 band.
+DMAs its row band into VMEM scratch.  TPU DMA slices must be 8-row
+(sublane) aligned, so the image is pre-padded with 8 edge-replicated rows
+top and bottom and each step copies [i*BH, i*BH + BH + 16) — the one-row
+stencil halo rides inside the aligned window.  Neighbor rows are built as
+full-band shifts so the final output slice [8, 8+BH) stays aligned.
 """
 from __future__ import annotations
 
@@ -19,25 +21,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_PAD = 8  # sublane alignment of DMA slices
 
-def _cas_body(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
-    """(BH+2, W) f32 row band -> (BH, W) uint8 (exact reference CAS math)."""
+
+def _cas_band(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
+    """(R, W) f32 -> (R, W) uint8 CAS output; rows [1, R-1) are valid."""
     W = band.shape[1]
     ln = jnp.clip(jnp.abs(band), 0.0, 1.0)
 
-    # x-neighbors with clamp-to-edge (VkResample.cpp:889-892)
+    # neighbor shifts over the full band (x clamps to edge; y-edge rows are
+    # invalid but sit outside the caller's output slice)
     west = jnp.concatenate([ln[:, :1], ln[:, : W - 1]], axis=1)
     east = jnp.concatenate([ln[:, 1:], ln[:, W - 1 :]], axis=1)
-
-    c = ln[1:-1, :]
-    n = ln[:-2, :]
-    s = ln[2:, :]
-    w_ = west[1:-1, :]
-    e = east[1:-1, :]
-    nw = west[:-2, :]
-    ne = east[:-2, :]
-    sw = west[2:, :]
-    se = east[2:, :]
+    n = jnp.concatenate([ln[:1, :], ln[:-1, :]], axis=0)
+    s = jnp.concatenate([ln[1:, :], ln[-1:, :]], axis=0)
+    nw = jnp.concatenate([west[:1, :], west[:-1, :]], axis=0)
+    sw = jnp.concatenate([west[1:, :], west[-1:, :]], axis=0)
+    ne = jnp.concatenate([east[:1, :], east[:-1, :]], axis=0)
+    se = jnp.concatenate([east[1:, :], east[-1:, :]], axis=0)
+    c, w_, e = ln, west, east
 
     min_cross = jnp.minimum(n, jnp.minimum(w_, jnp.minimum(c, jnp.minimum(e, s))))
     min_all = jnp.minimum(
@@ -58,18 +60,20 @@ def _cas_body(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
     sc = -jnp.float32(sharpen) * jnp.sqrt(jnp.maximum(sc, 0.0))
 
     out = (c + sc * (n + w_ + e + s)) / (one + 4.0 * sc)
-    return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    # Mosaic has no direct f32->u8 cast; go through i32 (same truncation)
+    return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _cas_kernel(v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int):
     c = pl.program_id(0)
     i = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        v_hbm.at[c, pl.ds(i * bh, bh + 2), :], scratch, sem
+        v_hbm.at[c, pl.ds(i * bh, bh + 2 * _PAD), :], scratch, sem
     )
     dma.start()
     dma.wait()
-    out_ref[0] = _cas_body(scratch[:], sharpen)
+    out = _cas_band(scratch[:], sharpen)
+    out_ref[0] = out[_PAD : _PAD + bh, :]
 
 
 def cas_quantize_pallas(
@@ -80,13 +84,16 @@ def cas_quantize_pallas(
     bh = block_rows
     while H % bh:
         bh //= 2
-    if bh < 8:  # degenerate sizes: XLA fallback
+    if bh < 8 or W % 128:  # degenerate shapes: XLA fallback
         from . import cas as cas_ops
 
         return cas_ops.quantize_u8(cas_ops.cas_sharpen(v, sharpen))
 
-    # one edge-replicated halo row top and bottom
-    vp = jnp.concatenate([v[:, :1, :], v, v[:, -1:, :]], axis=1)
+    # 8 edge-replicated rows top and bottom (DMA sublane alignment; the
+    # stencil only ever reads the innermost of them)
+    top = jnp.repeat(v[:, :1, :], _PAD, axis=1)
+    bot = jnp.repeat(v[:, -1:, :], _PAD, axis=1)
+    vp = jnp.concatenate([top, v, bot], axis=1)
 
     kern = functools.partial(_cas_kernel, sharpen=float(sharpen), bh=bh)
     return pl.pallas_call(
@@ -98,7 +105,7 @@ def cas_quantize_pallas(
             (1, bh, W), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2, W), jnp.float32),
+            pltpu.VMEM((bh + 2 * _PAD, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
