@@ -115,3 +115,15 @@ def test_batched_folder_mode(tmp_path, capsys):
         got = read_png(str(ofolder / f"{i+1:06d}.png"))
         want = oracle.upscale_oracle(f, plan)
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, f"frame {i}"
+
+
+def test_validate_flag(tmp_path, capsys):
+    img = make_test_image(32, 64, 3, seed=33)
+    inp = str(tmp_path / "v.png")
+    write_png(inp, img)
+    rc = cli.main(
+        ["-i", inp, "-o", str(tmp_path / "vo.png"), "-u", "2", "-validate"]
+    )
+    out = capsys.readouterr().out
+    assert "Validation vs fp64 oracle" in out
+    assert rc == 0 and "OK" in out

@@ -41,6 +41,7 @@ TPU-native extras:
 	-engine X: fft engine: auto (default), mxu (matmul FFT), xla (jnp.fft)
 	-c2c: use the full-complex spectrum path instead of R2C
 	-batch X: frames per device dispatch in batched mode (default: auto)
+	-validate: cross-check device output against the fp64 NumPy oracle
 """
 
 
@@ -141,8 +142,29 @@ def _parse(argv: List[str]):
     extras = {
         "c2c": find_flag(argv, "-c2c"),
         "batch": int(get_flag_value(argv, "-batch") or 0),
+        "validate": find_flag(argv, "-validate"),
     }
     return cfg, extras
+
+
+# per-precision uint8 validation tolerance against the fp64 oracle
+_VALIDATE_TOL = {0: 1, 1: 0, 2: 2}
+
+
+def _validate(img, out_np, plan) -> int:
+    """Cross-check one frame against the fp64 oracle (the reference's only
+    correctness tooling was visual comparison — SURVEY §4; this is the
+    --validate mode SURVEY §5.2 calls for)."""
+    import numpy as np
+
+    from .oracle.numpy_ref import upscale_oracle
+
+    want = upscale_oracle(np.asarray(img), plan)
+    diff = int(np.max(np.abs(out_np.astype(np.int64) - want.astype(np.int64))))
+    tol = _VALIDATE_TOL[int(plan.precision)]
+    status = "OK" if diff <= tol else "FAIL"
+    print(f"Validation vs fp64 oracle: maxdiff={diff} LSB (tol {tol}) {status}")
+    return 0 if diff <= tol else 1
 
 
 def _make_plan(cfg, extras, h, w):
@@ -202,9 +224,12 @@ def run_single(cfg, extras) -> int:
         "vkresample-tpu %0.1fx upscale: %dx%d to %dx%d Time: %0.3f ms"
         % (cfg.upscale, w, h, plan.W, plan.H, ms)
     )
+    rc = 0
+    if extras.get("validate"):
+        rc = _validate(img, out_np, plan)
     out_path = cfg.output_path or default_output_name(w, cfg.upscale)
     write_png(out_path, out_np)
-    return 0
+    return rc
 
 
 def run_batched(cfg, extras) -> int:

@@ -24,31 +24,44 @@ from jax.experimental.pallas import tpu as pltpu
 _PAD = 8  # sublane alignment of DMA slices
 
 
+def _yshift_up(a):
+    return jnp.concatenate([a[:1, :], a[:-1, :]], axis=0)
+
+
+def _yshift_dn(a):
+    return jnp.concatenate([a[1:, :], a[-1:, :]], axis=0)
+
+
 def _cas_band(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
-    """(R, W) f32 -> (R, W) uint8 CAS output; rows [1, R-1) are valid."""
+    """(R, W) f32 -> (R, W) uint8 CAS output; rows [1, R-1) are valid.
+
+    Temporary count is kept low (VMEM pressure): x-extremes are folded
+    before taking y-shifts, so corner mins/maxes derive from two arrays
+    instead of eight.
+    """
     W = band.shape[1]
     ln = jnp.clip(jnp.abs(band), 0.0, 1.0)
 
-    # neighbor shifts over the full band (x clamps to edge; y-edge rows are
-    # invalid but sit outside the caller's output slice)
     west = jnp.concatenate([ln[:, :1], ln[:, : W - 1]], axis=1)
     east = jnp.concatenate([ln[:, 1:], ln[:, W - 1 :]], axis=1)
-    n = jnp.concatenate([ln[:1, :], ln[:-1, :]], axis=0)
-    s = jnp.concatenate([ln[1:, :], ln[-1:, :]], axis=0)
-    nw = jnp.concatenate([west[:1, :], west[:-1, :]], axis=0)
-    sw = jnp.concatenate([west[1:, :], west[-1:, :]], axis=0)
-    ne = jnp.concatenate([east[:1, :], east[:-1, :]], axis=0)
-    se = jnp.concatenate([east[1:, :], east[-1:, :]], axis=0)
-    c, w_, e = ln, west, east
+    xmin = jnp.minimum(west, east)  # min(w, e) per row
+    xmax = jnp.maximum(west, east)
+    wpe = west + east  # for the cross sum later
+    del west, east
 
-    min_cross = jnp.minimum(n, jnp.minimum(w_, jnp.minimum(c, jnp.minimum(e, s))))
+    n = _yshift_up(ln)
+    s = _yshift_dn(ln)
+    min_cross = jnp.minimum(jnp.minimum(n, s), jnp.minimum(ln, xmin))
+    max_cross = jnp.maximum(jnp.maximum(n, s), jnp.maximum(ln, xmax))
+    # corners = y-shifts of the x-extremes
     min_all = jnp.minimum(
-        min_cross, jnp.minimum(nw, jnp.minimum(ne, jnp.minimum(sw, se)))
+        min_cross, jnp.minimum(_yshift_up(xmin), _yshift_dn(xmin))
     )
-    max_cross = jnp.maximum(n, jnp.maximum(w_, jnp.maximum(c, jnp.maximum(e, s))))
     max_all = jnp.maximum(
-        max_cross, jnp.maximum(nw, jnp.maximum(ne, jnp.maximum(sw, se)))
+        max_cross, jnp.maximum(_yshift_up(xmax), _yshift_dn(xmax))
     )
+    c = ln
+
     minlen = 0.5 * (min_cross + min_all)
     maxlen = 0.5 * (max_cross + max_all)
 
@@ -59,7 +72,7 @@ def _cas_band(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
     sc = jnp.where(jnp.isnan(sc), jnp.float32(0.0), sc)
     sc = -jnp.float32(sharpen) * jnp.sqrt(jnp.maximum(sc, 0.0))
 
-    out = (c + sc * (n + w_ + e + s)) / (one + 4.0 * sc)
+    out = (c + sc * (n + s + wpe)) / (one + 4.0 * sc)
     # Mosaic has no direct f32->u8 cast; go through i32 (same truncation)
     return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
@@ -77,7 +90,7 @@ def _cas_kernel(v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int):
 
 
 def cas_quantize_pallas(
-    v: jnp.ndarray, sharpen: float, block_rows: int = 256, interpret: bool = False
+    v: jnp.ndarray, sharpen: float, block_rows: int = 64, interpret: bool = False
 ) -> jnp.ndarray:
     """(C, H, W) f32 pre-CAS image (already u^2-scaled) -> (C, H, W) uint8."""
     C, H, W = v.shape
