@@ -184,3 +184,119 @@ def inv_x_c2c(
     """Zero-band complex inverse over axis -1: (..., w) -> (..., W)."""
     D = _inv_x_c2c_bank(w, W, kept_lo, kept_hi, P[0].dtype.name)
     return _cc_contract(D, P, "kn,...k->...n", precision)
+
+
+# ---------------------------------------------------------------------------
+# collapsed two-matmul r2c chain
+# ---------------------------------------------------------------------------
+#
+# The full r2c pipeline (R2C_x -> fwd_y -> zero-band inv_y -> C2R_x) is a
+# linear map real^(h,w) -> real^(H,W).  Grouping by axis:
+#
+#   out = Ry ._y (img ._x alpha)  +  Iy ._y (img ._x beta)
+#
+# where alpha/beta compose the x banks (alpha = Cx@A + Sx@B — the real
+# band-limited periodic-sinc interpolation matrix; beta its quadrature
+# partner) and Ry/Iy are the real/imag parts of the composed y roundtrip.
+# Iy vanishes except for spectrally unpaired bins (the relocated y-Nyquist,
+# which the shift moves whole — VkResample.cpp:521-525), making it rank<=1;
+# we factor it by SVD and append the r correction rows to the main y matmul.
+# Net cost: TWO large real MXU matmuls for the entire transform chain.
+
+
+@lru_cache(maxsize=None)
+def _r2c_chain_banks(
+    h: int,
+    w: int,
+    H: int,
+    W: int,
+    kl_y: int,
+    kh_y: int,
+    kl_x: int,
+    keep_nyq: bool,
+    dtype: str,
+):
+    K = w // 2 + (1 if keep_nyq else 0)
+    # x banks in f64
+    n = np.arange(w)[:, None]
+    k = np.arange(K)[None, :]
+    ang = -2.0 * np.pi * n * k / w
+    Cx, Sx = np.cos(ang), np.sin(ang)
+    kk = np.arange(K)[:, None].astype(np.float64)
+    nn = np.arange(W)[None, :]
+    ang2 = 2.0 * np.pi * kk * nn / W
+    c = np.full((K, 1), 2.0)
+    c[0, 0] = 1.0
+    keep = (np.arange(K) < kl_x).astype(np.float64)[:, None]
+    bmask = keep.copy()
+    if keep_nyq and K > w // 2:
+        c[w // 2, 0] = 1.0
+        keep[w // 2, 0] = 1.0
+    A = np.cos(ang2) * c * keep / w
+    B = -np.sin(ang2) * c * bmask / w
+    alpha = Cx @ A + Sx @ B  # (w, W)
+    beta = Cx @ B - Sx @ A
+
+    # y roundtrip composite (h, H) complex
+    j = np.arange(h)
+    t = np.arange(h)
+    Df = np.exp(-2j * np.pi * np.outer(t, j) / h)  # fwd: F[j] = sum_t U[t] e^-
+    sigma = np.where(j < kl_y, j, j - h).astype(np.float64)
+    keep_y = ((j < kl_y) | (j >= h - kh_y)).astype(np.float64)
+    DY = (
+        np.exp(2j * np.pi * np.outer(sigma, np.arange(H)) / H)
+        * keep_y[:, None]
+        / h
+    )
+    comp = Df @ DY  # (h, H)
+    Ry = np.real(comp)
+    Iy = np.imag(comp)
+
+    # factor the (near-)rank-1 imaginary residue
+    smax = np.abs(Iy).max()
+    if smax < 1e-9:
+        Y1 = np.zeros((h, 0))
+        Y2 = np.zeros((0, H))
+    else:
+        U_, s_, Vt_ = np.linalg.svd(Iy, full_matrices=False)
+        r = int(np.sum(s_ > 1e-10 * s_[0]))
+        Y1 = U_[:, :r] * s_[:r]
+        Y2 = Vt_[:r]
+    return (
+        alpha.astype(dtype),
+        beta.astype(dtype),
+        Ry.astype(dtype),
+        Y1.astype(dtype),
+        Y2.astype(dtype),
+    )
+
+
+def r2c_chain(x: jnp.ndarray, plan, precision) -> jnp.ndarray:
+    """(..., h, w) real image -> (..., H, W) pre-CAS real image in CAS
+    units, via the collapsed two-matmul chain."""
+    h, w, H, W = plan.h, plan.w, plan.H, plan.W
+    alpha, beta, Ry, Y1, Y2 = _r2c_chain_banks(
+        h,
+        w,
+        H,
+        W,
+        plan.kept_lo_y,
+        plan.kept_hi_y,
+        plan.kept_lo_x,
+        plan.kept_hi_x > 0,
+        x.dtype.name,
+    )
+    U = jnp.einsum("...hw,wn->...hn", x, jnp.asarray(alpha), precision=precision)
+    r = Y1.shape[1]
+    if r:
+        tcorr = jnp.einsum(
+            "...hw,hr->...rw", x, jnp.asarray(Y1), precision=precision
+        )
+        t2 = jnp.einsum(
+            "...rw,wn->...rn", tcorr, jnp.asarray(beta), precision=precision
+        )
+        U = jnp.concatenate([U, t2], axis=-2)
+        Ymat = jnp.asarray(np.concatenate([Ry, Y2], axis=0))
+    else:
+        Ymat = jnp.asarray(Ry)
+    return jnp.einsum("jm,...jn->...mn", Ymat, U, precision=precision)

@@ -50,12 +50,9 @@ def _precas_dense(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
     h, w, H, W = plan.h, plan.w, plan.H, plan.W
 
     if plan.r2c:
-        keep_nyquist = plan.kept_hi_x > 0
-        K = w // 2 + (1 if keep_nyquist else 0)
-        F = dense.fwd_r2c_x(x, K, prec)  # (..., h, K)
-        F = dense.fwd_c2c_y(F, prec)  # (..., h, K)
-        B = dense.inv_y(F, h, H, plan.kept_lo_y, plan.kept_hi_y, prec)
-        return dense.inv_x_r2c(B, w, W, plan.kept_lo_x, keep_nyquist, prec)
+        # collapsed two-matmul chain (x-interp, y-interp + rank-r Nyquist
+        # correction) — see fft/dense.py r2c_chain
+        return dense.r2c_chain(x, plan, prec)
 
     zeros = jnp.zeros_like(x)
     F = dense.fwd_c2c_x((x, zeros), prec)
