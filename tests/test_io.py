@@ -83,3 +83,14 @@ def test_pool_size_mismatch(tmp_path):
     with png.PngPool(1) as pool:
         with pytest.raises(ValueError):
             pool.decode_batch([p], 99, 99)
+
+
+def test_pool_planar_encode_roundtrip(tmp_path):
+    n, h, w = 4, 20, 24
+    frames = np.stack([make_test_image(h, w, 3, seed=50 + i) for i in range(n)])
+    planar = np.moveaxis(frames, -1, 1).copy()  # (N, 3, H, W)
+    paths = [str(tmp_path / f"p{i:06d}.png") for i in range(n)]
+    with png.PngPool(num_threads=2) as pool:
+        pool.encode_batch_planar(paths, planar)
+        back = pool.decode_batch(paths, w, h)
+    np.testing.assert_array_equal(back, frames)

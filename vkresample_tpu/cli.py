@@ -262,7 +262,9 @@ def run_batched(cfg, extras) -> int:
     # round batch to a device multiple for even sharding
     if mesh is not None:
         batch = max(n_dev, (batch // n_dev) * n_dev)
-    fn = build_batched_upscale(plan, mesh)
+    # planar device output + native planar encode: no layout transpose on
+    # either side of the PNG boundary
+    fn = build_batched_upscale(plan, mesh, planar_out=True)
 
     t0 = time.perf_counter()
     done = 0
@@ -283,7 +285,7 @@ def run_batched(cfg, extras) -> int:
             if pending is not None:
                 paths_prev, res_prev, n_prev = pending
                 out_np = np.asarray(res_prev)[:n_prev]
-                pool.encode_batch(paths_prev, out_np)
+                pool.encode_batch_planar(paths_prev, out_np)
                 done += n_prev
                 pending = None
             if imgs is not None:

@@ -84,6 +84,9 @@ def _load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.vkr_pool_encode_batch_planar.argtypes = (
+            lib.vkr_pool_encode_batch.argtypes
+        )
         _lib = lib
         return _lib
 
@@ -242,3 +245,31 @@ class PngPool:
         ]
         for f in futs:
             f.result()
+
+    def encode_batch_planar(
+        self, paths: Sequence[str], data: np.ndarray, compression_level: int = 6
+    ) -> None:
+        """Encode PLANAR (N, 3, H, W) uint8 frames — the device pipeline's
+        native output layout; the C++ encoder interleaves during row
+        filtering (no host transpose)."""
+        data = np.ascontiguousarray(data, np.uint8)
+        n, c, h, w = data.shape
+        assert c == 3 and n == len(paths)
+        if self._lib is not None:
+            c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+            status = (ctypes.c_int * n)()
+            self._lib.vkr_pool_encode_batch_planar(
+                self._pool,
+                c_paths,
+                n,
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                w,
+                h,
+                compression_level,
+                status,
+            )
+            for i, st in enumerate(status):
+                if st != 0:
+                    raise OSError(f"PNG encode failed ({st}): {paths[i]}")
+            return
+        self.encode_batch(paths, np.moveaxis(data, 1, -1), compression_level)

@@ -150,6 +150,61 @@ int vkr_png_encode(const char* path, const unsigned char* rgb, int width,
 void vkr_free(void* p) { free(p); }
 
 // ---------------------------------------------------------------------
+// planar encode: channels as separate planes (r, g, b each w*h bytes).
+// The device pipeline produces planar output (like the reference GPU
+// buffers, VkResample.cpp:1437); interleaving happens here during row
+// encoding instead of a host-side transpose.
+// ---------------------------------------------------------------------
+int vkr_png_encode_planar(const char* path, const unsigned char* r,
+                          const unsigned char* g, const unsigned char* b,
+                          int width, int height, int compression_level) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return -1;
+
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return -2;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(fp);
+    return -2;
+  }
+  std::vector<unsigned char> row((size_t)width * 3);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return -3;
+  }
+
+  png_init_io(png, fp);
+  png_set_compression_level(png, compression_level);
+  png_set_filter(png, 0, PNG_FILTER_SUB);
+  png_set_IHDR(png, info, width, height, 8, PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+
+  for (int y = 0; y < height; y++) {
+    const size_t off = (size_t)y * width;
+    for (int x = 0; x < width; x++) {
+      row[3 * x + 0] = r[off + x];
+      row[3 * x + 1] = g[off + x];
+      row[3 * x + 2] = b[off + x];
+    }
+    png_write_row(png, row.data());
+  }
+  png_write_end(png, info);
+
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
+// ---------------------------------------------------------------------
 // worker pool: parallel decode/encode of file batches.
 // Replaces the reference's one-OS-thread-per-worker design
 // (VkResample.cpp:1958-1969) with a reusable pool.
@@ -259,6 +314,23 @@ void vkr_pool_encode_batch(void* pool, const char** paths, int n,
       status[i] =
           vkr_png_encode(paths[i], data + (size_t)i * frame, w, h,
                          compression_level);
+    });
+  }
+  p->wait_idle();
+}
+
+// Encode a batch from one contiguous PLANAR (n, 3, h, w) uint8 buffer.
+void vkr_pool_encode_batch_planar(void* pool, const char** paths, int n,
+                                  const unsigned char* data, int w, int h,
+                                  int compression_level, int* status) {
+  Pool* p = static_cast<Pool*>(pool);
+  const size_t plane = (size_t)w * h;
+  for (int i = 0; i < n; i++) {
+    p->submit([=] {
+      const unsigned char* base = data + (size_t)i * 3 * plane;
+      status[i] = vkr_png_encode_planar(paths[i], base, base + plane,
+                                        base + 2 * plane, w, h,
+                                        compression_level);
     });
   }
   p->wait_idle();

@@ -77,16 +77,22 @@ def _cas_band(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
     return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _cas_kernel(v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int):
+def _cas_kernel(v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int):
     c = pl.program_id(0)
     i = pl.program_id(1)
+    # clamped 8-aligned window [start, start+bh+16): interior blocks carry
+    # an 8-row halo on each side; the first/last block shift the window
+    # inward and the in-band edge-duplicating shifts provide the clamp
+    # semantics (VkResample.cpp:889-892) for the true image border.
+    start = jnp.clip(i * bh - _PAD, 0, H - (bh + 2 * _PAD))
     dma = pltpu.make_async_copy(
-        v_hbm.at[c, pl.ds(i * bh, bh + 2 * _PAD), :], scratch, sem
+        v_hbm.at[c, pl.ds(start, bh + 2 * _PAD), :], scratch, sem
     )
     dma.start()
     dma.wait()
     out = _cas_band(scratch[:], sharpen)
-    out_ref[0] = out[_PAD : _PAD + bh, :]
+    offset = pl.multiple_of(i * bh - start, _PAD)  # 0 / 8 / 16
+    out_ref[0] = jax.lax.dynamic_slice_in_dim(out, offset, bh, axis=0)
 
 
 def cas_quantize_pallas(
@@ -97,18 +103,12 @@ def cas_quantize_pallas(
     bh = block_rows
     while H % bh:
         bh //= 2
-    if bh < 8 or W % 128:  # degenerate shapes: XLA fallback
+    if bh < 8 or W % 128 or H < bh + 2 * _PAD:  # degenerate: XLA fallback
         from . import cas as cas_ops
 
         return cas_ops.quantize_u8(cas_ops.cas_sharpen(v, sharpen))
 
-    # 8 edge-replicated rows top and bottom (DMA sublane alignment; the
-    # stencil only ever reads the innermost of them)
-    top = jnp.repeat(v[:, :1, :], _PAD, axis=1)
-    bot = jnp.repeat(v[:, -1:, :], _PAD, axis=1)
-    vp = jnp.concatenate([top, v, bot], axis=1)
-
-    kern = functools.partial(_cas_kernel, sharpen=float(sharpen), bh=bh)
+    kern = functools.partial(_cas_kernel, sharpen=float(sharpen), bh=bh, H=H)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
@@ -122,4 +122,4 @@ def cas_quantize_pallas(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(vp)
+    )(v)

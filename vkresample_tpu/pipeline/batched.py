@@ -17,16 +17,21 @@ from .upscale import _pipeline
 
 @functools.lru_cache(maxsize=32)
 def build_batched_upscale(
-    plan: UpscalePlan, mesh: Optional[jax.sharding.Mesh] = None
+    plan: UpscalePlan,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    planar_out: bool = False,
 ) -> Callable:
-    """(N, h, w, C) uint8 -> (N, H, W, C) uint8, one jitted program.
+    """(N, h, w, C) uint8 -> (N, H, W, C) uint8 (or (N, C, H, W) planar),
+    one jitted program.
 
     With a mesh, frames shard over the 'dp' axis; each chip runs its own
     per-frame FFT pipeline (no cross-chip collectives, matching the
     reference's independent per-thread Vulkan devices).
     """
     engine = plan.resolve_engine()
-    fn = jax.vmap(functools.partial(_pipeline, plan=plan, engine=engine))
+    fn = jax.vmap(
+        functools.partial(_pipeline, plan=plan, engine=engine, planar_out=planar_out)
+    )
     if mesh is None:
         return jax.jit(fn)
     sh = mesh_lib.frames_sharding(mesh)
