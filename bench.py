@@ -27,7 +27,7 @@ def main() -> int:
     from vkresample_tpu.core.config import Engine, Precision
     from vkresample_tpu.core.plan import UpscalePlan
     from vkresample_tpu.pipeline.bench_util import time_device
-    from vkresample_tpu.pipeline.upscale import _pipeline
+    from vkresample_tpu.pipeline.upscale import _pipeline, make_device_banks
 
     h, w, u = 1024, 2048, 2.0
     baseline_ms = 2.0
@@ -41,13 +41,15 @@ def main() -> int:
         sharpen=0.2,
         engine=Engine.AUTO,
     )
-    pipeline = functools.partial(_pipeline, plan=plan, engine=plan.resolve_engine())
+    engine = plan.resolve_engine()
+    pipeline = functools.partial(_pipeline, plan=plan, engine=engine)
+    banks = make_device_banks(plan, engine)
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     x = jax.device_put(img, jax.devices()[0])
 
-    ms = time_device(pipeline, x, k1=max(2, k2 // 5), k2=k2)
+    ms = time_device(pipeline, x, aux=banks, k1=max(2, k2 // 5), k2=k2)
 
     print(
         json.dumps(

@@ -271,32 +271,95 @@ def _r2c_chain_banks(
     )
 
 
-def r2c_chain(x: jnp.ndarray, plan, precision) -> jnp.ndarray:
-    """(..., h, w) real image -> (..., H, W) pre-CAS real image in CAS
-    units, via the collapsed two-matmul chain."""
+def c2c_chain_banks(plan, dtype: str) -> dict:
+    """Collapsed c2c chain: both the x and y roundtrips are fully C-linear,
+    so each axis composes into ONE complex matrix —
+    Xc (w, W) = Dfwd_x @ DXinv_band, Yc (h, H) = Dfwd_y @ DYinv_band.
+    The real input makes the x pass 2 real matmuls; y is 3 (Karatsuba):
+    five MXU matmuls for the whole c2c transform chain."""
     h, w, H, W = plan.h, plan.w, plan.H, plan.W
+    # x composite
+    i_ = np.arange(w)[:, None]
+    k_ = np.arange(w)[None, :]
+    Fx = np.exp(-2j * np.pi * i_ * k_ / w)
+    k = np.arange(w)
+    sigma = np.where(k < plan.kept_lo_x, k, k - w).astype(np.float64)
+    keep = (k < plan.kept_lo_x) | (k >= w - plan.kept_hi_x)
+    DXinv = (
+        np.exp(2j * np.pi * np.outer(sigma, np.arange(W)) / W)
+        * keep.astype(np.float64)[:, None]
+        / w
+    )
+    Xc = Fx @ DXinv  # (w, W)
+    # y composite
+    t_ = np.arange(h)[:, None]
+    j_ = np.arange(h)[None, :]
+    Fy = np.exp(-2j * np.pi * t_ * j_ / h)
+    j = np.arange(h)
+    sy = np.where(j < plan.kept_lo_y, j, j - h).astype(np.float64)
+    keep_y = (j < plan.kept_lo_y) | (j >= h - plan.kept_hi_y)
+    DYinv = (
+        np.exp(2j * np.pi * np.outer(sy, np.arange(H)) / H)
+        * keep_y.astype(np.float64)[:, None]
+        / h
+    )
+    Yc = Fy @ DYinv  # (h, H)
+    yr = np.real(Yc).astype(dtype)
+    yi = np.imag(Yc).astype(dtype)
+    return {
+        "Xr": np.real(Xc).astype(dtype),
+        "Xi": np.imag(Xc).astype(dtype),
+        "Yr": yr,
+        "Yi": yi,
+        "Yrpyi": (yr + yi).astype(dtype),
+    }
+
+
+def c2c_chain(x: jnp.ndarray, banks: dict, precision) -> jnp.ndarray:
+    """(..., h, w) real image -> (..., H, W) pre-CAS complex magnitude."""
+    Ur = jnp.einsum("...hw,wn->...hn", x, banks["Xr"], precision=precision)
+    Ui = jnp.einsum("...hw,wn->...hn", x, banks["Xi"], precision=precision)
+    t1 = jnp.einsum("jm,...jn->...mn", banks["Yr"], Ur, precision=precision)
+    t2 = jnp.einsum("jm,...jn->...mn", banks["Yi"], Ui, precision=precision)
+    t3 = jnp.einsum(
+        "jm,...jn->...mn", banks["Yrpyi"], Ur + Ui, precision=precision
+    )
+    yr = t1 - t2
+    yi = t3 - t1 - t2
+    return jnp.sqrt(yr * yr + yi * yi)
+
+
+def r2c_chain_banks(plan, dtype: str) -> dict:
+    """Numpy bank pytree for the collapsed r2c chain.
+
+    Returned as a dict so callers can jax.device_put it and pass it as a
+    jit ARGUMENT — multi-MB matrices must not become HLO literal constants
+    (jax inlines trace-time numpy constants into the program text, which
+    explodes compile payloads)."""
     alpha, beta, Ry, Y1, Y2 = _r2c_chain_banks(
-        h,
-        w,
-        H,
-        W,
+        plan.h,
+        plan.w,
+        plan.H,
+        plan.W,
         plan.kept_lo_y,
         plan.kept_hi_y,
         plan.kept_lo_x,
         plan.kept_hi_x > 0,
-        x.dtype.name,
+        dtype,
     )
-    U = jnp.einsum("...hw,wn->...hn", x, jnp.asarray(alpha), precision=precision)
-    r = Y1.shape[1]
-    if r:
-        tcorr = jnp.einsum(
-            "...hw,hr->...rw", x, jnp.asarray(Y1), precision=precision
-        )
-        t2 = jnp.einsum(
-            "...rw,wn->...rn", tcorr, jnp.asarray(beta), precision=precision
-        )
+    banks = {"alpha": alpha, "Ymat": np.concatenate([Ry, Y2], axis=0)}
+    if Y1.shape[1]:
+        banks["Y1"] = Y1
+        banks["beta"] = beta
+    return banks
+
+
+def r2c_chain(x: jnp.ndarray, banks: dict, precision) -> jnp.ndarray:
+    """(..., h, w) real image -> (..., H, W) pre-CAS real image in CAS
+    units, via the collapsed two-matmul chain."""
+    U = jnp.einsum("...hw,wn->...hn", x, banks["alpha"], precision=precision)
+    if "Y1" in banks:
+        tcorr = jnp.einsum("...hw,hr->...rw", x, banks["Y1"], precision=precision)
+        t2 = jnp.einsum("...rw,wn->...rn", tcorr, banks["beta"], precision=precision)
         U = jnp.concatenate([U, t2], axis=-2)
-        Ymat = jnp.asarray(np.concatenate([Ry, Y2], axis=0))
-    else:
-        Ymat = jnp.asarray(Ry)
-    return jnp.einsum("jm,...jn->...mn", Ymat, U, precision=precision)
+    return jnp.einsum("jm,...jn->...mn", banks["Ymat"], U, precision=precision)

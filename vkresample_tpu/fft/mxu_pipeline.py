@@ -39,41 +39,47 @@ def _assemble_pair(F, plan):
 DENSE_MAX = 4096
 
 
-def _precas_dense(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
-    """Dense-DFT pipeline: every axis one constant-matrix MXU contraction,
-    zero-band relocation folded into rectangular inverse matrices (see
-    fft/dense.py).  Handles integer AND fractional factors uniformly.
-    Returns the pre-CAS image in CAS units (u^2 renorm folded)."""
+def make_dense_banks(plan: UpscalePlan, dtype: str = "float32"):
+    """Numpy bank pytree for the dense chain, or None when the plan routes
+    to the mixed-radix path.  Callers jax.device_put the result and pass it
+    as a jit ARGUMENT (multi-MB HLO literal constants choke compilation)."""
     from . import dense
 
-    prec = plan.precision.matmul_precision
-    h, w, H, W = plan.h, plan.w, plan.H, plan.W
-
+    if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
+        return None
     if plan.r2c:
-        # collapsed two-matmul chain (x-interp, y-interp + rank-r Nyquist
-        # correction) — see fft/dense.py r2c_chain
-        return dense.r2c_chain(x, plan, prec)
-
-    zeros = jnp.zeros_like(x)
-    F = dense.fwd_c2c_x((x, zeros), prec)
-    F = dense.fwd_c2c_y(F, prec)
-    B = dense.inv_y(F, h, H, plan.kept_lo_y, plan.kept_hi_y, prec)
-    yr, yi = dense.inv_x_c2c(B, w, W, plan.kept_lo_x, plan.kept_hi_x, prec)
-    # c2c CAS consumes the complex magnitude (VkResample.cpp:904)
-    return jnp.sqrt(yr * yr + yi * yi)
+        return dense.r2c_chain_banks(plan, dtype)
+    return dense.c2c_chain_banks(plan, dtype)
 
 
-def upscale_precas_mxu(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
+def upscale_precas_mxu(
+    x: jnp.ndarray, plan: UpscalePlan, banks=None
+) -> jnp.ndarray:
     """(..., h, w) float -> (..., H, W) float pre-CAS image in CAS units
-    (real values for r2c, complex magnitude for c2c)."""
+    (real values for r2c, complex magnitude for c2c).
+
+    banks: device bank pytree from make_dense_banks (None builds numpy
+    banks inline — convenient for tests, bad for remote-compile payload).
+    """
+    from . import dense
+
     if max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX:
-        return _precas_dense(x, plan)
+        prec = plan.precision.matmul_precision
+        if banks is None:
+            banks = make_dense_banks(plan, x.dtype.name)
+        if plan.r2c:
+            return dense.r2c_chain(x, banks, prec)
+        return dense.c2c_chain(x, banks, prec)
     return _precas_mixed_radix(x, plan)
 
 
-def upscale_core_mxu(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
+def upscale_core_mxu(
+    x: jnp.ndarray, plan: UpscalePlan, banks=None
+) -> jnp.ndarray:
     """(..., h, w) float -> (..., H, W) float (post-CAS, pre-quantization)."""
-    return cas_ops.cas_sharpen(upscale_precas_mxu(x, plan), plan.sharpen)
+    return cas_ops.cas_sharpen(
+        upscale_precas_mxu(x, plan, banks), plan.sharpen
+    )
 
 
 def _precas_mixed_radix(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:

@@ -28,14 +28,26 @@ def build_batched_upscale(
     per-frame FFT pipeline (no cross-chip collectives, matching the
     reference's independent per-thread Vulkan devices).
     """
+    from .upscale import make_device_banks
+
     engine = plan.resolve_engine()
+    banks = make_device_banks(plan, engine)
     fn = jax.vmap(
-        functools.partial(_pipeline, plan=plan, engine=engine, planar_out=planar_out)
+        functools.partial(_pipeline, plan=plan, engine=engine, planar_out=planar_out),
+        in_axes=(0, None),
     )
     if mesh is None:
-        return jax.jit(fn)
-    sh = mesh_lib.frames_sharding(mesh)
-    return jax.jit(fn, in_shardings=sh, out_shardings=sh)
+        jitfn = jax.jit(fn)
+    else:
+        sh = mesh_lib.frames_sharding(mesh)
+        rep = mesh_lib.replicated(mesh)
+        banks_sh = None if banks is None else jax.tree.map(lambda _: rep, banks)
+        jitfn = jax.jit(fn, in_shardings=(sh, banks_sh), out_shardings=sh)
+
+    def run(imgs, _fn=jitfn, _banks=banks):
+        return _fn(imgs, _banks)
+
+    return run
 
 
 def upscale_batch(imgs, plan: UpscalePlan, mesh=None):

@@ -26,15 +26,16 @@ import jax.numpy as jnp
 
 
 def make_looped(pipeline: Callable) -> Callable:
-    """Wrap a (h,w,C)u8 -> (H,W,C)u8 pipeline into run(x, k) -> scalar
-    that executes the pipeline k times serially on-device."""
+    """Wrap a pipeline(x, aux) -> u8-image into run(x, aux, k) -> scalar
+    that executes the pipeline k times serially on-device.  `aux` carries
+    constant operands (e.g. DFT banks) as jit arguments, not HLO literals."""
 
-    def run(x, k):
+    def run(x, aux, k):
         def body(i, carry):
             # perturb one pixel with the carry so iteration i+1 depends on
             # iteration i's output — forbids hoisting/parallelizing
             xi = x.at[0, 0, 0].set(carry)
-            out = pipeline(xi)
+            out = pipeline(xi, aux)
             return out[0, 0, 0]
 
         c = jax.lax.fori_loop(0, k, body, x[0, 0, 0])
@@ -43,17 +44,17 @@ def make_looped(pipeline: Callable) -> Callable:
     return jax.jit(run)
 
 
-def time_device(pipeline: Callable, x, k1: int = 4, k2: int = 20) -> float:
+def time_device(pipeline: Callable, x, aux=None, k1: int = 4, k2: int = 20) -> float:
     """Returns ms per pipeline iteration, launch/readback overhead removed."""
     run = make_looped(pipeline)
 
     def measure(k) -> float:
         t0 = time.perf_counter()
-        v = run(x, k)
+        v = run(x, aux, k)
         int(v)  # forced scalar readback = real completion fence
         return time.perf_counter() - t0
 
-    measure(k1)  # compile both shapes of nothing (k is traced) + warm path
+    measure(k1)  # compile (k is traced) + warm path
     t1 = measure(k1)
     t2 = measure(k2)
     return max(t2 - t1, 1e-9) * 1000.0 / (k2 - k1)

@@ -46,13 +46,15 @@ def _upscale_core_xla(x, plan):
     return cas_ops.cas_sharpen(_precas_xla(x, plan), plan.sharpen)
 
 
-def _precas(x: jnp.ndarray, plan: UpscalePlan, engine: Engine) -> jnp.ndarray:
+def _precas(
+    x: jnp.ndarray, plan: UpscalePlan, engine: Engine, banks=None
+) -> jnp.ndarray:
     if engine is Engine.XLA:
         return _precas_xla(x, plan)
     if engine is Engine.MXU:
         from ..fft import mxu_pipeline
 
-        return mxu_pipeline.upscale_precas_mxu(x, plan)
+        return mxu_pipeline.upscale_precas_mxu(x, plan, banks)
     raise ValueError(f"unresolved engine {engine}")
 
 
@@ -71,15 +73,21 @@ def _use_pallas_cas(plan: UpscalePlan) -> bool:
 
 def _pipeline(
     img_u8: jnp.ndarray,
-    plan: UpscalePlan,
-    engine: Engine,
+    banks=None,
+    plan: UpscalePlan = None,
+    engine: Engine = None,
     planar_out: bool = False,
 ) -> jnp.ndarray:
-    """(h, w, C) uint8 -> (H, W, C) uint8 (or (C, H, W) when planar_out)."""
+    """(h, w, C) uint8 -> (H, W, C) uint8 (or (C, H, W) when planar_out).
+
+    `banks` is the (optional) device-array pytree of dense DFT matrices,
+    passed as a jit argument so multi-MB matrices never become HLO literal
+    constants.
+    """
     cdtype = plan.precision.compute_dtype
     x = cas_ops.normalize_u8(img_u8, cdtype)  # (h, w, C)
     x = jnp.moveaxis(x, -1, 0)  # planar per-channel, like the reference
-    v = _precas(x, plan, engine)
+    v = _precas(x, plan, engine, banks)
     if _use_pallas_cas(plan):
         from ..ops.cas_pallas import cas_quantize_pallas
 
@@ -89,20 +97,47 @@ def _pipeline(
     return out if planar_out else jnp.moveaxis(out, 0, -1)
 
 
+def make_device_banks(plan: UpscalePlan, engine: Engine):
+    """Device-resident dense bank pytree for MXU plans (None otherwise)."""
+    if engine is not Engine.MXU:
+        return None
+    import numpy as _np
+
+    from ..fft import mxu_pipeline
+
+    banks = mxu_pipeline.make_dense_banks(
+        plan, _np.dtype(plan.precision.compute_dtype).name
+    )
+    if banks is None:
+        return None
+    return jax.device_put(banks)
+
+
 @functools.lru_cache(maxsize=64)
 def build_upscale(plan: UpscalePlan) -> Callable:
     """Compile-once plan cache: the analog of initializeVulkanFFT being
     called once per (shape, precision, upscale) and reused across frames
-    (VkResample.cpp:1506-1508, reuse loop at 1627)."""
+    (VkResample.cpp:1506-1508, reuse loop at 1627).  The dense DFT banks
+    are materialized on device here (the analog of VkFFT's plan-time LUT
+    upload, vkFFT.h:6157-6308) and passed per call."""
     engine = plan.resolve_engine()
-    fn = jax.jit(functools.partial(_pipeline, plan=plan, engine=engine))
+    jitfn = jax.jit(functools.partial(_pipeline, plan=plan, engine=engine))
+
     if plan.precision is Precision.DOUBLE:
 
-        def fn_x64(img, _fn=fn):
+        def fn_x64(img, _fn=jitfn, _plan=plan, _engine=engine, _banks=[None]):
             with jax.enable_x64():
-                return _fn(img)
+                if _banks[0] is None:
+                    _banks[0] = (make_device_banks(_plan, _engine),)
+                return _fn(img, _banks[0][0])
 
         return fn_x64
+
+    banks = make_device_banks(plan, engine)
+
+    def fn(img, _fn=jitfn, _banks=banks):
+        return _fn(img, _banks)
+
     return fn
 
 
