@@ -73,8 +73,7 @@ def _cas_band(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
     sc = -jnp.float32(sharpen) * jnp.sqrt(jnp.maximum(sc, 0.0))
 
     out = (c + sc * (n + s + wpe)) / (one + 4.0 * sc)
-    # Mosaic has no direct f32->u8 cast; go through i32 (same truncation)
-    return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    return jnp.clip(out * 255.0, 0.0, 255.0)
 
 
 def _cas_kernel(v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int):
@@ -84,15 +83,29 @@ def _cas_kernel(v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int
     # an 8-row halo on each side; the first/last block shift the window
     # inward and the in-band edge-duplicating shifts provide the clamp
     # semantics (VkResample.cpp:889-892) for the true image border.
-    start = jnp.clip(i * bh - _PAD, 0, H - (bh + 2 * _PAD))
+    start = pl.multiple_of(
+        jnp.clip(i * bh - _PAD, 0, H - (bh + 2 * _PAD)), _PAD
+    )
     dma = pltpu.make_async_copy(
         v_hbm.at[c, pl.ds(start, bh + 2 * _PAD), :], scratch, sem
     )
     dma.start()
     dma.wait()
     out = _cas_band(scratch[:], sharpen)
-    offset = pl.multiple_of(i * bh - start, _PAD)  # 0 / 8 / 16
-    out_ref[0] = jax.lax.dynamic_slice_in_dim(out, offset, bh, axis=0)
+    # offset in {0, 8, 16}; Mosaic can't slice values dynamically, so
+    # branch over the three static (sublane-aligned) slices
+    offset = i * bh - start
+
+    def _store(o):
+        @pl.when(offset == o)
+        def _():
+            out_ref[0] = (
+                out[o : o + bh, :].astype(jnp.int32).astype(jnp.uint8)
+            )
+
+    _store(0)
+    _store(_PAD)
+    _store(2 * _PAD)
 
 
 def cas_quantize_pallas(
