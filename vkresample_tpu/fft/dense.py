@@ -363,3 +363,95 @@ def r2c_chain(x: jnp.ndarray, banks: dict, precision) -> jnp.ndarray:
         t2 = jnp.einsum("...rw,wn->...rn", tcorr, banks["beta"], precision=precision)
         U = jnp.concatenate([U, t2], axis=-2)
     return jnp.einsum("jm,...jn->...mn", banks["Ymat"], U, precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# interleaved r2c fast path (integer factors)
+# ---------------------------------------------------------------------------
+#
+# For an integer factor u with every y bin kept, zero-padding interpolation
+# is EXACT at sample positions: out[u*t, u*s] reproduces in[t, s] up to the
+# dropped x-Nyquist bin's (rank-1) contribution.  So the matmuls only need
+# to produce the (u-1)/u non-sample columns and rows:
+#
+#   sample cols:  S = img - ((-1)^s / w) * q,  q = sum_i (-1)^i img[:, i]
+#   other cols:   NS = img @ alpha_ns                     (w -> W - w)
+#   weave U; sample rows: U itself (identity — the relocated y-Nyquist's
+#   imaginary residue vanishes at integer sample rows: sin(pi(t+i)) = 0);
+#   other rows:   O = Ymat_ns @ [U; corrections]          (h -> H - h)
+#   weave rows -> (H, W)
+#
+# u=2 halves both contractions relative to r2c_chain.
+
+
+def r2c_interleaved_supported(plan) -> bool:
+    u = plan.integer_upscale
+    return (
+        plan.r2c
+        and u is not None
+        and u >= 2
+        and plan.w % 2 == 0
+        and plan.kept_lo_y + plan.kept_hi_y == plan.h
+        and plan.kept_lo_x == plan.w // 2
+        and plan.kept_hi_x == 0
+        and plan.W == u * plan.w
+        and plan.H == u * plan.h
+    )
+
+
+def r2c_interleaved_banks(plan, dtype: str) -> dict:
+    u = plan.integer_upscale
+    h, w, H, W = plan.h, plan.w, plan.H, plan.W
+    alpha, beta, Ry, Y1, Y2 = _r2c_chain_banks(
+        h, w, H, W,
+        plan.kept_lo_y, plan.kept_hi_y, plan.kept_lo_x, False, "float64",
+    )
+    # sanity: sample positions must be exact
+    a_s = alpha.reshape(w, w, u)[:, :, 0]
+    alt = ((-1.0) ** np.arange(w))
+    expect = np.eye(w) - np.outer(alt, alt) / w  # identity minus Nyquist
+    assert np.abs(a_s - expect).max() < 1e-9, "x sample-column identity failed"
+    Ymat = np.concatenate([Ry, Y2], axis=0)
+    y_s = Ymat.reshape(-1, h, u)[:, :, 0]
+    ident = np.zeros((Ymat.shape[0], h))
+    ident[:h] = np.eye(h)
+    assert np.abs(y_s - ident).max() < 1e-9, "y sample-row identity failed"
+
+    banks = {
+        "alpha_ns": np.ascontiguousarray(
+            alpha.reshape(w, w, u)[:, :, 1:].reshape(w, w * (u - 1))
+        ).astype(dtype),
+        "Ymat_ns": np.ascontiguousarray(
+            Ymat.reshape(-1, h, u)[:, :, 1:].reshape(-1, h * (u - 1))
+        ).astype(dtype),
+        "alt": alt.astype(dtype),
+    }
+    if Y1.shape[1]:
+        banks["Y1"] = Y1.astype(dtype)
+        banks["beta"] = beta.astype(dtype)
+    return banks
+
+
+def r2c_interleaved(x: jnp.ndarray, banks: dict, u: int, precision) -> jnp.ndarray:
+    """(..., h, w) real -> (..., u*h, u*w) pre-CAS image (CAS units)."""
+    h, w = x.shape[-2], x.shape[-1]
+    alt = banks["alt"]
+    # sample columns: exact copies minus the dropped-Nyquist rank-1 term
+    q = jnp.einsum("...hw,w->...h", x, alt, precision=precision)
+    S = x - (q[..., None] * alt) / w
+    # non-sample columns
+    NS = jnp.einsum("...hw,wn->...hn", x, banks["alpha_ns"], precision=precision)
+    NS = NS.reshape(NS.shape[:-1] + (w, u - 1))
+    U = jnp.concatenate([S[..., None], NS], axis=-1)
+    U = U.reshape(U.shape[:-2] + (u * w,))  # (..., h, W)
+
+    Uaug = U
+    if "Y1" in banks:
+        tcorr = jnp.einsum("...hw,hr->...rw", x, banks["Y1"], precision=precision)
+        t2 = jnp.einsum("...rw,wn->...rn", tcorr, banks["beta"], precision=precision)
+        Uaug = jnp.concatenate([U, t2], axis=-2)
+    # non-sample rows
+    O = jnp.einsum("jm,...jn->...mn", banks["Ymat_ns"], Uaug, precision=precision)
+    O = O.reshape(O.shape[:-2] + (h, u - 1) + O.shape[-1:])
+    out = jnp.concatenate([U[..., :, None, :], O], axis=-2)
+    return out.reshape(out.shape[:-3] + (u * h,) + out.shape[-1:])
