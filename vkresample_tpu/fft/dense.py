@@ -429,7 +429,42 @@ def r2c_interleaved_banks(plan, dtype: str) -> dict:
     if Y1.shape[1]:
         banks["Y1"] = Y1.astype(dtype)
         banks["beta"] = beta.astype(dtype)
+        if u == 2:
+            bsplit = beta.reshape(w, w, u)
+            banks["beta_s"] = np.ascontiguousarray(bsplit[:, :, 0]).astype(dtype)
+            banks["beta_ns"] = np.ascontiguousarray(bsplit[:, :, 1]).astype(dtype)
     return banks
+
+
+def r2c_phases_u2(x: jnp.ndarray, banks: dict, precision):
+    """u=2 fast path in PHASE form: returns (S, NS, OS, ONS), each
+    (..., h, w), where out[2t+p, 2s+r] = [S,NS;OS,ONS][p,r][t,s].
+
+    Keeping the four phases separate lets the fused Pallas output kernel
+    weave + CAS + quantize in one HBM pass instead of materializing the
+    interleaved f32 image twice (x weave + y weave).
+    Requires banks from r2c_interleaved_banks (with beta split by column
+    parity when the y-Nyquist correction is present).
+    """
+    w = x.shape[-1]
+    alt = banks["alt"]
+    q = jnp.einsum("...hw,w->...h", x, alt, precision=precision)
+    S = x - (q[..., None] * alt) / w
+    NS = jnp.einsum("...hw,wn->...hn", x, banks["alpha_ns"], precision=precision)
+    S_aug, NS_aug = S, NS
+    if "Y1" in banks:
+        tcorr = jnp.einsum("...hw,hr->...rw", x, banks["Y1"], precision=precision)
+        t2s = jnp.einsum(
+            "...rw,wn->...rn", tcorr, banks["beta_s"], precision=precision
+        )
+        t2n = jnp.einsum(
+            "...rw,wn->...rn", tcorr, banks["beta_ns"], precision=precision
+        )
+        S_aug = jnp.concatenate([S, t2s], axis=-2)
+        NS_aug = jnp.concatenate([NS, t2n], axis=-2)
+    OS = jnp.einsum("jm,...jn->...mn", banks["Ymat_ns"], S_aug, precision=precision)
+    ONS = jnp.einsum("jm,...jn->...mn", banks["Ymat_ns"], NS_aug, precision=precision)
+    return S, NS, OS, ONS
 
 
 def r2c_interleaved(x: jnp.ndarray, banks: dict, u: int, precision) -> jnp.ndarray:

@@ -108,6 +108,89 @@ def _cas_kernel(v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int
     _store(2 * _PAD)
 
 
+def _phases_kernel(
+    s_hbm, ns_hbm, os_hbm, ons_hbm, out_ref, sc0, sc1, sc2, sc3, sems,
+    *, sharpen: float, bt: int, h: int
+):
+    """u=2 phase-fused output stage: weave 4 phase tiles in VMEM, CAS,
+    quantize, store one uint8 band.  out[2t+p, 2s+r] = phase[p][r][t, s]."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    ts = pl.multiple_of(jnp.clip(i * bt - _PAD, 0, h - (bt + 2 * _PAD)), _PAD)
+    rows = bt + 2 * _PAD
+    copies = []
+    for k, (src, dst) in enumerate(
+        [(s_hbm, sc0), (ns_hbm, sc1), (os_hbm, sc2), (ons_hbm, sc3)]
+    ):
+        dma = pltpu.make_async_copy(
+            src.at[c, pl.ds(ts, rows), :], dst, sems.at[k]
+        )
+        dma.start()
+        copies.append(dma)
+    for dma in copies:
+        dma.wait()
+
+    w = sc0.shape[1]
+    # x weave: (rows, w, 2) -> (rows, 2w) ; y weave: (rows, 2, W) -> (2rows, W)
+    top = jnp.stack([sc0[:], sc1[:]], axis=-1).reshape(rows, 2 * w)
+    bot = jnp.stack([sc2[:], sc3[:]], axis=-1).reshape(rows, 2 * w)
+    band = jnp.stack([top, bot], axis=-2).reshape(2 * rows, 2 * w)
+
+    out = _cas_band(band, sharpen)
+    bh = 2 * bt
+    offset = i * bt - ts  # 0 / 8 / 16 in phase rows -> x2 in out rows
+
+    def _store(o):
+        @pl.when(offset == o)
+        def _():
+            out_ref[0] = (
+                out[2 * o : 2 * o + bh, :].astype(jnp.int32).astype(jnp.uint8)
+            )
+
+    _store(0)
+    _store(_PAD)
+    _store(2 * _PAD)
+
+
+def cas_quantize_phases_u2(
+    S, NS, OS, ONS, sharpen: float, block_rows: int = 64, interpret: bool = False
+):
+    """Fused weave+CAS+quantize for the u=2 phase form: four (C, h, w) f32
+    phase arrays -> (C, 2h, 2w) uint8 in ONE HBM pass (no interleaved f32
+    image is ever materialized)."""
+    C, h, w = S.shape
+    H, W = 2 * h, 2 * w
+    bh = block_rows
+    while H % bh or bh % 2:
+        bh //= 2
+    bt = bh // 2
+    if bt < _PAD or w % 64 or h < bt + 2 * _PAD:
+        # degenerate shapes: weave in XLA + plain kernel/XLA CAS
+        top = jnp.stack([S, NS], -1).reshape(C, h, W)
+        bot = jnp.stack([OS, ONS], -1).reshape(C, h, W)
+        v = jnp.stack([top, bot], -2).reshape(C, H, W)
+        return cas_quantize_pallas(v, sharpen, interpret=interpret)
+
+    kern = functools.partial(_phases_kernel, sharpen=float(sharpen), bt=bt, h=h)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
+        grid=(C, H // bh),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec(
+            (1, bh, W), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bt + 2 * _PAD, w), jnp.float32),
+            pltpu.VMEM((bt + 2 * _PAD, w), jnp.float32),
+            pltpu.VMEM((bt + 2 * _PAD, w), jnp.float32),
+            pltpu.VMEM((bt + 2 * _PAD, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(S, NS, OS, ONS)
+
+
 def cas_quantize_pallas(
     v: jnp.ndarray, sharpen: float, block_rows: int = 64, interpret: bool = False
 ) -> jnp.ndarray:

@@ -87,13 +87,30 @@ def _pipeline(
     cdtype = plan.precision.compute_dtype
     x = cas_ops.normalize_u8(img_u8, cdtype)  # (h, w, C)
     x = jnp.moveaxis(x, -1, 0)  # planar per-channel, like the reference
-    v = _precas(x, plan, engine, banks)
-    if _use_pallas_cas(plan):
-        from ..ops.cas_pallas import cas_quantize_pallas
+    use_pallas = _use_pallas_cas(plan)
+    if (
+        use_pallas
+        and engine is Engine.MXU
+        and banks is not None
+        and "alpha_ns" in banks
+        and plan.r2c
+        and plan.integer_upscale == 2
+    ):
+        # u=2 phase-fused output: weave+CAS+quantize in one HBM pass
+        from ..fft import dense
+        from ..ops.cas_pallas import cas_quantize_phases_u2
 
-        out = cas_quantize_pallas(v, plan.sharpen)
+        prec = plan.precision.matmul_precision
+        S, NS, OS, ONS = dense.r2c_phases_u2(x, banks, prec)
+        out = cas_quantize_phases_u2(S, NS, OS, ONS, plan.sharpen)
     else:
-        out = cas_ops.quantize_u8(cas_ops.cas_sharpen(v, plan.sharpen))
+        v = _precas(x, plan, engine, banks)
+        if use_pallas:
+            from ..ops.cas_pallas import cas_quantize_pallas
+
+            out = cas_quantize_pallas(v, plan.sharpen)
+        else:
+            out = cas_ops.quantize_u8(cas_ops.cas_sharpen(v, plan.sharpen))
     return out if planar_out else jnp.moveaxis(out, 0, -1)
 
 
