@@ -1,0 +1,56 @@
+"""Batched pipeline: vmapped program, dp-mesh sharding on the virtual
+8-device mesh, planar output variant."""
+import jax
+import numpy as np
+import pytest
+
+from conftest import make_test_image
+from vkresample_tpu import Engine, UpscalePlan
+from vkresample_tpu.oracle import numpy_ref as oracle
+from vkresample_tpu.parallel.mesh import data_parallel_mesh, frames_sharding
+from vkresample_tpu.pipeline.batched import build_batched_upscale, upscale_batch
+
+
+def _frames(n, h, w):
+    return np.stack([make_test_image(h, w, 3, seed=60 + i) for i in range(n)])
+
+
+def test_batched_matches_oracle_no_mesh():
+    frames = _frames(3, 32, 64)
+    plan = UpscalePlan(h=32, w=64, upscale=2.0, engine=Engine.MXU)
+    out = np.asarray(upscale_batch(frames, plan))
+    assert out.shape == (3, 64, 128, 3)
+    for i in range(3):
+        want = oracle.upscale_oracle(frames[i], plan)
+        assert np.abs(out[i].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_batched_sharded_over_mesh():
+    n_dev = len(jax.devices())
+    frames = _frames(n_dev * 2, 32, 48)
+    plan = UpscalePlan(h=32, w=48, upscale=2.0, engine=Engine.MXU)
+    mesh = data_parallel_mesh()
+    fn = build_batched_upscale(plan, mesh)
+    out = fn(frames)
+    # output stays sharded over dp
+    assert out.sharding.is_equivalent_to(frames_sharding(mesh), out.ndim)
+    out = np.asarray(out)
+    for i in range(len(frames)):
+        want = oracle.upscale_oracle(frames[i], plan)
+        assert np.abs(out[i].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_batched_planar_output():
+    frames = _frames(2, 32, 64)
+    plan = UpscalePlan(h=32, w=64, upscale=2.0, engine=Engine.MXU)
+    fn = build_batched_upscale(plan, None, planar_out=True)
+    out = np.asarray(fn(frames))
+    assert out.shape == (2, 3, 64, 128)
+    want = oracle.upscale_oracle(frames[0], plan)
+    assert np.abs(out[0].astype(int) - np.moveaxis(want, -1, 0).astype(int)).max() <= 1
+
+
+def test_batched_rejects_bad_input():
+    plan = UpscalePlan(h=8, w=8, upscale=2.0)
+    with pytest.raises(TypeError):
+        upscale_batch(np.zeros((4, 8, 8, 3), np.float32), plan)

@@ -42,6 +42,7 @@ TPU-native extras:
 	-c2c: use the full-complex spectrum path instead of R2C
 	-batch X: frames per device dispatch in batched mode (default: auto)
 	-validate: cross-check device output against the fp64 NumPy oracle
+	-profile DIR: capture a device profiler trace of the timed region
 """
 
 
@@ -143,6 +144,7 @@ def _parse(argv: List[str]):
         "c2c": find_flag(argv, "-c2c"),
         "batch": int(get_flag_value(argv, "-batch") or 0),
         "validate": find_flag(argv, "-validate"),
+        "profile": get_flag_value(argv, "-profile"),
     }
     return cfg, extras
 
@@ -218,7 +220,10 @@ def run_single(cfg, extras) -> int:
     dev = jax.devices()[cfg.device_id]
     fn = build_upscale(plan)
     x = jax.device_put(img, dev)
-    out, ms = time_amortized(fn, (x,), cfg.num_iter)
+    from .utils.profiling import maybe_trace
+
+    with maybe_trace(extras.get("profile")):
+        out, ms = time_amortized(fn, (x,), cfg.num_iter)
     out_np = np.asarray(out)
     print(
         "vkresample-tpu %0.1fx upscale: %dx%d to %dx%d Time: %0.3f ms"

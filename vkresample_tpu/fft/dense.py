@@ -384,109 +384,88 @@ def r2c_chain(x: jnp.ndarray, banks: dict, precision) -> jnp.ndarray:
 # u=2 halves both contractions relative to r2c_chain.
 
 
-def r2c_interleaved_supported(plan) -> bool:
+def r2c_rows_supported(plan) -> bool:
+    """Row-split fast path applies when sample output rows are exact: an
+    integer factor with every y bin kept (always true for integer u on the
+    reference band geometry)."""
     u = plan.integer_upscale
     return (
         plan.r2c
         and u is not None
         and u >= 2
-        and plan.w % 2 == 0
         and plan.kept_lo_y + plan.kept_hi_y == plan.h
-        and plan.kept_lo_x == plan.w // 2
-        and plan.kept_hi_x == 0
-        and plan.W == u * plan.w
         and plan.H == u * plan.h
+        and plan.W == u * plan.w
     )
 
 
-def r2c_interleaved_banks(plan, dtype: str) -> dict:
+def r2c_rows_banks(plan, dtype: str) -> dict:
+    """Banks for the row-split fast path: full x matrix (output columns
+    come out already woven) + y matrix restricted to NON-sample rows.
+    Sample output rows are exact copies of the x-pass output (see
+    r2c_rows_supported conditions)."""
     u = plan.integer_upscale
     h, w, H, W = plan.h, plan.w, plan.H, plan.W
     alpha, beta, Ry, Y1, Y2 = _r2c_chain_banks(
         h, w, H, W,
         plan.kept_lo_y, plan.kept_hi_y, plan.kept_lo_x, False, "float64",
     )
-    # sanity: sample positions must be exact
-    a_s = alpha.reshape(w, w, u)[:, :, 0]
-    alt = ((-1.0) ** np.arange(w))
-    expect = np.eye(w) - np.outer(alt, alt) / w  # identity minus Nyquist
-    assert np.abs(a_s - expect).max() < 1e-9, "x sample-column identity failed"
     Ymat = np.concatenate([Ry, Y2], axis=0)
     y_s = Ymat.reshape(-1, h, u)[:, :, 0]
     ident = np.zeros((Ymat.shape[0], h))
     ident[:h] = np.eye(h)
     assert np.abs(y_s - ident).max() < 1e-9, "y sample-row identity failed"
-
+    # fold the /255 uint8 normalization (VkResample.cpp:1644) into the x
+    # banks and split them into bf16 hi+lo terms: uint8 pixel values are
+    # EXACT in bf16, so the x pass runs as TWO plain-bf16 MXU passes with
+    # f32 accumulation — f32-grade accuracy at 2/3 the cost of bf16_3x.
+    an = alpha / 255.0
+    a_hi = an.astype("bfloat16" if dtype != "float64" else dtype)
+    a_lo = (an - a_hi.astype(np.float64)).astype(
+        "bfloat16" if dtype != "float64" else dtype
+    )
     banks = {
-        "alpha_ns": np.ascontiguousarray(
-            alpha.reshape(w, w, u)[:, :, 1:].reshape(w, w * (u - 1))
-        ).astype(dtype),
+        "alpha_hi": a_hi,
+        "alpha_lo": a_lo,
         "Ymat_ns": np.ascontiguousarray(
             Ymat.reshape(-1, h, u)[:, :, 1:].reshape(-1, h * (u - 1))
         ).astype(dtype),
-        "alt": alt.astype(dtype),
     }
     if Y1.shape[1]:
-        banks["Y1"] = Y1.astype(dtype)
+        banks["Y1n"] = (Y1 / 255.0).astype(dtype)
         banks["beta"] = beta.astype(dtype)
-        if u == 2:
-            bsplit = beta.reshape(w, w, u)
-            banks["beta_s"] = np.ascontiguousarray(bsplit[:, :, 0]).astype(dtype)
-            banks["beta_ns"] = np.ascontiguousarray(bsplit[:, :, 1]).astype(dtype)
     return banks
 
 
-def r2c_phases_u2(x: jnp.ndarray, banks: dict, precision):
-    """u=2 fast path in PHASE form: returns (S, NS, OS, ONS), each
-    (..., h, w), where out[2t+p, 2s+r] = [S,NS;OS,ONS][p,r][t,s].
-
-    Keeping the four phases separate lets the fused Pallas output kernel
-    weave + CAS + quantize in one HBM pass instead of materializing the
-    interleaved f32 image twice (x weave + y weave).
-    Requires banks from r2c_interleaved_banks (with beta split by column
-    parity when the y-Nyquist correction is present).
-    """
-    w = x.shape[-1]
-    alt = banks["alt"]
-    q = jnp.einsum("...hw,w->...h", x, alt, precision=precision)
-    S = x - (q[..., None] * alt) / w
-    NS = jnp.einsum("...hw,wn->...hn", x, banks["alpha_ns"], precision=precision)
-    S_aug, NS_aug = S, NS
-    if "Y1" in banks:
-        tcorr = jnp.einsum("...hw,hr->...rw", x, banks["Y1"], precision=precision)
-        t2s = jnp.einsum(
-            "...rw,wn->...rn", tcorr, banks["beta_s"], precision=precision
-        )
-        t2n = jnp.einsum(
-            "...rw,wn->...rn", tcorr, banks["beta_ns"], precision=precision
-        )
-        S_aug = jnp.concatenate([S, t2s], axis=-2)
-        NS_aug = jnp.concatenate([NS, t2n], axis=-2)
-    OS = jnp.einsum("jm,...jn->...mn", banks["Ymat_ns"], S_aug, precision=precision)
-    ONS = jnp.einsum("jm,...jn->...mn", banks["Ymat_ns"], NS_aug, precision=precision)
-    return S, NS, OS, ONS
-
-
-def r2c_interleaved(x: jnp.ndarray, banks: dict, u: int, precision) -> jnp.ndarray:
-    """(..., h, w) real -> (..., u*h, u*w) pre-CAS image (CAS units)."""
-    h, w = x.shape[-2], x.shape[-1]
-    alt = banks["alt"]
-    # sample columns: exact copies minus the dropped-Nyquist rank-1 term
-    q = jnp.einsum("...hw,w->...h", x, alt, precision=precision)
-    S = x - (q[..., None] * alt) / w
-    # non-sample columns
-    NS = jnp.einsum("...hw,wn->...hn", x, banks["alpha_ns"], precision=precision)
-    NS = NS.reshape(NS.shape[:-1] + (w, u - 1))
-    U = jnp.concatenate([S[..., None], NS], axis=-1)
-    U = U.reshape(U.shape[:-2] + (u * w,))  # (..., h, W)
-
+def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision):
+    """Row-split fast path.  x_raw holds RAW uint8 pixel values 0..255
+    (uint8 or float) — normalization is folded into the banks.  Returns
+    (U, O) where
+    U (..., h, W)          = x-pass output == the SAMPLE output rows, and
+    O (..., h*(u-1), W)    = non-sample rows, O[t*(u-1)+k] = out[u*t+k+1].
+    Weave with weave_rows (XLA) or fuse into the Pallas output kernel."""
+    bank_dt = banks["alpha_hi"].dtype
+    xb = x_raw.astype(bank_dt)
+    acc = jnp.float64 if bank_dt == jnp.float64 else jnp.float32
+    U = jnp.einsum(
+        "...hw,wn->...hn", xb, banks["alpha_hi"], preferred_element_type=acc
+    ) + jnp.einsum(
+        "...hw,wn->...hn", xb, banks["alpha_lo"], preferred_element_type=acc
+    )
     Uaug = U
-    if "Y1" in banks:
-        tcorr = jnp.einsum("...hw,hr->...rw", x, banks["Y1"], precision=precision)
+    if "Y1n" in banks:
+        tcorr = jnp.einsum(
+            "...hw,hr->...rw", x_raw.astype(acc), banks["Y1n"], precision=precision
+        )
         t2 = jnp.einsum("...rw,wn->...rn", tcorr, banks["beta"], precision=precision)
         Uaug = jnp.concatenate([U, t2], axis=-2)
-    # non-sample rows
     O = jnp.einsum("jm,...jn->...mn", banks["Ymat_ns"], Uaug, precision=precision)
-    O = O.reshape(O.shape[:-2] + (h, u - 1) + O.shape[-1:])
-    out = jnp.concatenate([U[..., :, None, :], O], axis=-2)
-    return out.reshape(out.shape[:-3] + (u * h,) + out.shape[-1:])
+    return U, O
+
+
+def weave_rows(U: jnp.ndarray, O: jnp.ndarray, u: int) -> jnp.ndarray:
+    """Interleave sample rows U with non-sample row groups O -> (..., H, W)."""
+    h, W = U.shape[-2], U.shape[-1]
+    O4 = O.reshape(O.shape[:-2] + (h, u - 1, W))
+    out = jnp.concatenate([U[..., :, None, :], O4], axis=-2)
+    return out.reshape(out.shape[:-3] + (u * h, W))

@@ -48,8 +48,8 @@ def make_dense_banks(plan: UpscalePlan, dtype: str = "float32"):
     if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
         return None
     if plan.r2c:
-        if dense.r2c_interleaved_supported(plan):
-            return dense.r2c_interleaved_banks(plan, dtype)
+        if dense.r2c_rows_supported(plan):
+            return dense.r2c_rows_banks(plan, dtype)
         return dense.r2c_chain_banks(plan, dtype)
     return dense.c2c_chain_banks(plan, dtype)
 
@@ -70,10 +70,9 @@ def upscale_precas_mxu(
         if banks is None:
             banks = make_dense_banks(plan, x.dtype.name)
         if plan.r2c:
-            if "alpha_ns" in banks:  # interleaved fast path (integer u)
-                return dense.r2c_interleaved(
-                    x, banks, plan.integer_upscale, prec
-                )
+            if "Ymat_ns" in banks:  # row-split fast path (integer u)
+                U, O = dense.r2c_rows(x, banks, prec)
+                return dense.weave_rows(U, O, plan.integer_upscale)
             return dense.r2c_chain(x, banks, prec)
         return dense.c2c_chain(x, banks, prec)
     return _precas_mixed_radix(x, plan)

@@ -108,43 +108,80 @@ def _cas_kernel(v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int
     _store(2 * _PAD)
 
 
-def _phases_kernel(
-    s_hbm, ns_hbm, os_hbm, ons_hbm, out_ref, sc0, sc1, sc2, sc3, sems,
-    *, sharpen: float, bt: int, h: int
+def _rows_kernel(
+    u_hbm, o_hbm, out_ref, scu, sco, sems, *, sharpen: float, bt: int,
+    h: int, u: int, nb: int
 ):
-    """u=2 phase-fused output stage: weave 4 phase tiles in VMEM, CAS,
-    quantize, store one uint8 band.  out[2t+p, 2s+r] = phase[p][r][t, s]."""
-    c = pl.program_id(0)
-    i = pl.program_id(1)
-    ts = pl.multiple_of(jnp.clip(i * bt - _PAD, 0, h - (bt + 2 * _PAD)), _PAD)
+    """Row-split fused output stage: U holds sample rows (out[u*t]), O the
+    non-sample row groups (out[u*t+k+1] = O[t*(u-1)+k]).  Each grid step
+    DMAs double-buffered U/O tiles, y-weaves in VMEM (sublane interleave),
+    applies CAS and stores one uint8 band."""
+    g = pl.program_id(0)
+    c = g // nb
+    i = g % nb
     rows = bt + 2 * _PAD
-    copies = []
-    for k, (src, dst) in enumerate(
-        [(s_hbm, sc0), (ns_hbm, sc1), (os_hbm, sc2), (ons_hbm, sc3)]
-    ):
-        dma = pltpu.make_async_copy(
-            src.at[c, pl.ds(ts, rows), :], dst, sems.at[k]
-        )
-        dma.start()
-        copies.append(dma)
-    for dma in copies:
-        dma.wait()
 
-    w = sc0.shape[1]
-    # x weave: (rows, w, 2) -> (rows, 2w) ; y weave: (rows, 2, W) -> (2rows, W)
-    top = jnp.stack([sc0[:], sc1[:]], axis=-1).reshape(rows, 2 * w)
-    bot = jnp.stack([sc2[:], sc3[:]], axis=-1).reshape(rows, 2 * w)
-    band = jnp.stack([top, bot], axis=-2).reshape(2 * rows, 2 * w)
+    def start(gg, slot):
+        cc = gg // nb
+        ii = gg % nb
+        ts = pl.multiple_of(
+            jnp.clip(ii * bt - _PAD, 0, h - rows), _PAD
+        )
+        to = pl.multiple_of(ts * (u - 1), _PAD)
+        du = pltpu.make_async_copy(
+            u_hbm.at[cc, pl.ds(ts, rows), :], scu.at[slot], sems.at[slot, 0]
+        )
+        do = pltpu.make_async_copy(
+            o_hbm.at[cc, pl.ds(to, rows * (u - 1)), :],
+            sco.at[slot],
+            sems.at[slot, 1],
+        )
+        du.start()
+        do.start()
+        return du, do
+
+    def waiter(gg, slot):
+        cc = gg // nb
+        ii = gg % nb
+        ts = pl.multiple_of(jnp.clip(ii * bt - _PAD, 0, h - rows), _PAD)
+        to = pl.multiple_of(ts * (u - 1), _PAD)
+        pltpu.make_async_copy(
+            u_hbm.at[cc, pl.ds(ts, rows), :], scu.at[slot], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            o_hbm.at[cc, pl.ds(to, rows * (u - 1)), :],
+            sco.at[slot],
+            sems.at[slot, 1],
+        ).wait()
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        start(g + 1, jax.lax.rem(g + 1, 2))
+
+    waiter(g, slot)
+
+    W = scu.shape[-1]
+    # y-weave: (rows, u, W) -> (rows*u, W)  [sublane interleave]
+    ut = scu[slot]  # (rows, W)
+    ot = sco[slot].reshape(rows, u - 1, W)
+    band = jnp.concatenate([ut[:, None, :], ot], axis=1).reshape(rows * u, W)
 
     out = _cas_band(band, sharpen)
-    bh = 2 * bt
-    offset = i * bt - ts  # 0 / 8 / 16 in phase rows -> x2 in out rows
+    bh = bt * u
+    ts = jnp.clip(i * bt - _PAD, 0, h - rows)
+    offset = i * bt - ts  # 0 / _PAD / 2*_PAD in U-row units
 
     def _store(o):
         @pl.when(offset == o)
         def _():
             out_ref[0] = (
-                out[2 * o : 2 * o + bh, :].astype(jnp.int32).astype(jnp.uint8)
+                out[u * o : u * o + bh, :].astype(jnp.int32).astype(jnp.uint8)
             )
 
     _store(0)
@@ -152,43 +189,46 @@ def _phases_kernel(
     _store(2 * _PAD)
 
 
-def cas_quantize_phases_u2(
-    S, NS, OS, ONS, sharpen: float, block_rows: int = 64, interpret: bool = False
+def cas_quantize_rows_u(
+    U, O, u: int, sharpen: float, block_rows: int = 16, interpret: bool = False
 ):
-    """Fused weave+CAS+quantize for the u=2 phase form: four (C, h, w) f32
-    phase arrays -> (C, 2h, 2w) uint8 in ONE HBM pass (no interleaved f32
-    image is ever materialized)."""
-    C, h, w = S.shape
-    H, W = 2 * h, 2 * w
-    bh = block_rows
-    while H % bh or bh % 2:
-        bh //= 2
-    bt = bh // 2
-    if bt < _PAD or w % 64 or h < bt + 2 * _PAD:
-        # degenerate shapes: weave in XLA + plain kernel/XLA CAS
-        top = jnp.stack([S, NS], -1).reshape(C, h, W)
-        bot = jnp.stack([OS, ONS], -1).reshape(C, h, W)
-        v = jnp.stack([top, bot], -2).reshape(C, H, W)
+    """Fused weave+CAS+quantize for the row-split form: U (C, h, W) sample
+    rows + O (C, h*(u-1), W) non-sample rows -> (C, u*h, W) uint8 in one
+    HBM pass (the interleaved f32 image is never materialized)."""
+    C, h, W = U.shape
+    H = u * h
+    bt = block_rows
+    while h % bt:
+        bt //= 2
+    if bt < _PAD or W % 128 or h < bt + 2 * _PAD:
+        from . import cas as cas_ops
+        from ..fft.dense import weave_rows
+
+        v = weave_rows(U, O, u)
         return cas_quantize_pallas(v, sharpen, interpret=interpret)
 
-    kern = functools.partial(_phases_kernel, sharpen=float(sharpen), bt=bt, h=h)
+    nb = h // bt
+    rows = bt + 2 * _PAD
+    kern = functools.partial(
+        _rows_kernel, sharpen=float(sharpen), bt=bt, h=h, u=u, nb=nb
+    )
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
-        grid=(C, H // bh),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        grid=(C * nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=pl.BlockSpec(
-            (1, bh, W), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+            (1, bt * u, W),
+            lambda g, nb=nb: (g // nb, g % nb, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((bt + 2 * _PAD, w), jnp.float32),
-            pltpu.VMEM((bt + 2 * _PAD, w), jnp.float32),
-            pltpu.VMEM((bt + 2 * _PAD, w), jnp.float32),
-            pltpu.VMEM((bt + 2 * _PAD, w), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, rows, W), jnp.float32),
+            pltpu.VMEM((2, rows * (u - 1), W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(S, NS, OS, ONS)
+    )(U, O)
 
 
 def cas_quantize_pallas(

@@ -92,17 +92,16 @@ def _pipeline(
         use_pallas
         and engine is Engine.MXU
         and banks is not None
-        and "alpha_ns" in banks
+        and "Ymat_ns" in banks
         and plan.r2c
-        and plan.integer_upscale == 2
     ):
-        # u=2 phase-fused output: weave+CAS+quantize in one HBM pass
+        # row-split fused output: y-weave+CAS+quantize in one HBM pass
         from ..fft import dense
-        from ..ops.cas_pallas import cas_quantize_phases_u2
+        from ..ops.cas_pallas import cas_quantize_rows_u
 
         prec = plan.precision.matmul_precision
-        S, NS, OS, ONS = dense.r2c_phases_u2(x, banks, prec)
-        out = cas_quantize_phases_u2(S, NS, OS, ONS, plan.sharpen)
+        U, O = dense.r2c_rows(x, banks, prec)
+        out = cas_quantize_rows_u(U, O, plan.integer_upscale, plan.sharpen)
     else:
         v = _precas(x, plan, engine, banks)
         if use_pallas:
