@@ -71,7 +71,9 @@ def upscale_precas_mxu(
             banks = make_dense_banks(plan, x.dtype.name)
         if plan.r2c:
             if "Ymat_ns" in banks:  # row-split fast path (integer u)
-                U, O = dense.r2c_rows(x, banks, prec)
+                # r2c_rows expects raw 0..255 values (normalization folded
+                # into the banks); x arrives normalized here
+                U, O = dense.r2c_rows(x * 255.0, banks, prec)
                 return dense.weave_rows(U, O, plan.integer_upscale)
             return dense.r2c_chain(x, banks, prec)
         return dense.c2c_chain(x, banks, prec)

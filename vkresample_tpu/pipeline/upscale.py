@@ -85,8 +85,6 @@ def _pipeline(
     constants.
     """
     cdtype = plan.precision.compute_dtype
-    x = cas_ops.normalize_u8(img_u8, cdtype)  # (h, w, C)
-    x = jnp.moveaxis(x, -1, 0)  # planar per-channel, like the reference
     use_pallas = _use_pallas_cas(plan)
     if (
         use_pallas
@@ -95,21 +93,27 @@ def _pipeline(
         and "Ymat_ns" in banks
         and plan.r2c
     ):
-        # row-split fused output: y-weave+CAS+quantize in one HBM pass
+        # row-split fused path: raw uint8 feeds the split-bf16 x matmuls
+        # (normalization folded into the banks); y-weave+CAS+quantize fuse
+        # into one Pallas pass
         from ..fft import dense
         from ..ops.cas_pallas import cas_quantize_rows_u
 
+        x_raw = jnp.moveaxis(img_u8, -1, 0)
         prec = plan.precision.matmul_precision
-        U, O = dense.r2c_rows(x, banks, prec)
+        U, O = dense.r2c_rows(x_raw, banks, prec)
         out = cas_quantize_rows_u(U, O, plan.integer_upscale, plan.sharpen)
-    else:
-        v = _precas(x, plan, engine, banks)
-        if use_pallas:
-            from ..ops.cas_pallas import cas_quantize_pallas
+        return out if planar_out else jnp.moveaxis(out, 0, -1)
 
-            out = cas_quantize_pallas(v, plan.sharpen)
-        else:
-            out = cas_ops.quantize_u8(cas_ops.cas_sharpen(v, plan.sharpen))
+    x = cas_ops.normalize_u8(img_u8, cdtype)  # (h, w, C)
+    x = jnp.moveaxis(x, -1, 0)  # planar per-channel, like the reference
+    v = _precas(x, plan, engine, banks)
+    if use_pallas:
+        from ..ops.cas_pallas import cas_quantize_pallas
+
+        out = cas_quantize_pallas(v, plan.sharpen)
+    else:
+        out = cas_ops.quantize_u8(cas_ops.cas_sharpen(v, plan.sharpen))
     return out if planar_out else jnp.moveaxis(out, 0, -1)
 
 
