@@ -44,3 +44,25 @@ def test_pallas_cas_fallback_degenerate_width():
     v = rng.random((2, 16, 100)).astype(np.float32)
     got = np.asarray(cas_quantize_pallas(jnp.asarray(v), 0.2, interpret=True))
     assert np.abs(got.astype(int) - _want(v, 0.2).astype(int)).max() <= 1
+
+
+def test_rows_fused_kernel_matches_oracle():
+    import jax
+
+    from vkresample_tpu.core.config import Engine
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.fft import dense, mxu_pipeline
+    from vkresample_tpu.ops.cas_pallas import cas_quantize_rows_u
+
+    for u, h, w in [(2, 64, 128), (3, 48, 96)]:
+        plan = UpscalePlan(h=h, w=w, upscale=float(u), engine=Engine.MXU)
+        banks = mxu_pipeline.make_dense_banks(plan)
+        rng = np.random.default_rng(u)
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+        U, O = dense.r2c_rows(x_raw, banks, jax.lax.Precision.HIGHEST)
+        got = np.asarray(
+            cas_quantize_rows_u(U, O, u, 0.2, block_rows=16, interpret=True)
+        )
+        want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, (u, h, w)

@@ -1,0 +1,41 @@
+"""Per-device tuning table.
+
+The reference keys a small tuning table off the GPU vendor ID — coalesced
+memory width, warp size, 4-step swap (VkResample.cpp:1371-1408).  The TPU
+analog keys off the device generation: VMEM-driven kernel band sizes and
+the dense-DFT size cap.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceTuning:
+    cas_block_rows: int = 64  # plain CAS kernel band height
+    rows_block: int = 16  # fused rows kernel band height (pre-weave)
+    dense_max: int = 4096  # largest axis the dense engine builds a matrix for
+
+
+_TABLE = {
+    # device_kind substring -> tuning
+    "v5 lite": DeviceTuning(cas_block_rows=64, rows_block=16, dense_max=4096),
+    "v5p": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=4096),
+    "v4": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=4096),
+    "v6": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=4096),
+}
+
+
+@lru_cache(maxsize=1)
+def current() -> DeviceTuning:
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return DeviceTuning()
+    for key, t in _TABLE.items():
+        if key in kind:
+            return t
+    return DeviceTuning()

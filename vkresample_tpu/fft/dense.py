@@ -447,10 +447,13 @@ def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision):
     bank_dt = banks["alpha_hi"].dtype
     xb = x_raw.astype(bank_dt)
     acc = jnp.float64 if bank_dt == jnp.float64 else jnp.float32
+    # single contraction over the stacked hi|lo banks: one MXU matmul with
+    # internal accumulation (two separate einsums would materialize two
+    # f32 partials and pay an extra full-size add pass)
+    a_cat = jnp.concatenate([banks["alpha_hi"], banks["alpha_lo"]], axis=0)
+    x_cat = jnp.concatenate([xb, xb], axis=-1)
     U = jnp.einsum(
-        "...hw,wn->...hn", xb, banks["alpha_hi"], preferred_element_type=acc
-    ) + jnp.einsum(
-        "...hw,wn->...hn", xb, banks["alpha_lo"], preferred_element_type=acc
+        "...hk,kn->...hn", x_cat, a_cat, preferred_element_type=acc
     )
     Uaug = U
     if "Y1n" in banks:

@@ -190,13 +190,17 @@ def _rows_kernel(
 
 
 def cas_quantize_rows_u(
-    U, O, u: int, sharpen: float, block_rows: int = 16, interpret: bool = False
+    U, O, u: int, sharpen: float, block_rows: int = None, interpret: bool = False
 ):
     """Fused weave+CAS+quantize for the row-split form: U (C, h, W) sample
     rows + O (C, h*(u-1), W) non-sample rows -> (C, u*h, W) uint8 in one
     HBM pass (the interleaved f32 image is never materialized)."""
     C, h, W = U.shape
     H = u * h
+    if block_rows is None:
+        from ..core.tuning import current
+
+        block_rows = current().rows_block
     bt = block_rows
     while h % bt:
         bt //= 2
@@ -232,10 +236,14 @@ def cas_quantize_rows_u(
 
 
 def cas_quantize_pallas(
-    v: jnp.ndarray, sharpen: float, block_rows: int = 64, interpret: bool = False
+    v: jnp.ndarray, sharpen: float, block_rows: int = None, interpret: bool = False
 ) -> jnp.ndarray:
     """(C, H, W) f32 pre-CAS image (already u^2-scaled) -> (C, H, W) uint8."""
     C, H, W = v.shape
+    if block_rows is None:
+        from ..core.tuning import current
+
+        block_rows = current().cas_block_rows
     bh = block_rows
     while H % bh:
         bh //= 2

@@ -93,16 +93,19 @@ def _pipeline(
         and "Ymat_ns" in banks
         and plan.r2c
     ):
-        # row-split fused path: raw uint8 feeds the split-bf16 x matmuls
-        # (normalization folded into the banks); y-weave+CAS+quantize fuse
-        # into one Pallas pass
+        # row-split fast path: raw uint8 feeds the split-bf16 x matmul
+        # (normalization folded into the banks), XLA weaves the sample/
+        # non-sample rows, the Pallas kernel fuses CAS+quantize.
+        # (A fully-fused weave+CAS kernel exists — cas_quantize_rows_u —
+        # but measures slower on v5e; the XLA weave wins.)
         from ..fft import dense
-        from ..ops.cas_pallas import cas_quantize_rows_u
+        from ..ops.cas_pallas import cas_quantize_pallas
 
         x_raw = jnp.moveaxis(img_u8, -1, 0)
         prec = plan.precision.matmul_precision
         U, O = dense.r2c_rows(x_raw, banks, prec)
-        out = cas_quantize_rows_u(U, O, plan.integer_upscale, plan.sharpen)
+        v = dense.weave_rows(U, O, plan.integer_upscale)
+        out = cas_quantize_pallas(v, plan.sharpen)
         return out if planar_out else jnp.moveaxis(out, 0, -1)
 
     x = cas_ops.normalize_u8(img_u8, cdtype)  # (h, w, C)
