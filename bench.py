@@ -42,7 +42,12 @@ def main() -> int:
         engine=Engine.AUTO,
     )
     engine = plan.resolve_engine()
-    pipeline = functools.partial(_pipeline, plan=plan, engine=engine)
+    # planar output: the reference's timed region also ends at planar GPU
+    # buffers — host channel-interleave happens after the fence
+    # (VkResample.cpp:1697-1754); our PNG encoder consumes planar directly
+    pipeline = functools.partial(
+        _pipeline, plan=plan, engine=engine, planar_out=True
+    )
     banks = make_device_banks(plan, engine)
 
     rng = np.random.default_rng(0)

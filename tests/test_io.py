@@ -94,3 +94,10 @@ def test_pool_planar_encode_roundtrip(tmp_path):
         pool.encode_batch_planar(paths, planar)
         back = pool.decode_batch(paths, w, h)
     np.testing.assert_array_equal(back, frames)
+
+
+def test_write_png_planar_single(tmp_path):
+    img = make_test_image(20, 28, 3, seed=77)
+    p = str(tmp_path / "planar.png")
+    png.write_png_planar(p, np.moveaxis(img, -1, 0).copy())
+    np.testing.assert_array_equal(png.read_png(p), img)

@@ -203,7 +203,7 @@ def run_single(cfg, extras) -> int:
     import numpy as np
 
     from .core.config import default_output_name
-    from .io.png import read_png, write_png
+    from .io.png import read_png, write_png_planar
     from .pipeline.timing import time_amortized
     from .pipeline.upscale import build_upscale
     import jax
@@ -218,22 +218,24 @@ def run_single(cfg, extras) -> int:
     print(f"HBM per device: {_hbm_estimate_mb(plan)} MB")
 
     dev = jax.devices()[cfg.device_id]
-    fn = build_upscale(plan)
+    # planar device output (like the reference's planar GPU buffers); the
+    # native PNG encoder interleaves channels during encode
+    fn = build_upscale(plan, planar_out=True)
     x = jax.device_put(img, dev)
     from .utils.profiling import maybe_trace
 
     with maybe_trace(extras.get("profile")):
         out, ms = time_amortized(fn, (x,), cfg.num_iter)
-    out_np = np.asarray(out)
+    out_np = np.asarray(out)  # (3, H, W)
     print(
         "vkresample-tpu %0.1fx upscale: %dx%d to %dx%d Time: %0.3f ms"
         % (cfg.upscale, w, h, plan.W, plan.H, ms)
     )
     rc = 0
     if extras.get("validate"):
-        rc = _validate(img, out_np, plan)
+        rc = _validate(img, np.moveaxis(out_np, 0, -1), plan)
     out_path = cfg.output_path or default_output_name(w, cfg.upscale)
-    write_png(out_path, out_np)
+    write_png_planar(out_path, out_np)
     return rc
 
 

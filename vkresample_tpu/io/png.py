@@ -87,6 +87,16 @@ def _load_native() -> Optional[ctypes.CDLL]:
         lib.vkr_pool_encode_batch_planar.argtypes = (
             lib.vkr_pool_encode_batch.argtypes
         )
+        lib.vkr_png_encode_planar.restype = ctypes.c_int
+        lib.vkr_png_encode_planar.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -121,6 +131,32 @@ def read_png(path: str) -> np.ndarray:
     except (FileNotFoundError, OSError) as e:
         raise FileNotFoundError(f"Image not found: {path}") from e
     return np.asarray(img, np.uint8)
+
+
+def write_png_planar(path: str, img: np.ndarray, compression_level: int = 6) -> None:
+    """Encode PLANAR (3, h, w) uint8 RGB — the device pipeline's native
+    output layout; the native encoder interleaves during row filtering."""
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[0] != 3:
+        raise ValueError(f"expected (3, h, w) uint8, got {img.shape}")
+    lib = _load_native()
+    if lib is not None:
+        _, h, w = img.shape
+        plane = h * w
+        base = img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+        rc = lib.vkr_png_encode_planar(
+            path.encode(),
+            base,
+            ctypes.cast(ctypes.addressof(base.contents) + plane, ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.cast(ctypes.addressof(base.contents) + 2 * plane, ctypes.POINTER(ctypes.c_ubyte)),
+            w,
+            h,
+            compression_level,
+        )
+        if rc != 0:
+            raise OSError(f"PNG encode failed ({rc}): {path}")
+        return
+    write_png(path, np.moveaxis(img, 0, -1), compression_level)
 
 
 def write_png(path: str, img: np.ndarray, compression_level: int = 6) -> None:

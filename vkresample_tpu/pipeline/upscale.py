@@ -137,14 +137,18 @@ def make_device_banks(plan: UpscalePlan, engine: Engine):
 
 
 @functools.lru_cache(maxsize=64)
-def build_upscale(plan: UpscalePlan) -> Callable:
+def build_upscale(plan: UpscalePlan, planar_out: bool = False) -> Callable:
     """Compile-once plan cache: the analog of initializeVulkanFFT being
     called once per (shape, precision, upscale) and reused across frames
     (VkResample.cpp:1506-1508, reuse loop at 1627).  The dense DFT banks
     are materialized on device here (the analog of VkFFT's plan-time LUT
     upload, vkFFT.h:6157-6308) and passed per call."""
     engine = plan.resolve_engine()
-    jitfn = jax.jit(functools.partial(_pipeline, plan=plan, engine=engine))
+    jitfn = jax.jit(
+        functools.partial(
+            _pipeline, plan=plan, engine=engine, planar_out=planar_out
+        )
+    )
 
     if plan.precision is Precision.DOUBLE:
 
