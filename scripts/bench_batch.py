@@ -1,0 +1,52 @@
+"""Batched-mode throughput benchmark (frames/s), single chip.
+
+The reference's batched mode has no published number (README.md:56 gives
+only the command line); this measures our frames/s at several batch sizes
+with the same device-side chained-loop methodology as bench.py.
+"""
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from vkresample_tpu.core.config import Engine, Precision
+from vkresample_tpu.core.plan import UpscalePlan
+from vkresample_tpu.pipeline.bench_util import time_device
+from vkresample_tpu.pipeline.upscale import _pipeline, make_device_banks
+
+
+def main():
+    h, w = 1024, 2048
+    plan = UpscalePlan(
+        h=h, w=w, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    engine = plan.resolve_engine()
+    banks = make_device_banks(plan, engine)
+    single = functools.partial(
+        _pipeline, plan=plan, engine=engine, planar_out=True
+    )
+
+    rng = np.random.default_rng(0)
+    for batch in (1, 2, 4):
+        imgs = rng.integers(0, 256, size=(batch, h, w, 3), dtype=np.uint8)
+        x = jax.device_put(imgs)
+        vfn = jax.vmap(single, in_axes=(0, None))
+
+        def step(xx, bb, _vfn=vfn):
+            # reduce over the batch so the timing probe depends on every
+            # frame (a [0,0,0] probe alone would let XLA drop the rest)
+            return jnp.max(_vfn(xx, bb), axis=0)
+
+        ms = time_device(step, x, aux=banks, k1=3, k2=12)
+        print(
+            f"batch={batch}: {ms:8.3f} ms/step -> {1000.0 * batch / ms:7.1f} frames/s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -66,35 +66,66 @@ def _cas_band(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
     maxlen = 0.5 * (max_cross + max_all)
 
     one = jnp.float32(1.0)
-    lo = minlen / (one - minlen)
-    hi = (one - maxlen) / maxlen
-    sc = jnp.where(lo < hi, lo, hi)
-    sc = jnp.where(jnp.isnan(sc), jnp.float32(0.0), sc)
+    # min(minlen/(1-minlen), (1-maxlen)/maxlen) via select-then-divide:
+    # picks the smaller quotient by cross-multiplication, then does ONE
+    # division.  The selected denominator is provably nonzero (minlen=1
+    # forces the other branch; maxlen=0 likewise), which also removes the
+    # reference formula's inf/NaN corner cases.
+    a, b = minlen, one - minlen
+    cq, d = one - maxlen, maxlen
+    pred = a * d < cq * b
+    sc = jnp.where(pred, a, cq) / jnp.where(pred, b, d)
     sc = -jnp.float32(sharpen) * jnp.sqrt(jnp.maximum(sc, 0.0))
 
     out = (c + sc * (n + s + wpe)) / (one + 4.0 * sc)
     return jnp.clip(out * 255.0, 0.0, 255.0)
 
 
-def _cas_kernel(v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int):
-    c = pl.program_id(0)
-    i = pl.program_id(1)
-    # clamped 8-aligned window [start, start+bh+16): interior blocks carry
-    # an 8-row halo on each side; the first/last block shift the window
-    # inward and the in-band edge-duplicating shifts provide the clamp
-    # semantics (VkResample.cpp:889-892) for the true image border.
-    start = pl.multiple_of(
-        jnp.clip(i * bh - _PAD, 0, H - (bh + 2 * _PAD)), _PAD
-    )
-    dma = pltpu.make_async_copy(
-        v_hbm.at[c, pl.ds(start, bh + 2 * _PAD), :], scratch, sem
-    )
-    dma.start()
-    dma.wait()
-    out = _cas_band(scratch[:], sharpen)
+def _cas_kernel(
+    v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int, nb: int
+):
+    """1-D grid over (C * nb) bands with 2-slot double buffering: block
+    g+1's DMA is in flight while block g computes.
+
+    Windows are clamped 8-aligned [start, start+bh+16): interior blocks
+    carry an 8-row halo on each side; the first/last block shift the
+    window inward and the in-band edge-duplicating shifts provide the
+    clamp semantics (VkResample.cpp:889-892) for the true image border.
+    """
+    g = pl.program_id(0)
+
+    def window(gg):
+        cc = gg // nb
+        ii = gg % nb
+        start = pl.multiple_of(
+            jnp.clip(ii * bh - _PAD, 0, H - (bh + 2 * _PAD)), _PAD
+        )
+        return cc, start
+
+    def dma(gg, slot):
+        cc, start = window(gg)
+        return pltpu.make_async_copy(
+            v_hbm.at[cc, pl.ds(start, bh + 2 * _PAD), :],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+    dma(g, slot).wait()
+    out = _cas_band(scratch[slot], sharpen)
     # offset in {0, 8, 16}; Mosaic can't slice values dynamically, so
     # branch over the three static (sublane-aligned) slices
-    offset = i * bh - start
+    _, start = window(g)
+    offset = (g % nb) * bh - start
 
     def _store(o):
         @pl.when(offset == o)
@@ -252,18 +283,23 @@ def cas_quantize_pallas(
 
         return cas_ops.quantize_u8(cas_ops.cas_sharpen(v, sharpen))
 
-    kern = functools.partial(_cas_kernel, sharpen=float(sharpen), bh=bh, H=H)
+    nb = H // bh
+    kern = functools.partial(
+        _cas_kernel, sharpen=float(sharpen), bh=bh, H=H, nb=nb
+    )
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
-        grid=(C, H // bh),
+        grid=(C * nb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, bh, W), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+            (1, bh, W),
+            lambda g, nb=nb: (g // nb, g % nb, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2 * _PAD, W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, bh + 2 * _PAD, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(v)
