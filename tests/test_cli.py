@@ -127,3 +127,29 @@ def test_validate_flag(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Validation vs fp64 oracle" in out
     assert rc == 0 and "OK" in out
+
+
+def test_batched_resume_skips_existing(tmp_path, capsys):
+    n = 4
+    ifolder = tmp_path / "rin"
+    ofolder = tmp_path / "rout"
+    ifolder.mkdir()
+    ofolder.mkdir()
+    for i in range(n):
+        write_png(str(ifolder / f"{i+1:06d}.png"), make_test_image(16, 32, 3, seed=i))
+    # pre-create outputs 1 and 3
+    marker = make_test_image(32, 64, 3, seed=99)
+    write_png(str(ofolder / "000001.png"), marker)
+    write_png(str(ofolder / "000003.png"), marker)
+    rc = cli.main(
+        ["-ifolder", str(ifolder), "-ofolder", str(ofolder), "-numfiles", str(n),
+         "-u", "2", "-resume"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "skipping 2" in out
+    # pre-existing outputs untouched
+    np.testing.assert_array_equal(read_png(str(ofolder / "000001.png")), marker)
+    # missing ones produced
+    assert read_png(str(ofolder / "000002.png")).shape == (32, 64, 3)
+    assert read_png(str(ofolder / "000004.png")).shape == (32, 64, 3)

@@ -43,6 +43,7 @@ TPU-native extras:
 	-batch X: frames per device dispatch in batched mode (default: auto)
 	-validate: cross-check device output against the fp64 NumPy oracle
 	-profile DIR: capture a device profiler trace of the timed region
+	-resume: batched mode: skip frames whose output file already exists
 """
 
 
@@ -145,6 +146,7 @@ def _parse(argv: List[str]):
         "batch": int(get_flag_value(argv, "-batch") or 0),
         "validate": find_flag(argv, "-validate"),
         "profile": get_flag_value(argv, "-profile"),
+        "resume": find_flag(argv, "-resume"),
     }
     return cfg, extras
 
@@ -247,8 +249,23 @@ def run_batched(cfg, extras) -> int:
     from .io.png import PngPool, read_png
     from .pipeline.batched import build_batched_upscale
 
+    import os as _os
+
     in_paths = frame_paths(cfg.ifolder_prefix, cfg.num_files)
     out_paths = frame_paths(cfg.ofolder_prefix or cfg.ifolder_prefix, cfg.num_files)
+    if extras.get("resume"):
+        # checkpoint/resume by file index (the %06d.png protocol makes the
+        # batch trivially resumable — the reference tracked nothing,
+        # SURVEY §5.4)
+        keep = [i for i, p in enumerate(out_paths) if not _os.path.exists(p)]
+        skipped = cfg.num_files - len(keep)
+        if skipped:
+            print(f"Resume: skipping {skipped} already-upscaled frames")
+        in_paths = [in_paths[i] for i in keep]
+        out_paths = [out_paths[i] for i in keep]
+        if not in_paths:
+            print("Resume: nothing to do")
+            return 0
 
     try:
         first = read_png(in_paths[0])
@@ -265,7 +282,8 @@ def run_batched(cfg, extras) -> int:
         from .parallel.mesh import data_parallel_mesh
 
         mesh = data_parallel_mesh()
-    batch = extras["batch"] or max(n_dev, min(8, cfg.num_files))
+    n_files = len(in_paths)
+    batch = extras["batch"] or max(n_dev, min(8, n_files))
     # round batch to a device multiple for even sharding
     if mesh is not None:
         batch = max(n_dev, (batch // n_dev) * n_dev)
@@ -278,7 +296,7 @@ def run_batched(cfg, extras) -> int:
     with PngPool(cfg.num_threads) as pool:
         idx = 0
         pending = None  # (out_paths_chunk, device_result)
-        while idx < cfg.num_files or pending is not None:
+        while idx < n_files or pending is not None:
             # decode next chunk while the device works on the previous one
             chunk = in_paths[idx : idx + batch]
             next_out = out_paths[idx : idx + batch]
