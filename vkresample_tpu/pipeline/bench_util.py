@@ -31,14 +31,16 @@ def make_looped(pipeline: Callable) -> Callable:
     constant operands (e.g. DFT banks) as jit arguments, not HLO literals."""
 
     def run(x, aux, k):
+        zero_in = (0,) * x.ndim  # rank-generic single-element probe
+
         def body(i, carry):
             # perturb one pixel with the carry so iteration i+1 depends on
             # iteration i's output — forbids hoisting/parallelizing
-            xi = x.at[0, 0, 0].set(carry)
+            xi = x.at[zero_in].set(carry.astype(x.dtype))
             out = pipeline(xi, aux)
-            return out[0, 0, 0]
+            return out[(0,) * out.ndim]
 
-        c = jax.lax.fori_loop(0, k, body, x[0, 0, 0])
+        c = jax.lax.fori_loop(0, k, body, x[zero_in])
         return c.astype(jnp.int32)
 
     return jax.jit(run)
