@@ -223,9 +223,13 @@ def _rows_kernel(
 def cas_quantize_rows_u(
     U, O, u: int, sharpen: float, block_rows: int = None, interpret: bool = False
 ):
-    """Fused weave+CAS+quantize for the row-split form: U (C, h, W) sample
-    rows + O (C, h*(u-1), W) non-sample rows -> (C, u*h, W) uint8 in one
-    HBM pass (the interleaved f32 image is never materialized)."""
+    """Fused weave+CAS+quantize for the row-split form: U (..., h, W)
+    sample rows + O (..., h*(u-1), W) non-sample rows -> (..., u*h, W)
+    uint8 in one HBM pass (the interleaved f32 image is never
+    materialized).  Leading dims fold into the channel grid axis."""
+    lead = U.shape[:-2]
+    U = U.reshape((-1,) + U.shape[-2:])
+    O = O.reshape((-1,) + O.shape[-2:])
     C, h, W = U.shape
     H = u * h
     if block_rows is None:
@@ -240,7 +244,9 @@ def cas_quantize_rows_u(
         from ..fft.dense import weave_rows
 
         v = weave_rows(U, O, u)
-        return cas_quantize_pallas(v, sharpen, interpret=interpret)
+        return cas_quantize_pallas(v, sharpen, interpret=interpret).reshape(
+            lead + (H, W)
+        )
 
     nb = h // bt
     rows = bt + 2 * _PAD
@@ -263,13 +269,19 @@ def cas_quantize_rows_u(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(U, O)
+    )(U, O).reshape(lead + (H, W))
 
 
 def cas_quantize_pallas(
     v: jnp.ndarray, sharpen: float, block_rows: int = None, interpret: bool = False
 ) -> jnp.ndarray:
-    """(C, H, W) f32 pre-CAS image (already u^2-scaled) -> (C, H, W) uint8."""
+    """(..., C, H, W) f32 pre-CAS image (already u^2-scaled) -> uint8.
+
+    Leading batch dims fold into the channel grid axis (Pallas kernels are
+    made batch-polymorphic here rather than via vmap, whose pallas_call
+    batching rule cannot handle ANY-memspace refs)."""
+    lead = v.shape[:-2]
+    v = v.reshape((-1,) + v.shape[-2:])
     C, H, W = v.shape
     if block_rows is None:
         from ..core.tuning import current
@@ -281,7 +293,9 @@ def cas_quantize_pallas(
     if bh < 8 or W % 128 or H < bh + 2 * _PAD:  # degenerate: XLA fallback
         from . import cas as cas_ops
 
-        return cas_ops.quantize_u8(cas_ops.cas_sharpen(v, sharpen))
+        return cas_ops.quantize_u8(cas_ops.cas_sharpen(v, sharpen)).reshape(
+            lead + (H, W)
+        )
 
     nb = H // bh
     kern = functools.partial(
@@ -302,4 +316,4 @@ def cas_quantize_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(v)
+    )(v).reshape(lead + (H, W))

@@ -32,9 +32,10 @@ def build_batched_upscale(
 
     engine = plan.resolve_engine()
     banks = make_device_banks(plan, engine)
-    fn = jax.vmap(
-        functools.partial(_pipeline, plan=plan, engine=engine, planar_out=planar_out),
-        in_axes=(0, None),
+    # _pipeline is batch-polymorphic over leading dims (vmap would hit the
+    # pallas_call batching rule, which can't handle ANY-memspace refs)
+    fn = functools.partial(
+        _pipeline, plan=plan, engine=engine, planar_out=planar_out
     )
     if mesh is None:
         jitfn = jax.jit(fn)

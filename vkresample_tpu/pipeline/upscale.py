@@ -101,15 +101,15 @@ def _pipeline(
         from ..fft import dense
         from ..ops.cas_pallas import cas_quantize_pallas
 
-        x_raw = jnp.moveaxis(img_u8, -1, 0)
+        x_raw = jnp.moveaxis(img_u8, -1, -3)  # (..., C, h, w)
         prec = plan.precision.matmul_precision
         U, O = dense.r2c_rows(x_raw, banks, prec)
         v = dense.weave_rows(U, O, plan.integer_upscale)
         out = cas_quantize_pallas(v, plan.sharpen)
-        return out if planar_out else jnp.moveaxis(out, 0, -1)
+        return out if planar_out else jnp.moveaxis(out, -3, -1)
 
-    x = cas_ops.normalize_u8(img_u8, cdtype)  # (h, w, C)
-    x = jnp.moveaxis(x, -1, 0)  # planar per-channel, like the reference
+    x = cas_ops.normalize_u8(img_u8, cdtype)  # (..., h, w, C)
+    x = jnp.moveaxis(x, -1, -3)  # planar per-channel, like the reference
     v = _precas(x, plan, engine, banks)
     if use_pallas:
         from ..ops.cas_pallas import cas_quantize_pallas
@@ -117,7 +117,7 @@ def _pipeline(
         out = cas_quantize_pallas(v, plan.sharpen)
     else:
         out = cas_ops.quantize_u8(cas_ops.cas_sharpen(v, plan.sharpen))
-    return out if planar_out else jnp.moveaxis(out, 0, -1)
+    return out if planar_out else jnp.moveaxis(out, -3, -1)
 
 
 def make_device_banks(plan: UpscalePlan, engine: Engine):
