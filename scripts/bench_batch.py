@@ -34,12 +34,11 @@ def main():
     for batch in (1, 2, 4):
         imgs = rng.integers(0, 256, size=(batch, h, w, 3), dtype=np.uint8)
         x = jax.device_put(imgs)
-        vfn = jax.vmap(single, in_axes=(0, None))
 
-        def step(xx, bb, _vfn=vfn):
-            # reduce over the batch so the timing probe depends on every
-            # frame (a [0,0,0] probe alone would let XLA drop the rest)
-            return jnp.max(_vfn(xx, bb), axis=0)
+        def step(xx, bb):
+            # _pipeline is batch-polymorphic; reduce over the batch so the
+            # timing probe depends on every frame
+            return jnp.max(single(xx, bb), axis=0)
 
         ms = time_device(step, x, aux=banks, k1=3, k2=12)
         print(
