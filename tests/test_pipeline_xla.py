@@ -74,3 +74,11 @@ def test_xla_7smooth_mixed_radix_sizes():
 def test_rejects_non_uint8():
     with pytest.raises(TypeError):
         upscale(np.zeros((8, 8, 3), np.float32), 2.0)
+
+
+def test_odd_height_u1_matches_oracle():
+    img = make_test_image(33, 48, 3, seed=16)
+    plan = UpscalePlan(h=33, w=48, upscale=1.0, engine=Engine.XLA)
+    got = np.asarray(upscale(img, 1.0, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    assert _maxdiff(got, want) <= 1

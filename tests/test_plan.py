@@ -98,3 +98,11 @@ def test_rejects_odd_height_garbage_read_geometry():
     # start -> the reference would read uninitialized memory; we reject
     with pytest.raises(ValueError, match="unsupported geometry"):
         UpscalePlan(h=1021, w=1024, upscale=2.0)
+
+
+def test_odd_height_identity_upscale_allowed():
+    # u=1 with odd dims: every spectrum row is written by the forward pass
+    # (H == h), so the geometry is valid — the pipeline is CAS-only
+    p = UpscalePlan(h=33, w=48, upscale=1.0)
+    assert (p.H, p.W) == (33, 48)
+    assert p.kept_lo_y + p.kept_hi_y == 33

@@ -108,18 +108,30 @@ class UpscalePlan:
             raise ValueError(f"upscale must be >= 1.0, got {self.upscale}")
         if self.precision not in tuple(Precision):
             raise ValueError(f"bad precision {self.precision}")
-        # The shift pass writes spectrum rows [H - h//2, H) (the relocated
-        # negative-frequency half, VkResample.cpp:521-525); the inverse reads
-        # rows [y_right, H).  If y_right < H - h//2 the reference would read
-        # memory the shift never wrote (uninitialized device memory).  We
-        # reject such geometries instead of silently reading garbage.
+        # The forward FFT writes spectrum rows [0, h) and the shift pass
+        # writes rows [H - h//2, H) (the relocated negative-frequency half,
+        # VkResample.cpp:521-525); the inverse reads rows [y_right, H).
+        # A row in [y_right, H) that falls in neither written range means
+        # the reference would read uninitialized device memory — reject
+        # such geometries instead of silently reading garbage.  (At u=1,
+        # H == h, every row was written by the forward pass, so any odd
+        # height is fine.)
         moved_lo = self.H - self.h // 2
-        if self.y_right < moved_lo:
+        if max(self.y_right, self.h) < moved_lo:
             raise ValueError(
                 f"unsupported geometry: inverse zero band ends at row "
                 f"{self.y_right} but relocated spectrum starts at {moved_lo} "
                 f"(h={self.h}, upscale={self.upscale}; the reference reads "
                 "uninitialized memory here)"
+            )
+        # rows read from identity positions (r < h) must map consistently:
+        # our two-block oracle model needs the kept high rows to come from
+        # the relocated block OR (H == h) the identity block
+        if self.H > self.h and self.y_right < moved_lo:
+            raise ValueError(
+                f"unsupported geometry: kept high rows [{self.y_right}, "
+                f"{moved_lo}) mix unshifted and shifted spectrum "
+                f"(h={self.h}, upscale={self.upscale})"
             )
         if self.y_left > self.h - self.h // 2:
             raise ValueError(
