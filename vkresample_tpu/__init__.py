@@ -16,4 +16,6 @@ __version__ = "0.1.0"
 from .core.config import Engine, Precision, ResampleConfig  # noqa: F401
 from .core.plan import UpscalePlan, output_dims  # noqa: F401
 from .core.smooth import factorize_7smooth, is_7smooth, plan_factors  # noqa: F401
+from .ops.convolve import fft_convolve2d, fft_matrix_convolve2d  # noqa: F401
+from .pipeline.batched import build_batched_upscale, upscale_batch  # noqa: F401
 from .pipeline.upscale import build_upscale, upscale  # noqa: F401

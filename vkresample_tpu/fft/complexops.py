@@ -22,27 +22,12 @@ def cmul(a: CPair, b: CPair) -> CPair:
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def cconj(a: CPair) -> CPair:
-    return a[0], -a[1]
-
-
-def cadd(a: CPair, b: CPair) -> CPair:
-    return a[0] + b[0], a[1] + b[1]
-
-
-def csub(a: CPair, b: CPair) -> CPair:
-    return a[0] - b[0], a[1] - b[1]
-
-
-def cscale(a: CPair, s) -> CPair:
-    return a[0] * s, a[1] * s
-
-
-def to_pair(z: jnp.ndarray) -> CPair:
+def to_pair(z) -> CPair:
+    """numpy/jax complex array -> (re, im) pair."""
     return jnp.real(z), jnp.imag(z)
 
 
-def to_complex(a: CPair) -> jnp.ndarray:
+def to_complex(a: CPair):
     import jax.lax
 
     return jax.lax.complex(a[0], a[1])

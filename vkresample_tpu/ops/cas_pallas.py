@@ -5,12 +5,13 @@ tile), computes the full CAS stencil (VkResample.cpp:887-923) in VMEM, and
 writes uint8 — where the XLA formulation materializes intermediate f32
 stencil operands.  Planar (C, H, W) layout in and out.
 
-Grid: (C, H/BH).  Input stays in HBM (ANY memory space); each grid step
-DMAs its row band into VMEM scratch.  TPU DMA slices must be 8-row
-(sublane) aligned, so the image is pre-padded with 8 edge-replicated rows
-top and bottom and each step copies [i*BH, i*BH + BH + 16) — the one-row
-stencil halo rides inside the aligned window.  Neighbor rows are built as
-full-band shifts so the final output slice [8, 8+BH) stays aligned.
+Inputs stay in HBM (ANY memory space); each grid step DMAs its row band
+into VMEM scratch with 2-slot double buffering.  TPU DMA slices must be
+8-row (sublane) aligned, so windows are clamped-aligned and carry the
+one-row stencil halo inside; neighbor rows are built as full-band shifts
+whose edge duplication realizes the clamp-to-edge semantics at the true
+image border.  Leading batch dims fold into the channel grid axis (vmap's
+pallas_call batching rule can't handle ANY-memspace refs).
 """
 from __future__ import annotations
 
