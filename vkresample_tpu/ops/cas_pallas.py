@@ -22,7 +22,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_PAD = 8  # sublane alignment of DMA slices
+def _pad_for(dtype) -> int:
+    """Sublane alignment of DMA slices: 8 rows for f32, 16 for 16-bit."""
+    return 16 if dtype in (jnp.bfloat16, jnp.float16) else 8
+
+
+_PAD = 8  # f32 sublane alignment (kept for the rows kernel)
 
 
 def _yshift_up(a):
@@ -34,14 +39,14 @@ def _yshift_dn(a):
 
 
 def _cas_band(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
-    """(R, W) f32 -> (R, W) uint8 CAS output; rows [1, R-1) are valid.
+    """(R, W) float -> (R, W) 0..255 f32 CAS output; rows [1, R-1) valid.
 
     Temporary count is kept low (VMEM pressure): x-extremes are folded
     before taking y-shifts, so corner mins/maxes derive from two arrays
     instead of eight.
     """
     W = band.shape[1]
-    ln = jnp.clip(jnp.abs(band), 0.0, 1.0)
+    ln = jnp.clip(jnp.abs(band.astype(jnp.float32)), 0.0, 1.0)
 
     west = jnp.concatenate([ln[:, :1], ln[:, : W - 1]], axis=1)
     east = jnp.concatenate([ln[:, 1:], ln[:, W - 1 :]], axis=1)
@@ -94,19 +99,20 @@ def _cas_kernel(
     clamp semantics (VkResample.cpp:889-892) for the true image border.
     """
     g = pl.program_id(0)
+    pad = _pad_for(scratch.dtype)
 
     def window(gg):
         cc = gg // nb
         ii = gg % nb
         start = pl.multiple_of(
-            jnp.clip(ii * bh - _PAD, 0, H - (bh + 2 * _PAD)), _PAD
+            jnp.clip(ii * bh - pad, 0, H - (bh + 2 * pad)), pad
         )
         return cc, start
 
     def dma(gg, slot):
         cc, start = window(gg)
         return pltpu.make_async_copy(
-            v_hbm.at[cc, pl.ds(start, bh + 2 * _PAD), :],
+            v_hbm.at[cc, pl.ds(start, bh + 2 * pad), :],
             scratch.at[slot],
             sem.at[slot],
         )
@@ -136,8 +142,8 @@ def _cas_kernel(
             )
 
     _store(0)
-    _store(_PAD)
-    _store(2 * _PAD)
+    _store(pad)
+    _store(2 * pad)
 
 
 def _rows_kernel(
@@ -284,6 +290,7 @@ def cas_quantize_pallas(
     lead = v.shape[:-2]
     v = v.reshape((-1,) + v.shape[-2:])
     C, H, W = v.shape
+    pad = _pad_for(v.dtype)
     if block_rows is None:
         from ..core.tuning import current
 
@@ -291,12 +298,12 @@ def cas_quantize_pallas(
     bh = block_rows
     while H % bh:
         bh //= 2
-    if bh < 8 or W % 128 or H < bh + 2 * _PAD:  # degenerate: XLA fallback
+    if bh < pad or W % 128 or H < bh + 2 * pad:  # degenerate: XLA fallback
         from . import cas as cas_ops
 
-        return cas_ops.quantize_u8(cas_ops.cas_sharpen(v, sharpen)).reshape(
-            lead + (H, W)
-        )
+        return cas_ops.quantize_u8(
+            cas_ops.cas_sharpen(v.astype(jnp.float32), sharpen)
+        ).reshape(lead + (H, W))
 
     nb = H // bh
     kern = functools.partial(
@@ -313,7 +320,7 @@ def cas_quantize_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, bh + 2 * _PAD, W), jnp.float32),
+            pltpu.VMEM((2, bh + 2 * pad, W), v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

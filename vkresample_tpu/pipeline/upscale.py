@@ -104,6 +104,19 @@ def _pipeline(
         x_raw = jnp.moveaxis(img_u8, -1, -3)  # (..., C, h, w)
         prec = plan.precision.matmul_precision
         U, O = dense.r2c_rows(x_raw, banks, prec)
+        import os
+
+        if (
+            plan.precision is Precision.HALF
+            and os.environ.get("VKRESAMPLE_HALF_STORAGE") == "bf16"
+        ):
+            # opt-in: store the pre-CAS image in bf16 — halves weave+CAS
+            # HBM traffic (~0.6 ms on v5e) at up to 4 u8 LSB error (bf16
+            # keeps 8 mantissa bits; Mosaic has no f16, which would match
+            # the reference's fp16 memory-only mode at ~1 LSB).  Default
+            # stays f32 storage: accuracy-first.
+            U = U.astype(jnp.bfloat16)
+            O = O.astype(jnp.bfloat16)
         v = dense.weave_rows(U, O, plan.integer_upscale)
         out = cas_quantize_pallas(v, plan.sharpen)
         return out if planar_out else jnp.moveaxis(out, -3, -1)
