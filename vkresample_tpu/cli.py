@@ -151,8 +151,11 @@ def _parse(argv: List[str]):
     return cfg, extras
 
 
-# per-precision uint8 validation tolerance against the fp64 oracle
-_VALIDATE_TOL = {0: 1, 1: 0, 2: 2}
+# per-precision uint8 validation tolerance against the fp64 oracle.
+# DOUBLE allows 1 LSB: TPU f64 matmuls are software-emulated and round
+# differently from the CPU oracle (measured maxdiff 1 on v5e; exact 0 on
+# the CPU backend).
+_VALIDATE_TOL = {0: 1, 1: 1, 2: 2}
 
 
 def _validate(img, out_np, plan) -> int:
