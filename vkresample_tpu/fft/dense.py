@@ -27,8 +27,6 @@ the mode's tolerance.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -24,8 +24,6 @@ with precomputed (Dr+Di) constants.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -34,8 +34,6 @@ before row-pair packing so paired rows cannot contaminate each other.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

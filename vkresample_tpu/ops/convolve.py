@@ -14,7 +14,6 @@ between our forward/inverse transforms.  Circular convolution semantics
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -29,9 +29,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.config import Precision
 from ..core.plan import UpscalePlan
 from ..fft.mixed_radix import fft
 from ..fft.rfft2 import (

@@ -9,7 +9,6 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.config import Engine
 from ..core.plan import UpscalePlan
 from ..parallel import mesh as mesh_lib
 from .upscale import _pipeline

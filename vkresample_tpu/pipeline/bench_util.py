@@ -19,7 +19,7 @@ buffer) and a forced result fetch as the fence.
 from __future__ import annotations
 
 import time
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
