@@ -41,3 +41,25 @@ def test_sp_rejects_fractional():
     plan = UpscalePlan(h=64, w=96, upscale=1.5)
     with pytest.raises(ValueError, match="integer"):
         build_sp_upscale(plan, _mesh(2))
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_sp_dense_matches_single_device(n_shards):
+    from vkresample_tpu.parallel.distributed import build_sp_upscale_dense
+
+    h, w = 64, 64  # W = 128 divides by 8
+    img = make_test_image(h, w, 3, seed=51)
+    plan = UpscalePlan(h=h, w=w, upscale=2.0, engine=Engine.MXU)
+    fn = build_sp_upscale_dense(plan, _mesh(n_shards))
+    got = np.asarray(fn(img))
+    want = np.asarray(upscale(img, 2.0, plan=plan))
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sp_dense_rejects_fractional():
+    from vkresample_tpu.parallel.distributed import build_sp_upscale_dense
+
+    plan = UpscalePlan(h=64, w=64, upscale=1.5)
+    with pytest.raises(ValueError, match="integer"):
+        build_sp_upscale_dense(plan, _mesh(2))

@@ -198,3 +198,159 @@ def build_sp_upscale(plan: UpscalePlan, mesh: Mesh, axis_name: str = "sp") -> Ca
         out_specs=P(axis_name, None, None),
     )
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# dense-engine pencil pipeline (integer factors)
+# ---------------------------------------------------------------------------
+#
+# Layout walk (S = shard count, per-chip shapes), dense row-split engine:
+#   input   (h/S, w, C) u8      rows sharded
+#   x pass  local split-bf16 matmul           -> U (C, h/S, W)
+#   A2A     re-pencil to columns sharded      -> U (C, h, W/S)
+#   y pass  local Ymat_ns matmul (full h)     -> O (C, h*(u-1), W/S)
+#   weave   rows local                        -> v (C, H, W/S)
+#   CAS     with 1-col halo exchange          -> (H, W/S, C) u8, cols sharded
+# The y-Nyquist correction rows need a psum of a tiny (r, w) reduction —
+# the only collective besides the single all-to-all.
+
+
+def _halo_cols(x: jnp.ndarray, axis_name: str):
+    """Exchange one edge column with ring neighbors along `axis_name`,
+    clamping at the global x edges (CAS clamp-to-edge)."""
+    s = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    left = x[..., :, :1]
+    right = x[..., :, -1:]
+    from_prev = jax.lax.ppermute(
+        right, axis_name, [(i, (i + 1) % s) for i in range(s)]
+    )
+    from_next = jax.lax.ppermute(
+        left, axis_name, [(i, (i - 1) % s) for i in range(s)]
+    )
+    before = jnp.where(idx == 0, left, from_prev)
+    after = jnp.where(idx == s - 1, right, from_next)
+    return before, after
+
+
+def _cas_sharded_cols(v: jnp.ndarray, sharpen: float, axis_name: str):
+    """CAS over column-sharded (..., H, cols) with column halos."""
+    before, after = _halo_cols(v, axis_name)
+    vpad = jnp.concatenate([before, v, after], axis=-1)
+    ln = jnp.clip(jnp.abs(vpad), 0.0, 1.0)
+    p = jnp.pad(ln, [(0, 0)] * (ln.ndim - 2) + [(1, 1), (0, 0)], mode="edge")
+    c = p[..., 1:-1, 1:-1]
+    n = p[..., :-2, 1:-1]
+    s_ = p[..., 2:, 1:-1]
+    w_ = p[..., 1:-1, :-2]
+    e = p[..., 1:-1, 2:]
+    nw = p[..., :-2, :-2]
+    ne = p[..., :-2, 2:]
+    sw = p[..., 2:, :-2]
+    se = p[..., 2:, 2:]
+    min_cross = jnp.minimum(n, jnp.minimum(w_, jnp.minimum(c, jnp.minimum(e, s_))))
+    min_all = jnp.minimum(
+        min_cross, jnp.minimum(nw, jnp.minimum(ne, jnp.minimum(sw, se)))
+    )
+    max_cross = jnp.maximum(n, jnp.maximum(w_, jnp.maximum(c, jnp.maximum(e, s_))))
+    max_all = jnp.maximum(
+        max_cross, jnp.maximum(nw, jnp.maximum(ne, jnp.maximum(sw, se)))
+    )
+    minlen = 0.5 * (min_cross + min_all)
+    maxlen = 0.5 * (max_cross + max_all)
+    one = jnp.asarray(1.0, ln.dtype)
+    a, b = minlen, one - minlen
+    cq, d = one - maxlen, maxlen
+    pred = a * d < cq * b
+    sc = jnp.where(pred, a, cq) / jnp.where(pred, b, d)
+    sc = -jnp.asarray(sharpen, ln.dtype) * jnp.sqrt(jnp.maximum(sc, 0.0))
+    return (c + sc * (n + w_ + e + s_)) / (one + 4.0 * sc)
+
+
+def _sp_dense_body(
+    img_block: jnp.ndarray, plan: UpscalePlan, banks: dict, S: int, axis_name: str
+):
+    """shard_map body: (h/S, w, C) uint8 rows-block -> (H, W/S, C) uint8
+    columns-block."""
+    from ..fft import dense
+    from ..ops.cas_pallas import cas_quantize_pallas
+
+    u = plan.integer_upscale
+    h, w, W = plan.h, plan.w, plan.W
+    prec = plan.precision.matmul_precision
+
+    x_raw = jnp.moveaxis(img_block, -1, -3)  # (C, h/S, w)
+    xb = x_raw.astype(banks["alpha_hi"].dtype)
+    x_cat = jnp.concatenate([xb, xb], axis=-1)
+    a_cat = jnp.concatenate([banks["alpha_hi"], banks["alpha_lo"]], axis=0)
+    U = jnp.einsum(
+        "...hk,kn->...hn", x_cat, a_cat, preferred_element_type=jnp.float32
+    )  # (C, h/S, W)
+
+    # re-pencil: rows sharded -> columns sharded
+    U = jax.lax.all_to_all(U, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    # (C, h, W/S)
+
+    Uaug = U
+    if "Y1n" in banks:
+        # the correction contracts over ALL image rows: each shard applies
+        # its own slice of Y1 to its local rows, then a (tiny) psum
+        idx = jax.lax.axis_index(axis_name)
+        rows_loc = h // S
+        y1_loc = jax.lax.dynamic_slice_in_dim(
+            banks["Y1n"], idx * rows_loc, rows_loc, axis=0
+        )
+        t_part = jnp.einsum(
+            "...hw,hr->...rw", x_raw.astype(jnp.float32), y1_loc, precision=prec
+        )
+        tcorr = jax.lax.psum(t_part, axis_name)
+        t2 = jnp.einsum("...rw,wn->...rn", tcorr, banks["beta"], precision=prec)
+        cols = W // S
+        t2_loc = jax.lax.dynamic_slice_in_dim(t2, idx * cols, cols, axis=-1)
+        Uaug = jnp.concatenate([U, t2_loc], axis=-2)
+
+    O = jnp.einsum("jm,...jn->...mn", banks["Ymat_ns"], Uaug, precision=prec)
+    v = dense.weave_rows(U, O, u)  # (C, H, W/S)
+
+    out = _cas_sharded_cols(v, plan.sharpen, axis_name)
+    out = cas_ops.quantize_u8(out)
+    return jnp.moveaxis(out, -3, -1)  # (H, W/S, C)
+
+
+@functools.lru_cache(maxsize=16)
+def build_sp_upscale_dense(
+    plan: UpscalePlan, mesh: Mesh, axis_name: str = "sp"
+) -> Callable:
+    """Dense-engine pencil pipeline: one frame (h, w, C) uint8 rows-sharded
+    in, (H, W, C) uint8 columns-sharded out.  Requires the row-split fast
+    path (integer u >= 2) plus h % S == 0 and W % S == 0."""
+    from ..fft import dense as dense_mod
+    from ..fft.mxu_pipeline import make_dense_banks
+
+    S = mesh.shape[axis_name]
+    if not dense_mod.r2c_rows_supported(plan):
+        raise ValueError(
+            "dense pencil pipeline requires an integer upscale factor >= 2 "
+            "(row-split fast path)"
+        )
+    if plan.h % S or plan.W % S:
+        raise ValueError(
+            f"h={plan.h} and W={plan.W} must divide into {S} shards"
+        )
+    banks = jax.device_put(make_dense_banks(plan))
+
+    def body(img, bb):
+        return _sp_dense_body(img, plan=plan, banks=bb, S=S, axis_name=axis_name)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None), jax.tree.map(lambda _: P(), banks)),
+        out_specs=P(None, axis_name, None),
+    )
+    jitfn = jax.jit(sharded)
+
+    def run(img, _fn=jitfn, _banks=banks):
+        return _fn(img, _banks)
+
+    return run
