@@ -66,3 +66,25 @@ def test_rows_fused_kernel_matches_oracle():
         )
         want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, (u, h, w)
+
+
+def test_parity_fused_kernel_matches_oracle():
+    import jax
+
+    from vkresample_tpu.core.config import Engine
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.fft import dense, mxu_pipeline
+    from vkresample_tpu.ops.cas_pallas import cas_quantize_parity_u2
+
+    h, w = 64, 128
+    plan = UpscalePlan(h=h, w=w, upscale=2.0, engine=Engine.MXU)
+    banks = mxu_pipeline.make_dense_banks(plan)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    U, O = dense.r2c_rows(x_raw, banks, jax.lax.Precision.HIGHEST)
+    got = np.asarray(
+        cas_quantize_parity_u2(U, O, 0.2, block_rows=16, interpret=True)
+    )
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

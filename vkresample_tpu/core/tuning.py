@@ -20,7 +20,7 @@ class DeviceTuning:
 
 _TABLE = {
     # device_kind substring -> tuning
-    "v5 lite": DeviceTuning(cas_block_rows=64, rows_block=16, dense_max=4096),
+    "v5 lite": DeviceTuning(cas_block_rows=128, rows_block=16, dense_max=4096),
     "v5p": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=4096),
     "v4": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=4096),
     "v6": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=4096),

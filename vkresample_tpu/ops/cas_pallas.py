@@ -325,3 +325,185 @@ def cas_quantize_pallas(
         ],
         interpret=interpret,
     )(v).reshape(lead + (H, W))
+
+
+# ---------------------------------------------------------------------------
+# per-parity fused CAS (u=2): no woven f32 image at all
+# ---------------------------------------------------------------------------
+#
+# For u=2 the output rows alternate U (even, = sample rows) and O (odd).
+# CAS evaluates per parity directly on the U/O tiles:
+#   even row 2t:  n = O[t-1] (top clamp -> center), s = O[t]
+#   odd row 2t+1: n = U[t],  s = U[t+1] (bottom clamp -> center)
+# x-neighbors stay within the row; corner extremes are y-shifts of the
+# neighbor tiles' x-extremes (separable clamps, like the reference's
+# independent id_x_m/id_y_m clamping).  Outputs are two uint8 planes that
+# the caller interleaves (u8 traffic only — the f32 weave disappears).
+
+
+def _cas_core(c, n, s, xmin, xmax, wpe, cmin, cmax, sharpen):
+    min_cross = jnp.minimum(jnp.minimum(n, s), jnp.minimum(c, xmin))
+    max_cross = jnp.maximum(jnp.maximum(n, s), jnp.maximum(c, xmax))
+    min_all = jnp.minimum(min_cross, cmin)
+    max_all = jnp.maximum(max_cross, cmax)
+    minlen = 0.5 * (min_cross + min_all)
+    maxlen = 0.5 * (max_cross + max_all)
+    one = jnp.float32(1.0)
+    a, b = minlen, one - minlen
+    cq, d = one - maxlen, maxlen
+    pred = a * d < cq * b
+    sc = jnp.where(pred, a, cq) / jnp.where(pred, b, d)
+    sc = -jnp.float32(sharpen) * jnp.sqrt(jnp.maximum(sc, 0.0))
+    out = (c + sc * (n + s + wpe)) / (one + 4.0 * sc)
+    return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _xstruct(t):
+    """x-clamped west/east and their min/max/sum for one tile."""
+    W = t.shape[1]
+    west = jnp.concatenate([t[:, :1], t[:, : W - 1]], axis=1)
+    east = jnp.concatenate([t[:, 1:], t[:, W - 1 :]], axis=1)
+    return jnp.minimum(west, east), jnp.maximum(west, east), west + east
+
+
+def _parity_kernel(
+    u_hbm, o_hbm, e_ref, d_ref, scu, sco, sems, *, sharpen: float, bt: int,
+    h: int, nb: int
+):
+    g = pl.program_id(0)
+    rows = bt + 2 * _PAD
+
+    def window(gg):
+        cc = gg // nb
+        ii = gg % nb
+        ts = pl.multiple_of(jnp.clip(ii * bt - _PAD, 0, h - rows), _PAD)
+        return cc, ts
+
+    def dmas(gg, slot):
+        cc, ts = window(gg)
+        return (
+            pltpu.make_async_copy(
+                u_hbm.at[cc, pl.ds(ts, rows), :], scu.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                o_hbm.at[cc, pl.ds(ts, rows), :], sco.at[slot], sems.at[slot, 1]
+            ),
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        for dma in dmas(g + 1, jax.lax.rem(g + 1, 2)):
+            dma.start()
+
+    for dma in dmas(g, slot):
+        dma.wait()
+
+    _, ts = window(g)
+    lu = jnp.clip(jnp.abs(scu[slot]), 0.0, 1.0)
+    lo_ = jnp.clip(jnp.abs(sco[slot]), 0.0, 1.0)
+    W = lu.shape[1]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    gtop = (row + ts) == 0  # global image top (even row 0: n clamps to self)
+    gbot = (row + ts) == h - 1  # global bottom (odd row H-1: s clamps to self)
+
+    uxmin, uxmax, uwpe = _xstruct(lu)
+    oxmin, oxmax, owpe = _xstruct(lo_)
+
+    # even parity: center U[t]
+    nE = jnp.where(gtop, lu, _yshift_up(lo_))
+    nE_min = jnp.where(gtop, uxmin, _yshift_up(oxmin))
+    nE_max = jnp.where(gtop, uxmax, _yshift_up(oxmax))
+    even = _cas_core(
+        lu, nE, lo_, uxmin, uxmax, uwpe,
+        jnp.minimum(nE_min, oxmin), jnp.maximum(nE_max, oxmax), sharpen,
+    )
+
+    # odd parity: center O[t]
+    sO = jnp.where(gbot, lo_, _yshift_dn(lu))
+    sO_min = jnp.where(gbot, oxmin, _yshift_dn(uxmin))
+    sO_max = jnp.where(gbot, oxmax, _yshift_dn(uxmax))
+    odd = _cas_core(
+        lo_, lu, sO, oxmin, oxmax, owpe,
+        jnp.minimum(uxmin, sO_min), jnp.maximum(uxmax, sO_max), sharpen,
+    )
+
+    i = g % nb
+    offset = i * bt - jnp.clip(i * bt - _PAD, 0, h - rows)
+
+    def _store(o):
+        @pl.when(offset == o)
+        def _():
+            e_ref[0] = even[o : o + bt, :]
+            d_ref[0] = odd[o : o + bt, :]
+
+    _store(0)
+    _store(_PAD)
+    _store(2 * _PAD)
+
+
+def cas_quantize_parity_u2(
+    U, O, sharpen: float, block_rows: int = None, interpret: bool = False
+):
+    """u=2 per-parity fused CAS: U (..., h, W) sample rows + O (..., h, W)
+    odd rows -> (..., 2h, W) uint8.  The f32 interleaved image is never
+    materialized; only the final uint8 planes are woven (XLA, 1/4 the
+    bytes)."""
+    lead = U.shape[:-2]
+    U = U.reshape((-1,) + U.shape[-2:])
+    O = O.reshape((-1,) + O.shape[-2:])
+    C, h, W = U.shape
+    if block_rows is None:
+        # the parity kernel holds both U and O tiles plus two parities'
+        # temporaries: half the plain kernel's band keeps VMEM in budget
+        block_rows = 32
+    bt = block_rows
+    while h % bt:
+        bt //= 2
+    if bt < _PAD or W % 128 or h < bt + 2 * _PAD or U.dtype != jnp.float32:
+        from ..fft.dense import weave_rows
+
+        v = weave_rows(U, O, 2)
+        return cas_quantize_pallas(v, sharpen, interpret=interpret).reshape(
+            lead + (2 * h, W)
+        )
+
+    nb = h // bt
+    rows = bt + 2 * _PAD
+    kern = functools.partial(
+        _parity_kernel, sharpen=float(sharpen), bt=bt, h=h, nb=nb
+    )
+    E, D = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, h, W), jnp.uint8),
+            jax.ShapeDtypeStruct((C, h, W), jnp.uint8),
+        ),
+        grid=(C * nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=(
+            pl.BlockSpec(
+                (1, bt, W), lambda g, nb=nb: (g // nb, g % nb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bt, W), lambda g, nb=nb: (g // nb, g % nb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, W), jnp.float32),
+            pltpu.VMEM((2, rows, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(U, O)
+    out = jnp.stack([E, D], axis=-2)  # (..., h, 2, W)
+    return out.reshape(lead + (2 * h, W))
