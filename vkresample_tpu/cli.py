@@ -325,6 +325,10 @@ def run_batched(cfg, extras) -> int:
         "Upscaled %d frames %dx%d -> %dx%d in %0.3f s (%0.2f frames/s)"
         % (done, w, h, plan.W, plan.H, dt, done / dt if dt > 0 else 0.0)
     )
+    # completion line with device name (reference: "Thread %d finished.
+    # Device name: %s API:...", VkResample.cpp:1773)
+    kind = getattr(jax.devices()[0], "device_kind", "unknown")
+    print(f"Finished. Device name: {kind} ({n_dev} device(s))")
     return 0
 
 

@@ -42,5 +42,8 @@ def device_list_string() -> str:
     for i, d in enumerate(jax.devices()):
         kind = getattr(d, "device_kind", "unknown")
         platform = getattr(d, "platform", "unknown")
-        lines.append(f"Device id: {i} name: {kind} platform: {platform}")
+        lines.append(
+            f"Device id: {i} name: {kind} platform: {platform} "
+            f"jax:{jax.__version__}"
+        )
     return "\n".join(lines)
