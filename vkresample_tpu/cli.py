@@ -196,9 +196,7 @@ def _make_plan(cfg, extras, h, w):
 def _hbm_estimate_mb(plan) -> int:
     """Printed HBM footprint, mirroring the reference's VRAM line
     (VkResample.cpp:1450: inputBufferSize + 2*bufferSize)."""
-    cs = 8 if plan.precision.name == "DOUBLE" else 8  # complex fp32/f64 pair
-    if plan.precision.name == "DOUBLE":
-        cs = 16
+    cs = 16 if plan.precision.name == "DOUBLE" else 8  # complex element bytes
     small = 3 * (plan.w // 2 + 1) * plan.h * cs
     big = 3 * (plan.W // 2 + 1) * plan.H * cs
     return (small + 2 * big) // 1024 // 1024

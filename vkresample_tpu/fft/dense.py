@@ -202,7 +202,7 @@ def inv_x_c2c(
 # Net cost: TWO large real MXU matmuls for the entire transform chain.
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=8)  # f64 staging matrices are tens of MB per geometry
 def _r2c_chain_banks(
     h: int,
     w: int,
