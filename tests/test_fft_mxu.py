@@ -162,9 +162,9 @@ def test_mxu_fractional_dense(r2c):
 def test_mxu_mode_classification():
     assert Plan(h=64, w=128, upscale=2.0).mxu_mode == "dense"
     # beyond the dense matrix cap the mixed-radix paths take over
-    assert Plan(h=4096, w=4096, upscale=2.0).mxu_mode == "phases"
-    assert Plan(h=4096, w=4096, upscale=1.5).mxu_mode == "big"
-    assert Plan(h=4096, w=4094, upscale=2.0).mxu_mode is None  # 2047=23*89
+    assert Plan(h=8192, w=8192, upscale=2.0).mxu_mode == "phases"
+    assert Plan(h=8192, w=8192, upscale=1.5).mxu_mode == "big"
+    assert Plan(h=8192, w=8188, upscale=2.0).mxu_mode is None  # 2047=23*89
 
 
 @pytest.mark.parametrize("r2c", [True, False])

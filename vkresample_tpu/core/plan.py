@@ -180,7 +180,7 @@ class UpscalePlan:
     def mxu_mode(self) -> Optional[str]:
         """How the MXU tier would execute this plan:
 
-        'dense'  — every axis fits a dense DFT matrix (<= 4096): one MXU
+        'dense'  — every axis fits a dense DFT matrix (<= 8192): one MXU
                    contraction per axis, zero-band relocation folded into
                    rectangular inverse matrices.  Any size, any factor.
         'phases' — larger sizes, integer factor: mixed-radix FFT with the
@@ -192,7 +192,7 @@ class UpscalePlan:
                    requirement of the mixed-radix path mirrors the
                    reference engine, vkFFT.h:4719-4726).
         """
-        if max(self.h, self.w, self.H, self.W) <= 4096:
+        if max(self.h, self.w, self.H, self.W) <= 8192:
             return "dense"
         smooth = (
             is_7smooth(self.h)

@@ -15,15 +15,15 @@ from functools import lru_cache
 class DeviceTuning:
     cas_block_rows: int = 64  # plain CAS kernel band height
     rows_block: int = 16  # fused rows kernel band height (pre-weave)
-    dense_max: int = 4096  # largest axis the dense engine builds a matrix for
+    dense_max: int = 8192  # largest axis the dense engine builds a matrix for
 
 
 _TABLE = {
     # device_kind substring -> tuning
-    "v5 lite": DeviceTuning(cas_block_rows=128, rows_block=16, dense_max=4096),
-    "v5p": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=4096),
-    "v4": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=4096),
-    "v6": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=4096),
+    "v5 lite": DeviceTuning(cas_block_rows=128, rows_block=16, dense_max=8192),
+    "v5p": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=8192),
+    "v4": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=8192),
+    "v6": DeviceTuning(cas_block_rows=128, rows_block=32, dense_max=8192),
 }
 
 

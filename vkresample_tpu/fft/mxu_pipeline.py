@@ -35,8 +35,10 @@ def _assemble_pair(F, plan):
 
 
 # largest axis length the dense engine will build a DFT matrix for; bigger
-# plans fall back to the mixed-radix Cooley-Tukey path
-DENSE_MAX = 4096
+# plans fall back to the mixed-radix Cooley-Tukey path.  8192 covers
+# 4K -> 8K with <=0.5 GB of banks; the mixed-radix path above this size
+# needs memory staging work (see docs/STATUS.md).
+DENSE_MAX = 8192
 
 
 def make_dense_banks(plan: UpscalePlan, dtype: str = "float32"):
