@@ -196,11 +196,16 @@ def irfft2_phases(
             cols.append(_c2r_rows_packed(P, w, keep_nyquist, max_factor))
         rows.append(cols)
 
-    # interleave phases: out[u*ty+ry, u*tx+rx] = rows[ry][rx][ty, tx]
-    ph = jnp.stack([jnp.stack(c, 0) for c in rows], 0)  # (ry, rx, ..., ty, tx)
-    ph = jnp.moveaxis(ph, (0, 1), (-3, -1))  # -> (..., ty, ry, tx, rx)
-    out_shape = ph.shape[:-4] + (u * h, u * w)
-    return ph.reshape(out_shape)
+    # interleave phases via strided scatters: out[u*ty+ry, u*tx+rx] =
+    # rows[ry][rx][ty, tx].  (A stack/moveaxis/reshape formulation creates
+    # intermediates with minor dims of u, which TPU layouts pad to 128
+    # lanes — a 128/u x memory blowup at scale.)
+    batch = rows[0][0].shape[:-2]
+    out = jnp.zeros(batch + (u * h, u * w), rows[0][0].dtype)
+    for ry in range(u):
+        for rx in range(u):
+            out = out.at[..., ry::u, rx::u].set(rows[ry][rx])
+    return out
 
 
 def irfft2_big(F: CPair, H: int, W: int, max_factor: int = 128) -> jnp.ndarray:
@@ -248,7 +253,10 @@ def ifft2_phases_c2c(
         rows.append(cols)
     outs = []
     for comp in (0, 1):
-        ph = jnp.stack([jnp.stack([c[comp] for c in row], 0) for row in rows], 0)
-        ph = jnp.moveaxis(ph, (0, 1), (-3, -1))
-        outs.append(ph.reshape(ph.shape[:-4] + (u * h, u * w)))
+        batch = rows[0][0][comp].shape[:-2]
+        out = jnp.zeros(batch + (u * h, u * w), rows[0][0][comp].dtype)
+        for ry in range(u):
+            for rx in range(u):
+                out = out.at[..., ry::u, rx::u].set(rows[ry][rx][comp])
+        outs.append(out)
     return outs[0], outs[1]

@@ -143,14 +143,18 @@ def _sp_body(img_block: jnp.ndarray, plan: UpscalePlan, S: int, axis_name: str):
         for rx in range(u):
             Pp = _mul_row_twiddle((Br, Bi), _phase_twiddle_x_r2c(w, u, rx, kx, dt), axis=-1)
             cols.append(_c2r_rows_packed(Pp, w, keep_nyquist, 128))
-        # interleave x phases: (rx, C, h/S, w) -> (C, h/S, w, rx) -> (C, h/S, W)
-        xi = jnp.stack(cols, 0)
-        xi = jnp.moveaxis(xi, 0, -1)
-        out_rows.append(xi.reshape(xi.shape[:-2] + (u * w,)))
-    # interleave y phases: (ry, C, h/S, W) -> (C, h/S, ry, W) -> (C, uh/S, W)
-    yi = jnp.stack(out_rows, 0)
-    yi = jnp.moveaxis(yi, 0, -2)
-    v = yi.reshape(yi.shape[:-3] + (u * x.shape[-2], u * w))
+        # interleave x phases with strided scatters (minor-dim-u stacks
+        # get 128-lane padded on TPU — avoid)
+        xi = jnp.zeros(cols[0].shape[:-1] + (u * w,), cols[0].dtype)
+        for rx in range(u):
+            xi = xi.at[..., rx::u].set(cols[rx])
+        out_rows.append(xi)
+    # interleave y phases (sublane stride)
+    v = jnp.zeros(
+        out_rows[0].shape[:-2] + (u * x.shape[-2], u * w), out_rows[0].dtype
+    )
+    for ry in range(u):
+        v = v.at[..., ry::u, :].set(out_rows[ry])
 
     out = _cas_sharded(v, plan.sharpen, axis_name)
     out = cas_ops.quantize_u8(out)
