@@ -185,3 +185,13 @@ def test_mixed_radix_paths_still_route(monkeypatch, u, r2c):
     got = np.asarray(jnp.moveaxis(cas_ops.quantize_u8(out), 0, -1))
     want = oracle.upscale_oracle(img, plan)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_mxu_dense_odd_dims_identity():
+    # odd dims at u=1 (identity + CAS): dense engine keep-Nyquist path
+    img = make_test_image(33, 49, 3, seed=26)
+    plan = Plan(h=33, w=49, upscale=1.0, engine=Engine.MXU)
+    assert plan.mxu_mode == "dense"
+    got = np.asarray(upscale(img, 1.0, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
