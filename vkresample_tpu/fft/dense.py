@@ -99,8 +99,11 @@ def _inv_x_r2c_bank(
     keep = (np.arange(K) < kept_lo).astype(np.float64)[:, None]
     bmask = keep.copy()
     if keep_nyquist and K > w // 2:
-        c[w // 2, 0] = 1.0
-        keep[w // 2, 0] = 1.0  # A keeps Re(Nyquist); B stays 0 (Im dropped)
+        keep[w // 2, 0] = 1.0
+        if w % 2 == 0:
+            c[w // 2, 0] = 1.0  # true Nyquist: Re kept once, Im dropped
+        else:
+            bmask[w // 2, 0] = 1.0  # odd w: regular paired bin (c=2, Im kept)
     A = (np.cos(ang) * c * keep / w).astype(dtype)
     B = (-np.sin(ang) * c * bmask / w).astype(dtype)
     return A, B
@@ -228,8 +231,11 @@ def _r2c_chain_banks(
     keep = (np.arange(K) < kl_x).astype(np.float64)[:, None]
     bmask = keep.copy()
     if keep_nyq and K > w // 2:
-        c[w // 2, 0] = 1.0
         keep[w // 2, 0] = 1.0
+        if w % 2 == 0:
+            c[w // 2, 0] = 1.0  # true Nyquist: Re kept once, Im dropped
+        else:
+            bmask[w // 2, 0] = 1.0  # odd w: regular paired bin (c=2, Im kept)
     A = np.cos(ang2) * c * keep / w
     B = -np.sin(ang2) * c * bmask / w
     alpha = Cx @ A + Sx @ B  # (w, W)
