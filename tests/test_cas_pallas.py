@@ -88,3 +88,14 @@ def test_parity_fused_kernel_matches_oracle():
     )
     want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_blocked_cas_matches_oracle():
+    from vkresample_tpu.ops.cas_pallas import cas_quantize_blocked
+
+    rng = np.random.default_rng(11)
+    v = rng.random((2, 48, 256)).astype(np.float32) * 1.2 - 0.05
+    got = np.asarray(
+        cas_quantize_blocked(jnp.asarray(v), 0.2, block_rows=16, interpret=True)
+    )
+    assert np.abs(got.astype(int) - _want(v, 0.2).astype(int)).max() <= 1
