@@ -99,3 +99,14 @@ def test_blocked_cas_matches_oracle():
         cas_quantize_blocked(jnp.asarray(v), 0.2, block_rows=16, interpret=True)
     )
     assert np.abs(got.astype(int) - _want(v, 0.2).astype(int)).max() <= 1
+
+
+def test_mono_cas_matches_oracle():
+    from vkresample_tpu.ops.cas_pallas import cas_quantize_mono
+
+    rng = np.random.default_rng(12)
+    v = rng.random((2, 128, 256)).astype(np.float32) * 1.2 - 0.05
+    got = np.asarray(
+        cas_quantize_mono(jnp.asarray(v), 0.2, block_rows=32, interpret=True)
+    )
+    assert np.abs(got.astype(int) - _want(v, 0.2).astype(int)).max() <= 1

@@ -12,6 +12,15 @@ one-row stencil halo inside; neighbor rows are built as full-band shifts
 whose edge duplication realizes the clamp-to-edge semantics at the true
 image border.  Leading batch dims fold into the channel grid axis (vmap's
 pallas_call batching rule can't handle ANY-memspace refs).
+
+Variant inventory (all oracle-tested; same-process A/B on v5e is a
+statistical wash between them — the cost is intrinsic DMA/VMEM behavior,
+not kernel structure):
+  cas_quantize_pallas   — manual-DMA grid kernel, double-buffered (DEFAULT)
+  cas_quantize_blocked  — Mosaic-managed block pipeline, XLA halo rows
+  cas_quantize_mono     — single invocation, in-kernel band loop
+  cas_quantize_rows_u   — consumes U/O row-split form, in-kernel y-weave
+  cas_quantize_parity_u2— per-parity evaluation, no woven f32 image
 """
 from __future__ import annotations
 
@@ -617,3 +626,116 @@ def cas_quantize_blocked(
         ),
         interpret=interpret,
     )(v, top, bot).reshape(lead + (H, W))
+
+
+# ---------------------------------------------------------------------------
+# mono-kernel CAS: ONE invocation, in-kernel band loop
+# ---------------------------------------------------------------------------
+#
+# Per-grid-step sequencing costs ~10 us on this toolchain (~0.65 ms at the
+# flagship size).  This variant runs the whole image in a single kernel
+# invocation: a fori_loop drives double-buffered HBM->VMEM input DMAs,
+# the CAS band compute, and double-buffered VMEM->HBM uint8 output DMAs.
+
+
+def _cas_mono_kernel(
+    v_hbm, out_hbm, scin, scout, sem_in, sem_out,
+    *, sharpen: float, bh: int, H: int, nb: int, total: int
+):
+    rows = bh + 2 * _PAD
+
+    def window(g):
+        c = g // nb
+        i = g % nb
+        ts = pl.multiple_of(jnp.clip(i * bh - _PAD, 0, H - rows), _PAD)
+        return c, i, ts
+
+    def in_dma(g, slot):
+        c, _, ts = window(g)
+        return pltpu.make_async_copy(
+            v_hbm.at[c, pl.ds(ts, rows), :], scin.at[slot], sem_in.at[slot]
+        )
+
+    def out_dma(g, slot):
+        c, i, _ = window(g)
+        return pltpu.make_async_copy(
+            scout.at[slot],
+            out_hbm.at[c, pl.ds(i * bh, bh), :],
+            sem_out.at[slot],
+        )
+
+    in_dma(0, 0).start()
+
+    def body(g, carry):
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g + 1 < total)
+        def _():
+            in_dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+        in_dma(g, slot).wait()
+        out = _cas_band(scin[slot], sharpen)
+
+        # the slot's previous output DMA must land before overwriting
+        @pl.when(g >= 2)
+        def _():
+            out_dma(g - 2, slot).wait()
+
+        _, i, ts = window(g)
+        offset = i * bh - ts
+        for sl in (0, 1):
+            for off in (0, _PAD, 2 * _PAD):
+                @pl.when(jnp.logical_and(slot == sl, offset == off))
+                def _(sl=sl, off=off):
+                    scout[sl] = (
+                        out[off : off + bh, :]
+                        .astype(jnp.int32)
+                        .astype(jnp.uint8)
+                    )
+
+        out_dma(g, slot).start()
+        return carry
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+    @pl.when(total >= 2)
+    def _():
+        out_dma(total - 2, jax.lax.rem(total - 2, 2)).wait()
+
+    out_dma(total - 1, jax.lax.rem(total - 1, 2)).wait()
+
+
+def cas_quantize_mono(
+    v: jnp.ndarray, sharpen: float, block_rows: int = 128, interpret: bool = False
+) -> jnp.ndarray:
+    """(..., C, H, W) f32 pre-CAS -> uint8 in ONE kernel invocation."""
+    lead = v.shape[:-2]
+    v = v.reshape((-1,) + v.shape[-2:])
+    C, H, W = v.shape
+    bh = block_rows
+    while H % bh:
+        bh //= 2
+    if bh < 32 or W % 128 or H < bh + 2 * _PAD:  # u8 out DMA needs 32-align
+        return cas_quantize_pallas(v, sharpen, interpret=interpret).reshape(
+            lead + (H, W)
+        )
+    nb = H // bh
+    total = C * nb
+    rows = bh + 2 * _PAD
+    kern = functools.partial(
+        _cas_mono_kernel, sharpen=float(sharpen), bh=bh, H=H, nb=nb, total=total
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, W), jnp.float32),
+            pltpu.VMEM((2, bh, W), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(v).reshape(lead + (H, W))
