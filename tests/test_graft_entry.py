@@ -21,3 +21,31 @@ def test_entry_jits_and_runs():
 
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(len(jax.devices()))
+
+
+def test_dryrun_multichip_fresh_subprocess():
+    """Mimic the driver: run dryrun_multichip(8) in a fresh process WITHOUT
+    conftest's CPU env — dryrun must self-provision the virtual mesh
+    (round-1 regression: it asserted on device count instead, rc=1)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    code = (
+        "from __graft_entry__ import dryrun_multichip; "
+        "dryrun_multichip(8); print('DRYRUN_OK')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+    assert "DRYRUN_OK" in r.stdout
