@@ -110,3 +110,31 @@ def test_mono_cas_matches_oracle():
         cas_quantize_mono(jnp.asarray(v), 0.2, block_rows=32, interpret=True)
     )
     assert np.abs(got.astype(int) - _want(v, 0.2).astype(int)).max() <= 1
+
+
+def test_fit_block_alignment():
+    from vkresample_tpu.ops.cas_pallas import _fit_block
+
+    assert _fit_block(64, 2048, 8) == 64
+    assert _fit_block(48, 64, 8) == 32      # rounds to aligned divisor
+    assert _fit_block(12, 36, 8) == 0       # no aligned divisor -> fallback
+    assert _fit_block(12, 48, 8) == 8
+    assert _fit_block(130, 2048, 32) == 128
+
+
+def test_unaligned_block_rows_still_correct():
+    """Caller-passed block_rows that is not sublane-aligned must not produce
+    a misaligned DMA — it should be re-fit or fall back (round-1 advisory)."""
+    from vkresample_tpu.ops.cas_pallas import cas_quantize_pallas
+
+    rng = np.random.default_rng(13)
+    v = rng.random((2, 36, 256)).astype(np.float32) * 1.2 - 0.05
+    got = np.asarray(
+        cas_quantize_pallas(jnp.asarray(v), 0.2, block_rows=12, interpret=True)
+    )
+    assert np.abs(got.astype(int) - _want(v, 0.2).astype(int)).max() <= 1
+    v2 = rng.random((2, 64, 256)).astype(np.float32) * 1.2 - 0.05
+    got2 = np.asarray(
+        cas_quantize_pallas(jnp.asarray(v2), 0.2, block_rows=48, interpret=True)
+    )
+    assert np.abs(got2.astype(int) - _want(v2, 0.2).astype(int)).max() <= 1

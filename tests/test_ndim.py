@@ -40,6 +40,23 @@ def test_rfftn_irfftn_roundtrip_3d():
     assert np.max(np.abs(back - x)) < 1e-5
 
 
+def test_rfftn_irfftn_roundtrip_odd_last_axis():
+    """Odd w has no Nyquist bin — every shape-parity combination of the
+    penultimate dim must round-trip (round-1 bug: (4,8,15) raised, (4,7,15)
+    silently returned width 14)."""
+    rng = np.random.default_rng(5)
+    for shape in [(4, 8, 15), (4, 7, 15), (6, 9), (2, 5, 8, 15)]:
+        x = rng.random(shape).astype(np.float32)
+        axes = tuple(range(-min(3, x.ndim), 0))
+        F = rfftn(jnp.asarray(x), axes=axes)
+        want = np.fft.rfftn(x, axes=axes)
+        got = _np(F)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5, shape
+        back = np.asarray(irfftn(F, s=x.shape, axes=axes))
+        assert back.shape == x.shape, (shape, back.shape)
+        assert np.max(np.abs(back - x)) < 1e-5, shape
+
+
 def test_fft1d_axis0():
     rng = np.random.default_rng(3)
     x = rng.normal(size=(24, 5)) + 1j * rng.normal(size=(24, 5))

@@ -82,19 +82,24 @@ def irfftn(
 
     Xr, Xi = fftn(X, axes=axes[:-1], inverse=True, max_factor=max_factor)
     w = s[-1]
-    if Xr.shape[-2] % 2 == 0:
+    if w % 2 == 0 and Xr.shape[-2] % 2 == 0:
+        # fast path: row-pair packing (needs Nyquist bin + even row count)
         return _c2r_rows_packed((Xr, Xi), w, keep_nyquist=True, max_factor=max_factor)
-    # odd penultimate dim: per-row Hermitian extension + full complex ifft
-    body_r, body_i = Xr[..., : w // 2], Xi[..., : w // 2]
-    nyq = Xr[..., w // 2 : w // 2 + 1]
-    Er = jnp.concatenate([body_r, nyq, jnp.flip(body_r[..., 1:], -1)], -1)
-    Ei = jnp.concatenate(
-        [
-            body_i.at[..., 0].set(0.0),
-            jnp.zeros_like(nyq),
-            -jnp.flip(body_i.at[..., 0].set(0.0)[..., 1:], -1),
-        ],
-        -1,
-    )
+    # general path: per-row Hermitian extension + full complex ifft.
+    # Half spectrum holds w//2+1 bins either way; for even w the last bin
+    # is the (real) Nyquist, for odd w it is a regular paired bin that
+    # mirrors like the rest — odd w has no Nyquist frequency.
+    nb = w // 2 + 1
+    body_r = Xr[..., :nb]
+    body_i = Xi[..., :nb].at[..., 0].set(0.0)
+    if w % 2 == 0:
+        body_i = body_i.at[..., -1].set(0.0)
+        mir_r = jnp.flip(body_r[..., 1:-1], -1)
+        mir_i = -jnp.flip(body_i[..., 1:-1], -1)
+    else:
+        mir_r = jnp.flip(body_r[..., 1:], -1)
+        mir_i = -jnp.flip(body_i[..., 1:], -1)
+    Er = jnp.concatenate([body_r, mir_r], -1)
+    Ei = jnp.concatenate([body_i, mir_i], -1)
     yr, _ = fft((Er, Ei), axis=-1, inverse=True, normalize=True, max_factor=max_factor)
     return yr

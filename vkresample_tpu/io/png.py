@@ -31,7 +31,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.abspath(os.path.join(_NATIVE_DIR, "pngio.cpp"))
+        stale = os.path.exists(src) and (
+            not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if stale:
+            # Always (re)build from source — a stale binary silently
+            # shadowing pngio.cpp edits cost a round-1 advisory finding.
             try:
                 subprocess.run(
                     ["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -40,8 +47,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
                     timeout=120,
                 )
             except Exception:
-                _lib_failed = True
-                return None
+                if not os.path.exists(_LIB_PATH):
+                    _lib_failed = True
+                    return None
+        elif not os.path.exists(_LIB_PATH):
+            _lib_failed = True
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -55,8 +55,9 @@ unsigned char* vkr_png_decode(const char* path, int* width, int* height) {
     return nullptr;
   }
 
-  unsigned char* out = nullptr;
-  std::vector<png_bytep> rows;
+  // volatile: assigned between setjmp and longjmp, read in the handler —
+  // without it the handler may see a stale value (UB) and leak/free garbage
+  unsigned char* volatile out = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     free(out);
     png_destroy_read_struct(&png, &info, nullptr);
@@ -83,14 +84,15 @@ unsigned char* vkr_png_decode(const char* path, int* width, int* height) {
   // strip alpha down to RGB (req_comp=3 semantics)
   if (color & PNG_COLOR_MASK_ALPHA || png_get_valid(png, info, PNG_INFO_tRNS))
     png_set_strip_alpha(png);
+  const int passes = png_set_interlace_handling(png);
   png_read_update_info(png, info);
 
   const size_t stride = (size_t)w * 3;
   out = (unsigned char*)malloc(stride * h);
   if (!out) longjmp(png_jmpbuf(png), 1);
-  rows.resize(h);
-  for (png_uint_32 y = 0; y < h; y++) rows[y] = out + y * stride;
-  png_read_image(png, rows.data());
+  for (int p = 0; p < passes; p++)
+    for (png_uint_32 y = 0; y < h; y++)
+      png_read_row(png, out + y * stride, nullptr);
   png_read_end(png, nullptr);
 
   png_destroy_read_struct(&png, &info, nullptr);

@@ -39,6 +39,17 @@ def _pad_for(dtype) -> int:
 _PAD = 8  # f32 sublane alignment (kept for the rows kernel)
 
 
+def _fit_block(block_rows: int, h: int, align: int) -> int:
+    """Largest multiple of `align` that is <= block_rows and divides h
+    (0 if none).  DMA slice starts are declared `pl.multiple_of(align)`,
+    so an unaligned caller-passed block size would make that hint a lie
+    (misaligned DMA on real TPU)."""
+    bt = int(block_rows) - int(block_rows) % align
+    while bt >= align and h % bt:
+        bt -= align
+    return max(bt, 0)
+
+
 def _yshift_up(a):
     return jnp.concatenate([a[:1, :], a[:-1, :]], axis=0)
 
@@ -252,9 +263,7 @@ def cas_quantize_rows_u(
         from ..core.tuning import current
 
         block_rows = current().rows_block
-    bt = block_rows
-    while h % bt:
-        bt //= 2
+    bt = _fit_block(block_rows, h, _PAD)
     if bt < _PAD or W % 128 or h < bt + 2 * _PAD:
         from . import cas as cas_ops
         from ..fft.dense import weave_rows
@@ -273,7 +282,7 @@ def cas_quantize_rows_u(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
         grid=(C * nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(
             (1, bt * u, W),
             lambda g, nb=nb: (g // nb, g % nb, 0),
@@ -304,9 +313,7 @@ def cas_quantize_pallas(
         from ..core.tuning import current
 
         block_rows = current().cas_block_rows
-    bh = block_rows
-    while H % bh:
-        bh //= 2
+    bh = _fit_block(block_rows, H, pad)
     if bh < pad or W % 128 or H < bh + 2 * pad:  # degenerate: XLA fallback
         from . import cas as cas_ops
 
@@ -322,7 +329,7 @@ def cas_quantize_pallas(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
         grid=(C * nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, bh, W),
             lambda g, nb=nb: (g // nb, g % nb, 0),
@@ -473,9 +480,7 @@ def cas_quantize_parity_u2(
         # the parity kernel holds both U and O tiles plus two parities'
         # temporaries: half the plain kernel's band keeps VMEM in budget
         block_rows = 32
-    bt = block_rows
-    while h % bt:
-        bt //= 2
+    bt = _fit_block(block_rows, h, _PAD)
     if bt < _PAD or W % 128 or h < bt + 2 * _PAD or U.dtype != jnp.float32:
         from ..fft.dense import weave_rows
 
@@ -496,7 +501,7 @@ def cas_quantize_parity_u2(
             jax.ShapeDtypeStruct((C, h, W), jnp.uint8),
         ),
         grid=(C * nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(
             pl.BlockSpec(
                 (1, bt, W), lambda g, nb=nb: (g // nb, g % nb, 0),
@@ -587,9 +592,7 @@ def cas_quantize_blocked(
     lead = v.shape[:-2]
     v = v.reshape((-1,) + v.shape[-2:])
     C, H, W = v.shape
-    bh = block_rows
-    while H % bh:
-        bh //= 2
+    bh = _fit_block(block_rows, H, 8)
     if bh < 8 or W % 128:
         from . import cas as cas_ops
 
@@ -712,9 +715,7 @@ def cas_quantize_mono(
     lead = v.shape[:-2]
     v = v.reshape((-1,) + v.shape[-2:])
     C, H, W = v.shape
-    bh = block_rows
-    while H % bh:
-        bh //= 2
+    bh = _fit_block(block_rows, H, 32)
     if bh < 32 or W % 128 or H < bh + 2 * _PAD:  # u8 out DMA needs 32-align
         return cas_quantize_pallas(v, sharpen, interpret=interpret).reshape(
             lead + (H, W)
@@ -728,8 +729,8 @@ def cas_quantize_mono(
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, rows, W), jnp.float32),
             pltpu.VMEM((2, bh, W), jnp.uint8),

@@ -8,8 +8,8 @@ the big spectrum functionally (gather-free: two static-slice writes), which
 XLA fuses with the surrounding FFT stages.
 
 The MXU tier never materializes the big spectrum at all — see
-fft/zeropad.py for the phase-decomposed inverse that consumes the small
-spectrum directly.
+fft/rfft2.py for the phase-decomposed inverse that consumes the small
+spectrum directly (and fft/dense.py for the bank formulation).
 """
 from __future__ import annotations
 

@@ -9,7 +9,7 @@ host-side scatter/gather, which stays off the timed region exactly like
 PNG I/O does in the reference.
 
 An optional "sp" axis supports pencil-decomposed distributed FFTs for
-frames too large for one chip (see parallel/distributed_fft.py).
+frames too large for one chip (see parallel/distributed.py).
 """
 from __future__ import annotations
 
