@@ -138,3 +138,60 @@ def test_unaligned_block_rows_still_correct():
         cas_quantize_pallas(jnp.asarray(v2), 0.2, block_rows=48, interpret=True)
     )
     assert np.abs(got2.astype(int) - _want(v2, 0.2).astype(int)).max() <= 1
+
+
+def test_i16_storage_roundtrip_resolution():
+    from vkresample_tpu.ops.cas import from_i16_storage, to_i16_storage
+
+    rng = np.random.default_rng(17)
+    v = (rng.random((4, 256)).astype(np.float32) * 2.6 - 0.3)  # incl. >2 tails
+    back = np.asarray(from_i16_storage(to_i16_storage(jnp.asarray(v))))
+    inrange = np.abs(v) < 1.99
+    assert np.abs(back - v)[inrange].max() <= 0.5 / 16384
+    # out-of-range values saturate but stay on the same side of the CAS clip
+    assert np.all(np.abs(np.clip(np.abs(back), 0, 1) - np.clip(np.abs(v), 0, 1)) <= 1e-4)
+
+
+def test_pallas_cas_i16_input_matches_oracle():
+    """Half-mode storage: int16 Q2.14 pre-CAS image through the fused
+    kernel must match the f64 oracle within 1 LSB (both kernel and XLA
+    fallback routes)."""
+    from vkresample_tpu.ops.cas import to_i16_storage
+
+    rng = np.random.default_rng(23)
+    v = rng.random((3, 64, 256)).astype(np.float32) * 1.3 - 0.1
+    vi = to_i16_storage(jnp.asarray(v))
+    assert vi.dtype == jnp.int16
+    got = np.asarray(cas_quantize_pallas(vi, 0.2, block_rows=16, interpret=True))
+    assert np.abs(got.astype(int) - _want(v, 0.2).astype(int)).max() <= 1
+    # degenerate width -> XLA fallback, i16 still honored
+    v2 = rng.random((2, 16, 100)).astype(np.float32)
+    got2 = np.asarray(
+        cas_quantize_pallas(to_i16_storage(jnp.asarray(v2)), 0.2, interpret=True)
+    )
+    assert np.abs(got2.astype(int) - _want(v2, 0.2).astype(int)).max() <= 1
+
+
+def test_half_mode_i16_route_end_to_end():
+    """CPU simulation of the TPU half-mode fast path: split-bf16 x matmul ->
+    i16 storage -> weave -> fused CAS; pixels within 1 LSB of the oracle."""
+    import jax
+
+    from vkresample_tpu.core.config import Engine, Precision
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.fft import dense, mxu_pipeline
+    from vkresample_tpu.ops.cas import to_i16_storage
+
+    h, w = 64, 128
+    plan = UpscalePlan(
+        h=h, w=w, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    banks = mxu_pipeline.make_dense_banks(plan)
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    U, O = dense.r2c_rows(x_raw, banks, jax.lax.Precision.HIGHEST)
+    v = dense.weave_rows(to_i16_storage(U), to_i16_storage(O), 2)
+    got = np.asarray(cas_quantize_pallas(v, 0.2, block_rows=16, interpret=True))
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -154,8 +154,9 @@ def _parse(argv: List[str]):
 # per-precision uint8 validation tolerance against the fp64 oracle.
 # DOUBLE allows 1 LSB: TPU f64 matmuls are software-emulated and round
 # differently from the CPU oracle (measured maxdiff 1 on v5e; exact 0 on
-# the CPU backend).
-_VALIDATE_TOL = {0: 1, 1: 1, 2: 2}
+# the CPU backend).  HALF holds 1 LSB too: its int16 Q2.14 pre-CAS storage
+# quantizes at ~0.008 LSB and its bf16_3x matmuls are ~fp32-accurate.
+_VALIDATE_TOL = {0: 1, 1: 1, 2: 1}
 
 
 def _validate(img, out_np, plan) -> int:

@@ -39,12 +39,15 @@ class Precision(enum.IntEnum):
 
     @property
     def storage_dtype(self):
+        """Pre-CAS intermediate storage dtype.  HALF stores int16 Q2.14
+        fixed point (ops/cas.py) — same bytes as the reference's fp16
+        storage, ~16x finer resolution on the CAS-clipped signal."""
         import jax.numpy as jnp
 
         if self is Precision.DOUBLE:
             return jnp.float64
         if self is Precision.HALF:
-            return jnp.bfloat16
+            return jnp.int16
         return jnp.float32
 
     @property

@@ -62,6 +62,35 @@ def cas_sharpen(v: jnp.ndarray, sharpen: float) -> jnp.ndarray:
     return (c + sc * (n + w + e + s)) / (one + 4.0 * sc)
 
 
+# ---------------------------------------------------------------------------
+# 16-bit fixed-point pre-CAS storage (the -p 2 "half memory" mode)
+# ---------------------------------------------------------------------------
+#
+# The reference's half mode stores fp16 in device memory with fp32 compute
+# (halfPrecisionMemoryOnly, vkFFT.h:55; fp16 marshal VkResample.cpp:1669-84).
+# The TPU equivalent stores the pre-CAS image as int16 FIXED POINT instead:
+# CAS clips |v| to [0,1] before any arithmetic (VkResample.cpp:889-904), so
+# the useful signal range is bounded and a Q2.14 integer keeps ~14 bits of
+# it — 4x finer than IEEE fp16's 10-bit mantissa near 1.0, at the same
+# byte cost.  Max quantization error ~3e-5 in v units (~0.008 u8 LSB).
+
+I16_SCALE = 16384.0  # Q2.14: covers [-2, 2); CAS clips to [0, 1] anyway
+
+
+def to_i16_storage(x: jnp.ndarray) -> jnp.ndarray:
+    """float pre-CAS values -> int16 Q2.14 (round-to-nearest, saturating).
+    XLA fuses this into the producing matmul's epilogue: the f32 image is
+    never materialized in HBM."""
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) * I16_SCALE), -32768.0, 32767.0
+    ).astype(jnp.int16)
+
+
+def from_i16_storage(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """int16 Q2.14 -> float (inverse of to_i16_storage)."""
+    return x.astype(dtype) * jnp.asarray(1.0 / I16_SCALE, dtype)
+
+
 def quantize_u8(x: jnp.ndarray) -> jnp.ndarray:
     """255*x, clamped, truncated to uint8 (reference casts unclamped,
     VkResample.cpp:1715 — UB out of range; we clamp)."""

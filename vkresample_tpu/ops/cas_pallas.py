@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pad_for(dtype) -> int:
     """Sublane alignment of DMA slices: 8 rows for f32, 16 for 16-bit."""
-    return 16 if dtype in (jnp.bfloat16, jnp.float16) else 8
+    return 16 if dtype in (jnp.bfloat16, jnp.float16, jnp.int16) else 8
 
 
 _PAD = 8  # f32 sublane alignment (kept for the rows kernel)
@@ -58,7 +58,21 @@ def _yshift_dn(a):
     return jnp.concatenate([a[1:, :], a[-1:, :]], axis=0)
 
 
-def _cas_band(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
+def _to_f32(band: jnp.ndarray) -> jnp.ndarray:
+    """Cast a VMEM tile to f32 (16-bit ints hop via i32 — Mosaic has no
+    direct i16->f32 convert, same class of limit as the f32->u8 cast)."""
+    if band.dtype in (jnp.int16, jnp.int8):
+        return band.astype(jnp.int32).astype(jnp.float32)
+    return band.astype(jnp.float32)
+
+
+def _in_scale_for(dtype) -> float:
+    """Fixed-point de-scale applied inside the kernel for int16 Q2.14
+    pre-CAS storage (ops/cas.py I16_SCALE); 1.0 for float inputs."""
+    return (1.0 / 16384.0) if dtype == jnp.int16 else 1.0
+
+
+def _cas_band(band: jnp.ndarray, sharpen: float, scale: float = 1.0) -> jnp.ndarray:
     """(R, W) float -> (R, W) 0..255 f32 CAS output; rows [1, R-1) valid.
 
     Temporary count is kept low (VMEM pressure): x-extremes are folded
@@ -66,7 +80,10 @@ def _cas_band(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
     instead of eight.
     """
     W = band.shape[1]
-    ln = jnp.clip(jnp.abs(band.astype(jnp.float32)), 0.0, 1.0)
+    f = _to_f32(band)
+    if scale != 1.0:
+        f = f * jnp.float32(scale)
+    ln = jnp.clip(jnp.abs(f), 0.0, 1.0)
 
     west = jnp.concatenate([ln[:, :1], ln[:, : W - 1]], axis=1)
     east = jnp.concatenate([ln[:, 1:], ln[:, W - 1 :]], axis=1)
@@ -108,7 +125,8 @@ def _cas_band(band: jnp.ndarray, sharpen: float) -> jnp.ndarray:
 
 
 def _cas_kernel(
-    v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int, nb: int
+    v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int,
+    nb: int, scale: float = 1.0
 ):
     """1-D grid over (C * nb) bands with 2-slot double buffering: block
     g+1's DMA is in flight while block g computes.
@@ -148,7 +166,7 @@ def _cas_kernel(
         dma(g + 1, jax.lax.rem(g + 1, 2)).start()
 
     dma(g, slot).wait()
-    out = _cas_band(scratch[slot], sharpen)
+    out = _cas_band(scratch[slot], sharpen, scale)
     # offset in {0, 8, 16}; Mosaic can't slice values dynamically, so
     # branch over the three static (sublane-aligned) slices
     _, start = window(g)
@@ -317,13 +335,19 @@ def cas_quantize_pallas(
     if bh < pad or W % 128 or H < bh + 2 * pad:  # degenerate: XLA fallback
         from . import cas as cas_ops
 
+        f = (
+            cas_ops.from_i16_storage(v)
+            if v.dtype == jnp.int16
+            else v.astype(jnp.float32)
+        )
         return cas_ops.quantize_u8(
-            cas_ops.cas_sharpen(v.astype(jnp.float32), sharpen)
+            cas_ops.cas_sharpen(f, sharpen)
         ).reshape(lead + (H, W))
 
     nb = H // bh
     kern = functools.partial(
-        _cas_kernel, sharpen=float(sharpen), bh=bh, H=H, nb=nb
+        _cas_kernel, sharpen=float(sharpen), bh=bh, H=H, nb=nb,
+        scale=_in_scale_for(v.dtype),
     )
     return pl.pallas_call(
         kern,

@@ -106,17 +106,22 @@ def _pipeline(
         U, O = dense.r2c_rows(x_raw, banks, prec)
         import os
 
-        if (
-            plan.precision is Precision.HALF
-            and os.environ.get("VKRESAMPLE_HALF_STORAGE") == "bf16"
-        ):
-            # opt-in: store the pre-CAS image in bf16 — halves weave+CAS
-            # HBM traffic (~0.6 ms on v5e) at up to 4 u8 LSB error (bf16
-            # keeps 8 mantissa bits; Mosaic has no f16, which would match
-            # the reference's fp16 memory-only mode at ~1 LSB).  Default
-            # stays f32 storage: accuracy-first.
-            U = U.astype(jnp.bfloat16)
-            O = O.astype(jnp.bfloat16)
+        storage = os.environ.get("VKRESAMPLE_HALF_STORAGE")
+        if plan.precision is Precision.HALF and storage != "f32":
+            if storage == "bf16":
+                # A/B knob: bf16 storage (8 mantissa bits) costs up to
+                # 4 u8 LSB — kept for experiments only.
+                U = U.astype(jnp.bfloat16)
+                O = O.astype(jnp.bfloat16)
+            else:
+                # -p 2 half-memory storage (DEFAULT): int16 Q2.14 fixed
+                # point.  Same bytes as the reference's fp16 storage
+                # (vkFFT.h:55 halfPrecisionMemoryOnly), ~16x finer
+                # resolution on the CAS-clipped [0,1] signal (~0.008 u8
+                # LSB), and it halves weave+CAS HBM traffic vs f32.
+                # XLA fuses the round/cast into the matmul epilogues.
+                U = cas_ops.to_i16_storage(U)
+                O = cas_ops.to_i16_storage(O)
         v = dense.weave_rows(U, O, plan.integer_upscale)
         out = cas_quantize_pallas(v, plan.sharpen)
         return out if planar_out else jnp.moveaxis(out, -3, -1)
