@@ -27,11 +27,17 @@ def main() -> int:
     from vkresample_tpu.core.config import Engine, Precision
     from vkresample_tpu.core.plan import UpscalePlan
     from vkresample_tpu.pipeline.bench_util import time_device
-    from vkresample_tpu.pipeline.upscale import _pipeline, make_device_banks
+    from vkresample_tpu.pipeline.upscale import (
+        _pipeline,
+        make_device_banks,
+        parity_planes_supported,
+    )
 
     h, w, u = 1024, 2048, 2.0
     baseline_ms = 2.0
-    k2 = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    args = [a for a in sys.argv[1:] if a != "--stages"]
+    stages = "--stages" in sys.argv[1:]
+    k2 = int(args[0]) if args else 40
 
     plan = UpscalePlan(
         h=h,
@@ -42,11 +48,13 @@ def main() -> int:
         engine=Engine.AUTO,
     )
     engine = plan.resolve_engine()
-    # planar output: the reference's timed region also ends at planar GPU
-    # buffers — host channel-interleave happens after the fence
-    # (VkResample.cpp:1697-1754); our PNG encoder consumes planar directly
+    # device output layout = what the PNG encoder consumes: planar
+    # channels, and for u=2 the parity-plane pair (even/odd output rows) —
+    # the reference's timed region also ends at planar GPU buffers, with
+    # host interleave after the fence (VkResample.cpp:1697-1754)
+    planes = parity_planes_supported(plan)
     pipeline = functools.partial(
-        _pipeline, plan=plan, engine=engine, planar_out=True
+        _pipeline, plan=plan, engine=engine, planar_out=True, planes_out=planes
     )
     banks = make_device_banks(plan, engine)
 
@@ -56,16 +64,40 @@ def main() -> int:
 
     ms = time_device(pipeline, x, aux=banks, k1=max(2, k2 // 5), k2=k2)
 
-    print(
-        json.dumps(
-            {
-                "metric": "upscale_2048x1024_to_4096x2048_fp16_ms_per_frame",
-                "value": round(ms, 4),
-                "unit": "ms",
-                "vs_baseline": round(baseline_ms / ms, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "upscale_2048x1024_to_4096x2048_fp16_ms_per_frame",
+        "value": round(ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms, 3),
+    }
+
+    if stages:
+        # per-stage split (each an extra compile; opt-in): x matmul alone,
+        # x+y matmuls, full pipeline -> localizes regressions
+        import jax.numpy as jnp
+
+        from vkresample_tpu.fft import dense
+        from vkresample_tpu.ops import cas as cas_ops
+
+        prec = plan.precision.matmul_precision
+
+        def x_only(xx, bb):
+            xr = jnp.moveaxis(xx, -1, 0)
+            U, _ = dense.r2c_x_only(xr, bb, prec)
+            return cas_ops.to_i16_storage(U)
+
+        def xy(xx, bb):
+            xr = jnp.moveaxis(xx, -1, 0)
+            U, O = dense.r2c_rows(xr, bb, prec)
+            return cas_ops.to_i16_storage(U), cas_ops.to_i16_storage(O)
+
+        ms_x = time_device(x_only, x, aux=banks, k1=max(2, k2 // 5), k2=k2)
+        ms_xy = time_device(xy, x, aux=banks, k1=max(2, k2 // 5), k2=k2)
+        result["stage_x_matmul_ms"] = round(ms_x, 4)
+        result["stage_y_matmul_ms"] = round(ms_xy - ms_x, 4)
+        result["stage_cas_ms"] = round(ms - ms_xy, 4)
+
+    print(json.dumps(result))
     return 0
 
 

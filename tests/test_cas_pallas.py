@@ -195,3 +195,27 @@ def test_half_mode_i16_route_end_to_end():
     got = np.asarray(cas_quantize_pallas(v, 0.2, block_rows=16, interpret=True))
     want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_parity_planes_i16_matches_oracle():
+    import jax
+
+    from vkresample_tpu.core.config import Engine
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.fft import dense, mxu_pipeline
+    from vkresample_tpu.ops.cas import to_i16_storage
+    from vkresample_tpu.ops.cas_pallas import cas_parity_planes_u2
+
+    h, w = 64, 128
+    plan = UpscalePlan(h=h, w=w, upscale=2.0, engine=Engine.MXU)
+    banks = mxu_pipeline.make_dense_banks(plan)
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    U, O = dense.r2c_rows(x_raw, banks, __import__("jax").lax.Precision.HIGHEST)
+    E, D = cas_parity_planes_u2(
+        to_i16_storage(U), to_i16_storage(O), 0.2, block_rows=32, interpret=True
+    )
+    got = np.stack([np.asarray(E), np.asarray(D)], axis=-2).reshape(3, 2 * h, 2 * w)
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -153,3 +153,29 @@ def test_batched_resume_skips_existing(tmp_path, capsys):
     # missing ones produced
     assert read_png(str(ofolder / "000002.png")).shape == (32, 64, 3)
     assert read_png(str(ofolder / "000004.png")).shape == (32, 64, 3)
+
+
+def test_device_select_nondefault(tmp_path, capsys):
+    """-d 3 must place the input, banks, and compilation on device 3
+    (round-1 bug: banks landed on the default device)."""
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-virtual-device mesh")
+    img = make_test_image(48, 64, 3, seed=31)
+    inp = str(tmp_path / "in.png")
+    outp = str(tmp_path / "out.png")
+    write_png(inp, img)
+    rc = cli.main(["-i", inp, "-o", outp, "-u", "2", "-d", "3", "-engine", "mxu"])
+    assert rc == 0
+    got = read_png(outp)
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.pipeline.upscale import build_upscale
+
+    plan = UpscalePlan(h=48, w=64, upscale=2.0, engine=Engine.MXU)
+    want = oracle.upscale_oracle(img, plan)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # the committed device of the result is the selected one
+    fn = build_upscale(plan, planar_out=True, device_id=3)
+    out = fn(jax.device_put(img, jax.devices()[3]))
+    assert list(out.devices())[0] == jax.devices()[3]

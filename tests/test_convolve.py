@@ -65,3 +65,43 @@ def test_gaussian_kernel_mass_and_blur():
     y = np.asarray(fft_convolve2d(jnp.asarray(x), k))
     assert y.std() < x.std()  # blurred
     assert abs(y.mean() - x.mean()) < 1e-4  # mass preserved
+
+
+def test_engine_routing_and_fallback():
+    from vkresample_tpu.ops.convolve import _engine_ok, kernel_spectrum
+
+    assert _engine_ok(16, 24) and _engine_ok(2048, 4096) and _engine_ok(131 - 3)
+    assert not _engine_ok(131)  # prime above the radix cap
+    rng = np.random.default_rng(5)
+    # non-smooth size: auto falls back to XLA and still matches direct
+    x = rng.random((131, 8))
+    k = np.zeros((131, 8))
+    k[0, 0], k[1, 0], k[130, 7] = 0.6, 0.3, 0.1
+    got = np.asarray(fft_convolve2d(jnp.asarray(x, jnp.float32), k.astype(np.float32)))
+    np.testing.assert_allclose(got, circ_conv2d(x, k), atol=1e-4)
+    eng, _ = kernel_spectrum(k.astype(np.float32))
+    assert eng == "xla"
+    with pytest.raises(ValueError):
+        fft_convolve2d(jnp.asarray(x, jnp.float32), k.astype(np.float32), engine="mxu")
+
+
+def test_engine_mxu_matches_xla():
+    rng = np.random.default_rng(6)
+    x = rng.random((20, 48)).astype(np.float32)
+    k = rng.random((20, 48)).astype(np.float32) / 100
+    a = np.asarray(fft_convolve2d(jnp.asarray(x), k, engine="mxu"))
+    b = np.asarray(fft_convolve2d(jnp.asarray(x), k, engine="xla"))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_plan_time_kernel_spectrum_reuse():
+    from vkresample_tpu.ops.convolve import kernel_spectrum
+
+    rng = np.random.default_rng(7)
+    x = rng.random((2, 16, 32)).astype(np.float32)
+    k = gaussian_kernel(16, 32, 1.5)
+    spec = kernel_spectrum(k)
+    assert spec[0] == "mxu"
+    a = np.asarray(fft_convolve2d(jnp.asarray(x), spec))
+    b = np.asarray(fft_convolve2d(jnp.asarray(x), k))
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -63,3 +63,26 @@ def test_sp_dense_rejects_fractional():
     plan = UpscalePlan(h=64, w=64, upscale=1.5)
     with pytest.raises(ValueError, match="integer"):
         build_sp_upscale_dense(plan, _mesh(2))
+
+
+def test_sp_large_geometry_vs_oracle():
+    """Large-frame pencil run on the full 8-device mesh (VERDICT r1 #7):
+    1024x2048 -> 2048x4096 half mode through BOTH sp pipelines, pixel-equal
+    to the fp64 oracle within 1 LSB.  Stresses the all-to-all layout math
+    and the kpad column padding (w/2+1 = 1025 pads to 1032 for S=8)."""
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.oracle import numpy_ref as oracle
+    from vkresample_tpu.parallel.distributed import build_sp_upscale_dense
+
+    h, w = 1024, 2048
+    img = make_test_image(h, w, 3, seed=52)
+    plan = UpscalePlan(
+        h=h, w=w, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    want = oracle.upscale_oracle(img, plan)
+    mesh = _mesh(8)
+    for builder in (build_sp_upscale_dense, build_sp_upscale):
+        got = np.asarray(builder(plan, mesh)(img))
+        assert got.shape == want.shape, builder.__name__
+        diff = np.abs(got.astype(int) - want.astype(int)).max()
+        assert diff <= 1, (builder.__name__, diff)

@@ -101,3 +101,30 @@ def test_write_png_planar_single(tmp_path):
     p = str(tmp_path / "planar.png")
     png.write_png_planar(p, np.moveaxis(img, -1, 0).copy())
     np.testing.assert_array_equal(png.read_png(p), img)
+
+
+def test_write_png_planar_parity_roundtrip(tmp_path):
+    from vkresample_tpu.io.png import read_png, write_png_planar_parity
+
+    rng = np.random.default_rng(50)
+    img = rng.integers(0, 256, (3, 64, 48), np.uint8)  # (C, H, W)
+    e = img[:, 0::2, :].copy()
+    d = img[:, 1::2, :].copy()
+    p = str(tmp_path / "parity.png")
+    write_png_planar_parity(p, e, d)
+    got = read_png(p)
+    np.testing.assert_array_equal(got, np.moveaxis(img, 0, -1))
+
+
+def test_pool_encode_batch_planar_parity(tmp_path):
+    from vkresample_tpu.io.png import PngPool, read_png
+
+    rng = np.random.default_rng(51)
+    imgs = rng.integers(0, 256, (3, 3, 32, 64), np.uint8)  # (N, C, H, W)
+    e = np.ascontiguousarray(imgs[:, :, 0::2, :])
+    d = np.ascontiguousarray(imgs[:, :, 1::2, :])
+    paths = [str(tmp_path / f"{i:06d}.png") for i in range(3)]
+    with PngPool(2) as pool:
+        pool.encode_batch_planar_parity(paths, e, d)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(read_png(p), np.moveaxis(imgs[i], 0, -1))

@@ -82,3 +82,30 @@ def test_odd_height_u1_matches_oracle():
     got = np.asarray(upscale(img, 1.0, plan=plan))
     want = oracle.upscale_oracle(img, plan)
     assert _maxdiff(got, want) <= 1
+
+
+def test_planes_out_matches_woven():
+    """planes_out returns (E, D) parity planes equal to the woven output's
+    even/odd rows on every route (CPU here exercises the fallback slice)."""
+    import functools
+
+    import jax
+    from jax import numpy as jnp
+
+    from vkresample_tpu.core.config import Engine, Precision
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.pipeline.upscale import _pipeline, make_device_banks
+
+    plan = UpscalePlan(h=32, w=64, upscale=2.0, precision=Precision.HALF,
+                       engine=Engine.MXU)
+    engine = plan.resolve_engine()
+    banks = make_device_banks(plan, engine)
+    img = np.random.default_rng(61).integers(0, 256, (32, 64, 3), np.uint8)
+    woven = np.asarray(
+        jax.jit(functools.partial(_pipeline, plan=plan, engine=engine,
+                                  planar_out=True))(jnp.asarray(img), banks)
+    )
+    E, D = jax.jit(functools.partial(_pipeline, plan=plan, engine=engine,
+                                     planes_out=True))(jnp.asarray(img), banks)
+    np.testing.assert_array_equal(np.asarray(E), woven[:, 0::2, :])
+    np.testing.assert_array_equal(np.asarray(D), woven[:, 1::2, :])

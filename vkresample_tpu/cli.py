@@ -223,23 +223,41 @@ def run_single(cfg, extras) -> int:
 
     dev = jax.devices()[cfg.device_id]
     # planar device output (like the reference's planar GPU buffers); the
-    # native PNG encoder interleaves channels during encode
-    fn = build_upscale(plan, planar_out=True)
+    # native PNG encoder interleaves channels during encode.  Banks and
+    # compilation are committed to the same -d device as the input.
+    # u=2 plans emit PARITY PLANES (even/odd output rows) — the fused
+    # per-parity CAS kernel's native layout; the encoder's row pointers
+    # interleave them for free (pipeline/upscale.py parity_planes_supported).
+    from .pipeline.upscale import parity_planes_supported
+
+    planes = parity_planes_supported(plan)
+    fn = build_upscale(
+        plan, planar_out=True, device_id=cfg.device_id, planes_out=planes
+    )
     x = jax.device_put(img, dev)
     from .utils.profiling import maybe_trace
 
     with maybe_trace(extras.get("profile")):
         out, ms = time_amortized(fn, (x,), cfg.num_iter)
-    out_np = np.asarray(out)  # (3, H, W)
     print(
         "vkresample-tpu %0.1fx upscale: %dx%d to %dx%d Time: %0.3f ms"
         % (cfg.upscale, w, h, plan.W, plan.H, ms)
     )
     rc = 0
-    if extras.get("validate"):
-        rc = _validate(img, np.moveaxis(out_np, 0, -1), plan)
     out_path = cfg.output_path or default_output_name(w, cfg.upscale)
-    write_png_planar(out_path, out_np)
+    if planes:
+        e_np, d_np = (np.asarray(p) for p in out)  # each (3, H/2, W)
+        if extras.get("validate"):
+            woven = np.stack([e_np, d_np], axis=2).reshape(3, plan.H, plan.W)
+            rc = _validate(img, np.moveaxis(woven, 0, -1), plan)
+        from .io.png import write_png_planar_parity
+
+        write_png_planar_parity(out_path, e_np, d_np)
+    else:
+        out_np = np.asarray(out)  # (3, H, W)
+        if extras.get("validate"):
+            rc = _validate(img, np.moveaxis(out_np, 0, -1), plan)
+        write_png_planar(out_path, out_np)
     return rc
 
 
@@ -290,8 +308,12 @@ def run_batched(cfg, extras) -> int:
     if mesh is not None:
         batch = max(n_dev, (batch // n_dev) * n_dev)
     # planar device output + native planar encode: no layout transpose on
-    # either side of the PNG boundary
-    fn = build_batched_upscale(plan, mesh, planar_out=True)
+    # either side of the PNG boundary.  u=2 plans emit parity planes and
+    # the encoder's row pointers interleave them for free.
+    from .pipeline.upscale import parity_planes_supported
+
+    planes = parity_planes_supported(plan)
+    fn = build_batched_upscale(plan, mesh, planar_out=True, planes_out=planes)
 
     t0 = time.perf_counter()
     done = 0
@@ -311,8 +333,13 @@ def run_batched(cfg, extras) -> int:
                     imgs = np.concatenate([imgs, pad], 0)
             if pending is not None:
                 paths_prev, res_prev, n_prev = pending
-                out_np = np.asarray(res_prev)[:n_prev]
-                pool.encode_batch_planar(paths_prev, out_np)
+                if planes:
+                    e_np = np.asarray(res_prev[0])[:n_prev]
+                    d_np = np.asarray(res_prev[1])[:n_prev]
+                    pool.encode_batch_planar_parity(paths_prev, e_np, d_np)
+                else:
+                    out_np = np.asarray(res_prev)[:n_prev]
+                    pool.encode_batch_planar(paths_prev, out_np)
                 done += n_prev
                 pending = None
             if imgs is not None:

@@ -16,6 +16,9 @@ class DeviceTuning:
     cas_block_rows: int = 64  # plain CAS kernel band height
     rows_block: int = 16  # fused rows kernel band height (pre-weave)
     dense_max: int = 8192  # largest axis the dense engine builds a matrix for
+    ycas_wb: int = 256  # fused y+CAS strip width (i16; 512 OOMs 16M VMEM)
+    ycas_bo: int = 128  # fused y+CAS kernel row-band height
+    parity_block: int = 64  # per-parity CAS band height (1.62 ms on v5e)
 
 
 _TABLE = {

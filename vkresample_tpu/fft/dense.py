@@ -428,26 +428,45 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
     a_lo = (an - a_hi.astype(np.float64)).astype(
         "bfloat16" if dtype != "float64" else dtype
     )
+    Ymat_ns = np.ascontiguousarray(
+        Ymat.reshape(-1, h, u)[:, :, 1:].reshape(-1, h * (u - 1))
+    )
     banks = {
         "alpha_hi": a_hi,
         "alpha_lo": a_lo,
-        "Ymat_ns": np.ascontiguousarray(
-            Ymat.reshape(-1, h, u)[:, :, 1:].reshape(-1, h * (u - 1))
-        ).astype(dtype),
+        "Ymat_ns": Ymat_ns.astype(dtype),
     }
-    if Y1.shape[1]:
+    r = Y1.shape[1]
+    if r:
         banks["Y1n"] = (Y1 / 255.0).astype(dtype)
         banks["beta"] = beta.astype(dtype)
+    if u == 2 and dtype != "float64":
+        # transposed banks for the fused y-matmul+CAS kernel
+        # (ops/ycas_pallas.py): "ycasYT" f32 (h_ns, h2) for the HIGHEST
+        # mode, "ycasYT2" stacked bf16 [hi | lo] (h_ns, 2*h2) for the
+        # bf16x3 mode (manual HIGH-equivalent 3-pass matmul); correction
+        # columns zero-padded to the DMA sublane quantum
+        from ..ops.ycas_pallas import RPAD
+
+        h2 = h + RPAD if r else h
+        ytp = np.zeros((h, h2), np.float64)
+        ytp[:, :h] = Ymat_ns[:h].T
+        if r:
+            ytp[:, h : h + r] = Ymat_ns[h:].T
+        banks["ycasYT"] = ytp.astype("float32")
+        yt_hi = ytp.astype("bfloat16")
+        yt_lo = (ytp - yt_hi.astype(np.float64)).astype("bfloat16")
+        banks["ycasYT2"] = np.concatenate([yt_hi, yt_lo], axis=1)
     return banks
 
 
-def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision):
-    """Row-split fast path.  x_raw holds RAW uint8 pixel values 0..255
-    (uint8 or float) — normalization is folded into the banks.  Returns
-    (U, O) where
-    U (..., h, W)          = x-pass output == the SAMPLE output rows, and
-    O (..., h*(u-1), W)    = non-sample rows, O[t*(u-1)+k] = out[u*t+k+1].
-    Weave with weave_rows (XLA) or fuse into the Pallas output kernel."""
+def r2c_x_only(x_raw: jnp.ndarray, banks: dict, precision):
+    """x-pass of the row-split fast path.  x_raw holds RAW uint8 pixel
+    values 0..255 (uint8 or float) — normalization is folded into the
+    banks.  Returns (U, T2) where
+    U  (..., h, W) = x-pass output == the SAMPLE output rows, and
+    T2 (..., r, W) = y-Nyquist correction rows for the y matmul (None when
+    the plan has no imaginary y residue)."""
     bank_dt = banks["alpha_hi"].dtype
     xb = x_raw.astype(bank_dt)
     acc = jnp.float64 if bank_dt == jnp.float64 else jnp.float32
@@ -459,13 +478,23 @@ def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision):
     U = jnp.einsum(
         "...hk,kn->...hn", x_cat, a_cat, preferred_element_type=acc
     )
-    Uaug = U
+    T2 = None
     if "Y1n" in banks:
         tcorr = jnp.einsum(
             "...hw,hr->...rw", x_raw.astype(acc), banks["Y1n"], precision=precision
         )
-        t2 = jnp.einsum("...rw,wn->...rn", tcorr, banks["beta"], precision=precision)
-        Uaug = jnp.concatenate([U, t2], axis=-2)
+        T2 = jnp.einsum("...rw,wn->...rn", tcorr, banks["beta"], precision=precision)
+    return U, T2
+
+
+def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision):
+    """Row-split fast path: r2c_x_only plus the non-sample y matmul.
+    Returns (U, O) where
+    U (..., h, W)          = x-pass output == the SAMPLE output rows, and
+    O (..., h*(u-1), W)    = non-sample rows, O[t*(u-1)+k] = out[u*t+k+1].
+    Weave with weave_rows (XLA) or fuse into the Pallas output kernel."""
+    U, T2 = r2c_x_only(x_raw, banks, precision)
+    Uaug = U if T2 is None else jnp.concatenate([U, T2], axis=-2)
     O = jnp.einsum("jm,...jn->...mn", banks["Ymat_ns"], Uaug, precision=precision)
     return U, O
 

@@ -108,6 +108,26 @@ def _load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.vkr_png_encode_planar_parity.restype = ctypes.c_int
+        lib.vkr_png_encode_planar_parity.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.vkr_pool_encode_batch_planar_parity.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
         _lib = lib
         return _lib
 
@@ -167,6 +187,35 @@ def write_png_planar(path: str, img: np.ndarray, compression_level: int = 6) -> 
         if rc != 0:
             raise OSError(f"PNG encode failed ({rc}): {path}")
         return
+    write_png(path, np.moveaxis(img, 0, -1), compression_level)
+
+
+def write_png_planar_parity(
+    path: str, e: np.ndarray, d: np.ndarray, compression_level: int = 6
+) -> None:
+    """Encode from PARITY PLANES: e (3, H/2, W) even output rows, d the
+    odd rows — the fused per-parity CAS kernel's native output layout.
+    The row interleave happens inside the encoder's row loop (free); the
+    device never weaves."""
+    e = np.ascontiguousarray(e, np.uint8)
+    d = np.ascontiguousarray(d, np.uint8)
+    if e.shape != d.shape or e.ndim != 3 or e.shape[0] != 3:
+        raise ValueError(f"expected matching (3, h, w) planes, got {e.shape} {d.shape}")
+    lib = _load_native()
+    _, h2, w = e.shape
+    if lib is not None:
+        rc = lib.vkr_png_encode_planar_parity(
+            path.encode(),
+            e.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            w,
+            2 * h2,
+            compression_level,
+        )
+        if rc != 0:
+            raise OSError(f"PNG encode failed ({rc}): {path}")
+        return
+    img = np.stack([e, d], axis=2).reshape(3, 2 * h2, w)  # host weave
     write_png(path, np.moveaxis(img, 0, -1), compression_level)
 
 
@@ -320,3 +369,37 @@ class PngPool:
                     raise OSError(f"PNG encode failed ({st}): {paths[i]}")
             return
         self.encode_batch(paths, np.moveaxis(data, 1, -1), compression_level)
+
+    def encode_batch_planar_parity(
+        self,
+        paths: Sequence[str],
+        e: np.ndarray,
+        d: np.ndarray,
+        compression_level: int = 6,
+    ) -> None:
+        """Encode PARITY-PLANE frames: e/d each (N, 3, H/2, W) uint8 (even
+        and odd output rows).  The encoder interleaves rows per frame."""
+        e = np.ascontiguousarray(e, np.uint8)
+        d = np.ascontiguousarray(d, np.uint8)
+        n, c, h2, w = e.shape
+        assert c == 3 and e.shape == d.shape and n == len(paths)
+        if self._lib is not None:
+            c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+            status = (ctypes.c_int * n)()
+            self._lib.vkr_pool_encode_batch_planar_parity(
+                self._pool,
+                c_paths,
+                n,
+                e.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                d.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                w,
+                2 * h2,
+                compression_level,
+                status,
+            )
+            for i, st in enumerate(status):
+                if st != 0:
+                    raise OSError(f"PNG encode failed ({st}): {paths[i]}")
+            return
+        img = np.stack([e, d], axis=3).reshape(n, 3, 2 * h2, w)
+        self.encode_batch(paths, np.moveaxis(img, 1, -1), compression_level)

@@ -207,6 +207,65 @@ int vkr_png_encode_planar(const char* path, const unsigned char* r,
 }
 
 // ---------------------------------------------------------------------
+// parity-planar encode: the device pipeline's fused per-parity CAS kernel
+// emits even rows and odd rows as two separate (3, H/2, W) uint8 plane
+// stacks (no device-side row weave — see ops/cas_pallas.py
+// cas_parity_planes_u2).  Row pointers are arbitrary in libpng, so the
+// interleave is free here: row y reads from plane stack (y & 1).
+// ---------------------------------------------------------------------
+int vkr_png_encode_planar_parity(const char* path, const unsigned char* e,
+                                 const unsigned char* d, int width,
+                                 int height, int compression_level) {
+  if (height % 2) return -4;
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return -1;
+
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return -2;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(fp);
+    return -2;
+  }
+  std::vector<unsigned char> row((size_t)width * 3);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return -3;
+  }
+
+  png_init_io(png, fp);
+  png_set_compression_level(png, compression_level);
+  png_set_filter(png, 0, PNG_FILTER_SUB);
+  png_set_IHDR(png, info, width, height, 8, PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+
+  const size_t plane = (size_t)(height / 2) * width;
+  for (int y = 0; y < height; y++) {
+    const unsigned char* src = (y & 1) ? d : e;
+    const size_t off = (size_t)(y >> 1) * width;
+    for (int x = 0; x < width; x++) {
+      row[3 * x + 0] = src[off + x];
+      row[3 * x + 1] = src[plane + off + x];
+      row[3 * x + 2] = src[2 * plane + off + x];
+    }
+    png_write_row(png, row.data());
+  }
+  png_write_end(png, info);
+
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
+// ---------------------------------------------------------------------
 // worker pool: parallel decode/encode of file batches.
 // Replaces the reference's one-OS-thread-per-worker design
 // (VkResample.cpp:1958-1969) with a reusable pool.
@@ -333,6 +392,25 @@ void vkr_pool_encode_batch_planar(void* pool, const char** paths, int n,
       status[i] = vkr_png_encode_planar(paths[i], base, base + plane,
                                         base + 2 * plane, w, h,
                                         compression_level);
+    });
+  }
+  p->wait_idle();
+}
+
+// Encode a batch from two contiguous parity-plane buffers, each
+// (n, 3, h/2, w): e holds even output rows, d odd output rows.
+void vkr_pool_encode_batch_planar_parity(void* pool, const char** paths,
+                                         int n, const unsigned char* e,
+                                         const unsigned char* d, int w,
+                                         int h, int compression_level,
+                                         int* status) {
+  Pool* p = static_cast<Pool*>(pool);
+  const size_t frame = (size_t)w * (h / 2) * 3;
+  for (int i = 0; i < n; i++) {
+    p->submit([=] {
+      status[i] = vkr_png_encode_planar_parity(
+          paths[i], e + (size_t)i * frame, d + (size_t)i * frame, w, h,
+          compression_level);
     });
   }
   p->wait_idle();

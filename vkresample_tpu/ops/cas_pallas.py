@@ -406,17 +406,48 @@ def _xstruct(t):
     return jnp.minimum(west, east), jnp.maximum(west, east), west + east
 
 
+def _parity_planes(lu, lo_, ts, h, sharpen):
+    """Even/odd uint8 CAS planes from clipped U/O tiles covering global
+    rows [ts, ts+rows) of an h-row half image."""
+    rows = lu.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    gtop = (row + ts) == 0  # global image top (even row 0: n clamps to self)
+    gbot = (row + ts) == h - 1  # global bottom (odd row H-1: s clamps to self)
+
+    uxmin, uxmax, uwpe = _xstruct(lu)
+    oxmin, oxmax, owpe = _xstruct(lo_)
+
+    # even parity: center U[t]
+    nE = jnp.where(gtop, lu, _yshift_up(lo_))
+    nE_min = jnp.where(gtop, uxmin, _yshift_up(oxmin))
+    nE_max = jnp.where(gtop, uxmax, _yshift_up(oxmax))
+    even = _cas_core(
+        lu, nE, lo_, uxmin, uxmax, uwpe,
+        jnp.minimum(nE_min, oxmin), jnp.maximum(nE_max, oxmax), sharpen,
+    )
+
+    # odd parity: center O[t]
+    sO = jnp.where(gbot, lo_, _yshift_dn(lu))
+    sO_min = jnp.where(gbot, oxmin, _yshift_dn(uxmin))
+    sO_max = jnp.where(gbot, oxmax, _yshift_dn(uxmax))
+    odd = _cas_core(
+        lo_, lu, sO, oxmin, oxmax, owpe,
+        jnp.minimum(uxmin, sO_min), jnp.maximum(uxmax, sO_max), sharpen,
+    )
+    return even, odd
+
+
 def _parity_kernel(
     u_hbm, o_hbm, e_ref, d_ref, scu, sco, sems, *, sharpen: float, bt: int,
-    h: int, nb: int
+    h: int, nb: int, pad: int, scale: float
 ):
     g = pl.program_id(0)
-    rows = bt + 2 * _PAD
+    rows = bt + 2 * pad
 
     def window(gg):
         cc = gg // nb
         ii = gg % nb
-        ts = pl.multiple_of(jnp.clip(ii * bt - _PAD, 0, h - rows), _PAD)
+        ts = pl.multiple_of(jnp.clip(ii * bt - pad, 0, h - rows), pad)
         return cc, ts
 
     def dmas(gg, slot):
@@ -446,37 +477,19 @@ def _parity_kernel(
         dma.wait()
 
     _, ts = window(g)
-    lu = jnp.clip(jnp.abs(scu[slot]), 0.0, 1.0)
-    lo_ = jnp.clip(jnp.abs(sco[slot]), 0.0, 1.0)
-    W = lu.shape[1]
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    gtop = (row + ts) == 0  # global image top (even row 0: n clamps to self)
-    gbot = (row + ts) == h - 1  # global bottom (odd row H-1: s clamps to self)
+    def _clip(t):
+        f = _to_f32(t)
+        if scale != 1.0:
+            f = f * jnp.float32(scale)
+        return jnp.clip(jnp.abs(f), 0.0, 1.0)
 
-    uxmin, uxmax, uwpe = _xstruct(lu)
-    oxmin, oxmax, owpe = _xstruct(lo_)
-
-    # even parity: center U[t]
-    nE = jnp.where(gtop, lu, _yshift_up(lo_))
-    nE_min = jnp.where(gtop, uxmin, _yshift_up(oxmin))
-    nE_max = jnp.where(gtop, uxmax, _yshift_up(oxmax))
-    even = _cas_core(
-        lu, nE, lo_, uxmin, uxmax, uwpe,
-        jnp.minimum(nE_min, oxmin), jnp.maximum(nE_max, oxmax), sharpen,
-    )
-
-    # odd parity: center O[t]
-    sO = jnp.where(gbot, lo_, _yshift_dn(lu))
-    sO_min = jnp.where(gbot, oxmin, _yshift_dn(uxmin))
-    sO_max = jnp.where(gbot, oxmax, _yshift_dn(uxmax))
-    odd = _cas_core(
-        lo_, lu, sO, oxmin, oxmax, owpe,
-        jnp.minimum(uxmin, sO_min), jnp.maximum(uxmax, sO_max), sharpen,
+    even, odd = _parity_planes(
+        _clip(scu[slot]), _clip(sco[slot]), ts, h, sharpen
     )
 
     i = g % nb
-    offset = i * bt - jnp.clip(i * bt - _PAD, 0, h - rows)
+    offset = i * bt - jnp.clip(i * bt - pad, 0, h - rows)
 
     def _store(o):
         @pl.when(offset == o)
@@ -485,8 +498,8 @@ def _parity_kernel(
             d_ref[0] = odd[o : o + bt, :]
 
     _store(0)
-    _store(_PAD)
-    _store(2 * _PAD)
+    _store(pad)
+    _store(2 * pad)
 
 
 def cas_quantize_parity_u2(
@@ -496,27 +509,56 @@ def cas_quantize_parity_u2(
     odd rows -> (..., 2h, W) uint8.  The f32 interleaved image is never
     materialized; only the final uint8 planes are woven (XLA, 1/4 the
     bytes)."""
+    E, D = cas_parity_planes_u2(
+        U, O, sharpen, block_rows=block_rows, interpret=interpret
+    )
+    out = jnp.stack([E, D], axis=-2)  # (..., h, 2, W)
+    return out.reshape(out.shape[:-3] + (out.shape[-3] * 2, out.shape[-1]))
+
+
+def cas_parity_planes_u2(
+    U, O, sharpen: float, block_rows: int = None, interpret: bool = False
+):
+    """u=2 per-parity fused CAS returning the two uint8 PLANES (E even
+    rows, D odd rows), each (..., h, W) — no device-side weave at all.
+    Consumers that can address rows indirectly (the native PNG encoder's
+    row pointers, host numpy) assemble the image for free.  Accepts f32 or
+    int16 Q2.14 pre-CAS inputs."""
     lead = U.shape[:-2]
     U = U.reshape((-1,) + U.shape[-2:])
     O = O.reshape((-1,) + O.shape[-2:])
     C, h, W = U.shape
+    pad = _pad_for(U.dtype)
     if block_rows is None:
-        # the parity kernel holds both U and O tiles plus two parities'
-        # temporaries: half the plain kernel's band keeps VMEM in budget
-        block_rows = 32
-    bt = _fit_block(block_rows, h, _PAD)
-    if bt < _PAD or W % 128 or h < bt + 2 * _PAD or U.dtype != jnp.float32:
+        from ..core.tuning import current
+
+        block_rows = current().parity_block
+        if U.dtype != jnp.int16:
+            # f32 tiles double the scratch bytes: halve the band to stay
+            # inside the 16 MB VMEM budget
+            block_rows = max(pad, block_rows // 2)
+    bt = _fit_block(block_rows, h, pad)
+    if (
+        bt < pad
+        or W % 128
+        or h < bt + 2 * pad
+        or U.dtype not in (jnp.float32, jnp.int16)
+    ):
         from ..fft.dense import weave_rows
 
         v = weave_rows(U, O, 2)
-        return cas_quantize_pallas(v, sharpen, interpret=interpret).reshape(
-            lead + (2 * h, W)
+        out = cas_quantize_pallas(v, sharpen, interpret=interpret)
+        out4 = out.reshape((C, h, 2, W))
+        return (
+            out4[:, :, 0].reshape(lead + (h, W)),
+            out4[:, :, 1].reshape(lead + (h, W)),
         )
 
     nb = h // bt
-    rows = bt + 2 * _PAD
+    rows = bt + 2 * pad
     kern = functools.partial(
-        _parity_kernel, sharpen=float(sharpen), bt=bt, h=h, nb=nb
+        _parity_kernel, sharpen=float(sharpen), bt=bt, h=h, nb=nb, pad=pad,
+        scale=_in_scale_for(U.dtype),
     )
     E, D = pl.pallas_call(
         kern,
@@ -537,14 +579,13 @@ def cas_quantize_parity_u2(
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, W), jnp.float32),
-            pltpu.VMEM((2, rows, W), jnp.float32),
+            pltpu.VMEM((2, rows, W), U.dtype),
+            pltpu.VMEM((2, rows, W), O.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(U, O)
-    out = jnp.stack([E, D], axis=-2)  # (..., h, 2, W)
-    return out.reshape(lead + (2 * h, W))
+    return E.reshape(lead + (h, W)), D.reshape(lead + (h, W))
 
 
 # ---------------------------------------------------------------------------

@@ -7,9 +7,14 @@ spectrum multiply, multi-kernel batching (numberKernels), and 2x2/3x3
 input features of kernel-matrix entries).  VkResample itself never calls
 it, but it is part of the engine surface this framework reproduces.
 
-TPU-native formulation: plan-time kernel spectrum (the analog of VkFFT
-uploading the kernel and transforming it once), jitted spectrum multiply
-between our forward/inverse transforms.  Circular convolution semantics
+TPU-native formulation: the transforms run on the IN-HOUSE mixed-radix
+MXU engine (fft/ndim.py) whenever both axes factor over the engine's
+radix set, mirroring how the reference fuses the convolution inside its
+own engine rather than calling an external FFT; sizes the engine cannot
+factor fall back to XLA's native FFT op.  The kernel spectrum is computed
+once per (kernel, shape) — the analog of VkFFT uploading and transforming
+the kernel at plan time (vkFFT.h:3157) — and the spectrum multiply sits
+between our forward/inverse passes.  Circular convolution semantics
 (FFT-native, as the reference's).
 """
 from __future__ import annotations
@@ -19,37 +24,95 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..fft.complexops import CPair
+from ..fft.ndim import irfftn, rfftn
 
-def _rfft2(x):
-    return jnp.fft.rfft2(x)
-
-
-def _irfft2(X, s):
-    return jnp.fft.irfft2(X, s=s)
+MAX_FACTOR = 128  # engine radix cap (core/smooth.py composite radixes)
 
 
-def fft_convolve2d(x: jnp.ndarray, kernel) -> jnp.ndarray:
+def _engine_ok(*dims: int, max_factor: int = MAX_FACTOR) -> bool:
+    """True when every axis factors over the mixed-radix engine's set."""
+    for n in dims:
+        m = int(n)
+        f = 2
+        while f <= max_factor and m > 1:
+            while m % f == 0:
+                m //= f
+            f += 1
+        if m != 1:
+            return False
+    return True
+
+
+def _pair_mul(A: CPair, B: CPair) -> CPair:
+    ar, ai = A
+    br, bi = B
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _resolve_engine(engine: str, h: int, w: int) -> str:
+    if engine == "auto":
+        return "mxu" if _engine_ok(h, w) else "xla"
+    if engine == "mxu" and not _engine_ok(h, w):
+        raise ValueError(
+            f"{h}x{w} does not factor over the engine radix set (<= "
+            f"{MAX_FACTOR}); use engine='xla'"
+        )
+    return engine
+
+
+def kernel_spectrum(kernel: jnp.ndarray, engine: str = "auto"):
+    """Forward-transform a convolution kernel once (plan-time analog of
+    VkFFT's kernel upload+transform).  Returns an engine-tagged spectrum
+    consumable by fft_convolve2d/fft_matrix_convolve2d."""
+    kernel = jnp.asarray(kernel)
+    h, w = kernel.shape[-2], kernel.shape[-1]
+    eng = _resolve_engine(engine, h, w)
+    if eng == "mxu":
+        return ("mxu", rfftn(kernel, axes=(-2, -1), max_factor=MAX_FACTOR))
+    return ("xla", jnp.fft.rfft2(kernel))
+
+
+def fft_convolve2d(x: jnp.ndarray, kernel, engine: str = "auto") -> jnp.ndarray:
     """Circular 2D convolution via the frequency domain.
 
     x:      (..., h, w) real.
     kernel: (h, w) — one kernel broadcast over leading dims, or
             (K, h, w) — K kernels (VkFFT numberKernels batching): output
-            gains a leading K axis.
+            gains a leading K axis.  A pre-transformed kernel_spectrum()
+            result is also accepted.
+    engine: "auto" (in-house MXU engine when the sizes factor), "mxu",
+            or "xla".
     """
     x = jnp.asarray(x)
-    kernel = jnp.asarray(kernel, x.dtype)
     h, w = x.shape[-2], x.shape[-1]
-    X = _rfft2(x)
-    if kernel.ndim == 2:
-        Kf = _rfft2(kernel)
-        return _irfft2(X * Kf, (h, w))
-    Kf = _rfft2(kernel)  # (K, h, w2)
-    # broadcast kernels against batch: out (K, ..., h, w)
-    Y = Kf.reshape(Kf.shape[:1] + (1,) * (X.ndim - 2) + Kf.shape[1:]) * X[None]
-    return _irfft2(Y, (h, w))
+    if isinstance(kernel, tuple) and kernel[0] in ("mxu", "xla"):
+        eng, Kspec = kernel
+    else:
+        eng = _resolve_engine(engine, h, w)
+        _, Kspec = kernel_spectrum(jnp.asarray(kernel, x.dtype), eng)
+    if eng == "mxu":
+        X = rfftn(x, axes=(-2, -1), max_factor=MAX_FACTOR)
+        Kr, Ki = Kspec
+        if Kr.ndim == 2:
+            Y = _pair_mul(X, (Kr, Ki))
+        else:  # (K, h, w2) kernel bank: output gains a leading K axis
+            shape = Kr.shape[:1] + (1,) * (X[0].ndim - 2) + Kr.shape[1:]
+            Y = _pair_mul(
+                (X[0][None], X[1][None]),
+                (Kr.reshape(shape), Ki.reshape(shape)),
+            )
+        return irfftn(Y, s=(h, w), axes=(-2, -1), max_factor=MAX_FACTOR)
+    X = jnp.fft.rfft2(x)
+    if Kspec.ndim == 2:
+        return jnp.fft.irfft2(X * Kspec, s=(h, w))
+    shape = Kspec.shape[:1] + (1,) * (X.ndim - 2) + Kspec.shape[1:]
+    return jnp.fft.irfft2(Kspec.reshape(shape) * X[None], s=(h, w))
 
 
-def fft_matrix_convolve2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def fft_matrix_convolve2d(
+    x: jnp.ndarray, kernel: jnp.ndarray, engine: str = "auto"
+) -> jnp.ndarray:
     """Matrix convolution over coordinate features (vkFFT matrixConvolution,
     vkFFT.h:46: 2x2/3x3 supported there; any square size here).
 
@@ -63,10 +126,21 @@ def fft_matrix_convolve2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     if kernel.shape[1] != C:
         raise ValueError(f"kernel Cin {kernel.shape[1]} != x features {C}")
     h, w = x.shape[-2], x.shape[-1]
-    X = _rfft2(x)  # (..., C, h, w2)
-    Kf = _rfft2(kernel)  # (Cout, Cin, h, w2)
+    eng = _resolve_engine(engine, h, w)
+    if eng == "mxu":
+        Xr, Xi = rfftn(x, axes=(-2, -1), max_factor=MAX_FACTOR)
+        Kr, Ki = rfftn(kernel, axes=(-2, -1), max_factor=MAX_FACTOR)
+        Yr = jnp.einsum("oihw,...ihw->...ohw", Kr, Xr) - jnp.einsum(
+            "oihw,...ihw->...ohw", Ki, Xi
+        )
+        Yi = jnp.einsum("oihw,...ihw->...ohw", Kr, Xi) + jnp.einsum(
+            "oihw,...ihw->...ohw", Ki, Xr
+        )
+        return irfftn((Yr, Yi), s=(h, w), axes=(-2, -1), max_factor=MAX_FACTOR)
+    X = jnp.fft.rfft2(x)  # (..., C, h, w2)
+    Kf = jnp.fft.rfft2(kernel)  # (Cout, Cin, h, w2)
     Y = jnp.einsum("oihw,...ihw->...ohw", Kf, X)
-    return _irfft2(Y, (h, w))
+    return jnp.fft.irfft2(Y, s=(h, w))
 
 
 def gaussian_kernel(h: int, w: int, sigma: float, dtype=np.float32) -> np.ndarray:

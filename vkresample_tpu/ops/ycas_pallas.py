@@ -1,0 +1,337 @@
+"""Fused y-matmul + row-weave + CAS + quantize Pallas kernel (u=2).
+
+The round-1 pipeline materialized the pre-CAS image in HBM twice: the y
+matmul wrote O, the XLA weave read U+O and wrote the interleaved image,
+and the CAS kernel read it back — ~200 MB of HBM traffic for a job whose
+only required output is 25 MB of uint8.  This kernel runs the WHOLE
+output stage per column strip inside VMEM:
+
+  for each (channel, W-strip):                       [1-D grid]
+    DMA the U window (all h rows x [Wb + 2*HALO] cols) into VMEM
+    for each row band a..b:                          [unrolled loop]
+      O[a:b]  = Ymat_ns^T[a:b] @ U_window            [MXU]
+      woven   = sublane-interleave(U rows, O rows)   [VPU]
+      u8 band = quantize(cas(woven))                 [VPU]
+    write the uint8 strip                            [Mosaic block DMA]
+
+U is read once (plus strip halos), O and the woven image never exist in
+HBM.  The column halo (HALO cols each side) keeps DMA starts 128-lane
+aligned and gives CAS its x-neighbors across strip edges; row bands are
+software-pipelined one dot ahead so every band's CAS has its O halo rows
+without recomputation.
+
+Matmul precision: Mosaic lowers dot_general only at DEFAULT or HIGHEST,
+so the XLA route's HIGH (bf16_3x) is reproduced manually ("bf16x3"
+mode): the bank ships as stacked bf16 hi|lo halves and the U window is
+split into bf16 hi+lo in VMEM; three DEFAULT dots give ~fp32 accuracy at
+3 MXU passes.  "highest" mode keeps f32 operands with fp32 contract
+precision (exact, ~2x the passes).
+
+Replaces the reference's separate [inverse-FFT y axis] + [sharpen pass]
+dispatches (VkResample.cpp:1264, 819-925) with one fused device pass —
+the TPU analog of VkFFT's fused post-processing hooks (vkFFT.h:45-48).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cas_pallas import _cas_band, _in_scale_for, _to_f32
+
+HALO = 128  # column halo per side: lane-aligned DMA + CAS x-neighbors
+RPAD = 8  # correction-row pad (sublane alignment of the T2 DMA)
+
+
+def _ycas_kernel(
+    u_hbm,
+    t2_hbm,
+    yt_ref,
+    out_ref,
+    scu,
+    sct2,
+    opa,
+    opb,
+    sems,
+    *,
+    sharpen: float,
+    h: int,
+    W: int,
+    Wb: int,
+    bo: int,
+    ns: int,
+    scale: float,
+    has_corr: bool,
+    mm: str,
+):
+    g = pl.program_id(0)
+    Ww = Wb + 2 * HALO
+    h2 = h + RPAD if has_corr else h
+
+    def window(gg):
+        cc = gg // ns
+        ss = gg % ns
+        ws = pl.multiple_of(jnp.clip(ss * Wb - HALO, 0, W - Ww), HALO)
+        return cc, ss, ws
+
+    def dma_u(gg, slot):
+        cc, _, ws = window(gg)
+        return pltpu.make_async_copy(
+            u_hbm.at[cc, :, pl.ds(ws, Ww)], scu.at[slot], sems.at[slot, 0]
+        )
+
+    def dma_t2(gg, slot):
+        cc, _, ws = window(gg)
+        return pltpu.make_async_copy(
+            t2_hbm.at[cc, :, pl.ds(ws, Ww)], sct2.at[slot], sems.at[slot, 1]
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        dma_u(0, 0).start()
+        if has_corr:
+            dma_t2(0, 0).start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        nxt = jax.lax.rem(g + 1, 2)
+        dma_u(g + 1, nxt).start()
+        if has_corr:
+            dma_t2(g + 1, nxt).start()
+
+    dma_u(g, slot).wait()
+    if has_corr:
+        dma_t2(g, slot).wait()
+
+    # de-scale the storage dtype once per window (i16 Q2.14 -> f32)
+    f = _to_f32(scu[slot])
+    if scale != 1.0:
+        f = f * jnp.float32(scale)
+
+    def _dot(a, b, prec):
+        return jax.lax.dot_general(
+            a,
+            b,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    if mm == "bf16x3":
+        # window split into bf16 hi+lo (opa/opb); bank columns are
+        # [hi | lo] stacked along dim 1 in units of h2
+        fh = f.astype(jnp.bfloat16)
+        opa[...] = fh
+        opb[...] = (f - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        if has_corr:
+            t2 = sct2[slot]
+            t2h = t2.astype(jnp.bfloat16)
+            t2l = (t2 - t2h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def oband(a, b):
+            bh = yt_ref[a:b, :]
+            o = (
+                _dot(bh[:, 0:h], opa[...], None)
+                + _dot(bh[:, 0:h], opb[...], None)
+                + _dot(bh[:, h2 : h2 + h], opa[...], None)
+            )
+            if has_corr:
+                o = (
+                    o
+                    + _dot(bh[:, h : h + RPAD], t2h, None)
+                    + _dot(bh[:, h : h + RPAD], t2l, None)
+                    + _dot(bh[:, h2 + h : h2 + h + RPAD], t2h, None)
+                )
+            return o
+
+        def urows(a, b):
+            return opa[a:b].astype(jnp.float32) + opb[a:b].astype(jnp.float32)
+
+    else:  # "highest": f32 operands, fp32 contract precision
+        opa[...] = f
+
+        def oband(a, b):
+            o = _dot(yt_ref[a:b, 0:h], opa[...], jax.lax.Precision.HIGHEST)
+            if has_corr:
+                o = o + _dot(
+                    yt_ref[a:b, h : h + RPAD],
+                    sct2[slot],
+                    jax.lax.Precision.HIGHEST,
+                )
+            return o
+
+        def urows(a, b):
+            return opa[a:b]
+
+    # column offset of the interior strip within the window: 0 for the
+    # first strip, 2*HALO for the last, HALO otherwise (static 3-branch)
+    _, ss, ws = window(g)
+    coff = ss * Wb - ws
+
+    def store(rows_lo, casd, roff):
+        nrows = 2 * bo
+
+        def _at(o):
+            @pl.when(coff == o)
+            def _():
+                out_ref[0, rows_lo : rows_lo + nrows, :] = (
+                    casd[roff : roff + nrows, o : o + Wb]
+                    .astype(jnp.int32)
+                    .astype(jnp.uint8)
+                )
+
+        _at(0)
+        _at(HALO)
+        _at(2 * HALO)
+
+    def weave(ur, orows):
+        B = ur.shape[0]
+        return jnp.concatenate(
+            [ur[:, None, :], orows[:, None, :]], axis=1
+        ).reshape(2 * B, ur.shape[1])
+
+    # software-pipelined band loop: band k's CAS needs O row b (its south
+    # halo), which is band k+1's first dot row — compute one dot ahead.
+    nb = h // bo
+    ob = oband(0, bo)
+    prev1 = None  # O row a-1 from the previous band
+    for k in range(nb):
+        a, b = k * bo, (k + 1) * bo
+        ob_next = oband(b, b + bo) if k + 1 < nb else None
+        if k == 0:
+            # top band: woven starts at the true image top; _cas_band's
+            # edge duplication supplies the clamped north neighbors
+            uext = urows(0, b + 1) if nb > 1 else urows(0, b)
+            oext = (
+                jnp.concatenate([ob, ob_next[0:1]], axis=0)
+                if nb > 1
+                else ob
+            )
+            casd = _cas_band(weave(uext, oext), sharpen)
+            store(0, casd, 0)
+        elif k + 1 < nb:
+            uext = urows(a - 1, b + 1)
+            oext = jnp.concatenate([prev1, ob, ob_next[0:1]], axis=0)
+            casd = _cas_band(weave(uext, oext), sharpen)
+            store(2 * a, casd, 2)
+        else:
+            # bottom band: edge duplication supplies the south neighbors
+            uext = urows(a - 1, b)
+            oext = jnp.concatenate([prev1, ob], axis=0)
+            casd = _cas_band(weave(uext, oext), sharpen)
+            store(2 * a, casd, 2)
+        prev1 = ob[bo - 1 : bo]
+        ob = ob_next
+
+
+def ycas_u2_supported(U_shape, W: int, Wb: int, bo: int) -> bool:
+    C, h, w_ = U_shape[-3], U_shape[-2], U_shape[-1]
+    return (
+        w_ == W
+        and W % Wb == 0
+        and W >= Wb + 2 * HALO
+        and Wb % 128 == 0
+        and h % bo == 0
+        and h >= 2 * bo
+        and bo % 8 == 0
+    )
+
+
+def ycas_u2(
+    U: jnp.ndarray,
+    T2: jnp.ndarray | None,
+    YT: jnp.ndarray,
+    sharpen: float,
+    Wb: int = None,
+    bo: int = None,
+    mm: str = "bf16x3",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """U (..., C, h, W) storage dtype (f32 or i16 Q2.14), T2 (..., C, r, W)
+    f32 correction rows or None, YT the y bank from r2c_rows_banks
+    ("ycasYT2" stacked bf16 for mm="bf16x3", "ycasYT" f32 for
+    mm="highest") -> (..., C, 2h, W) uint8.  Leading dims fold into the
+    channel grid axis."""
+    lead = U.shape[:-2]
+    U = U.reshape((-1,) + U.shape[-2:])
+    C, h, W = U.shape
+    if Wb is None or bo is None:
+        from ..core.tuning import current
+
+        t = current()
+        if Wb is None:
+            # f32 windows double the VMEM of i16: narrower strips
+            Wb = t.ycas_wb if U.dtype == jnp.int16 else t.ycas_wb // 2
+        if bo is None:
+            bo = t.ycas_bo
+    has_corr = T2 is not None
+    if not ycas_u2_supported((C, h, W), W, Wb, bo):
+        raise ValueError(
+            f"ycas_u2 unsupported geometry h={h} W={W} Wb={Wb} bo={bo}"
+        )
+    h2 = h + RPAD if has_corr else h
+    if has_corr:
+        T2 = T2.reshape((-1,) + T2.shape[-2:])
+        r = T2.shape[-2]
+        if r < RPAD:  # pad correction rows to the DMA sublane quantum
+            T2 = jnp.concatenate(
+                [T2, jnp.zeros((C, RPAD - r, W), T2.dtype)], axis=-2
+            )
+    else:
+        T2 = jnp.zeros((C, RPAD, 128), jnp.float32)  # placeholder, unread
+    if mm == "bf16x3":
+        assert YT.dtype == jnp.bfloat16 and YT.shape == (h, 2 * h2), (
+            YT.shape,
+            YT.dtype,
+        )
+    else:
+        assert YT.dtype == jnp.float32
+        YT = YT[:, :h2]
+
+    Ww = Wb + 2 * HALO
+    ns = W // Wb
+    kern = functools.partial(
+        _ycas_kernel,
+        sharpen=float(sharpen),
+        h=h,
+        W=W,
+        Wb=Wb,
+        bo=bo,
+        ns=ns,
+        scale=_in_scale_for(U.dtype),
+        has_corr=has_corr,
+        mm=mm,
+    )
+    op_dt = jnp.bfloat16 if mm == "bf16x3" else jnp.float32
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((C, 2 * h, W), jnp.uint8),
+        grid=(C * ns,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                YT.shape, lambda g: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2 * h, Wb),
+            lambda g, ns=ns: (g // ns, 0, g % ns),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, h, Ww), U.dtype),
+            pltpu.VMEM((2, RPAD, Ww), jnp.float32),
+            pltpu.VMEM((h, Ww), op_dt),
+            pltpu.VMEM(
+                (h, Ww) if mm == "bf16x3" else (8, 128), op_dt
+            ),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(U, T2, YT)

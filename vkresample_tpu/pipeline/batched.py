@@ -19,9 +19,11 @@ def build_batched_upscale(
     plan: UpscalePlan,
     mesh: Optional[jax.sharding.Mesh] = None,
     planar_out: bool = False,
+    planes_out: bool = False,
 ) -> Callable:
-    """(N, h, w, C) uint8 -> (N, H, W, C) uint8 (or (N, C, H, W) planar),
-    one jitted program.
+    """(N, h, w, C) uint8 -> (N, H, W, C) uint8 (or (N, C, H, W) planar;
+    with planes_out, a pair of (N, C, H/2, W) parity planes), one jitted
+    program.
 
     With a mesh, frames shard over the 'dp' axis; each chip runs its own
     per-frame FFT pipeline (no cross-chip collectives, matching the
@@ -34,7 +36,11 @@ def build_batched_upscale(
     # _pipeline is batch-polymorphic over leading dims (vmap would hit the
     # pallas_call batching rule, which can't handle ANY-memspace refs)
     fn = functools.partial(
-        _pipeline, plan=plan, engine=engine, planar_out=planar_out
+        _pipeline,
+        plan=plan,
+        engine=engine,
+        planar_out=planar_out,
+        planes_out=planes_out,
     )
     if mesh is None:
         jitfn = jax.jit(fn)
@@ -42,7 +48,8 @@ def build_batched_upscale(
         sh = mesh_lib.frames_sharding(mesh)
         rep = mesh_lib.replicated(mesh)
         banks_sh = None if banks is None else jax.tree.map(lambda _: rep, banks)
-        jitfn = jax.jit(fn, in_shardings=(sh, banks_sh), out_shardings=sh)
+        out_sh = (sh, sh) if planes_out else sh
+        jitfn = jax.jit(fn, in_shardings=(sh, banks_sh), out_shardings=out_sh)
 
     def run(imgs, _fn=jitfn, _banks=banks):
         return _fn(imgs, _banks)

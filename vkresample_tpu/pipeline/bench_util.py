@@ -38,7 +38,8 @@ def make_looped(pipeline: Callable) -> Callable:
             # iteration i's output — forbids hoisting/parallelizing
             xi = x.at[zero_in].set(carry.astype(x.dtype))
             out = pipeline(xi, aux)
-            return out[(0,) * out.ndim]
+            leaf = jax.tree_util.tree_leaves(out)[0]  # pytree outputs ok
+            return leaf[(0,) * leaf.ndim]
 
         c = jax.lax.fori_loop(0, k, body, x[zero_in])
         return c.astype(jnp.int32)

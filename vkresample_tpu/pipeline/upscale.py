@@ -77,8 +77,14 @@ def _pipeline(
     plan: UpscalePlan = None,
     engine: Engine = None,
     planar_out: bool = False,
-) -> jnp.ndarray:
+    planes_out: bool = False,
+):
     """(h, w, C) uint8 -> (H, W, C) uint8 (or (C, H, W) when planar_out).
+
+    planes_out (u=2 only): return (E, D) uint8 parity planes, each
+    (C, H/2, W) — the fused per-parity CAS kernel's native layout; the
+    PNG encoder interleaves rows for free via row pointers, so the woven
+    image never exists on device OR host.
 
     `banks` is the (optional) device-array pytree of dense DFT matrices,
     passed as a jit argument so multi-MB matrices never become HLO literal
@@ -94,18 +100,19 @@ def _pipeline(
         and plan.r2c
     ):
         # row-split fast path: raw uint8 feeds the split-bf16 x matmul
-        # (normalization folded into the banks), XLA weaves the sample/
-        # non-sample rows, the Pallas kernel fuses CAS+quantize.
-        # (A fully-fused weave+CAS kernel exists — cas_quantize_rows_u —
-        # but measures slower on v5e; the XLA weave wins.)
+        # (normalization folded into the banks); the y matmul emits the
+        # non-sample rows; the Pallas kernel fuses CAS+quantize.
         from ..fft import dense
-        from ..ops.cas_pallas import cas_quantize_pallas
+        from ..ops.cas_pallas import (
+            cas_parity_planes_u2,
+            cas_quantize_pallas,
+        )
 
         x_raw = jnp.moveaxis(img_u8, -1, -3)  # (..., C, h, w)
         prec = plan.precision.matmul_precision
-        U, O = dense.r2c_rows(x_raw, banks, prec)
         import os
 
+        U, O = dense.r2c_rows(x_raw, banks, prec)
         storage = os.environ.get("VKRESAMPLE_HALF_STORAGE")
         if plan.precision is Precision.HALF and storage != "f32":
             if storage == "bf16":
@@ -122,8 +129,27 @@ def _pipeline(
                 # XLA fuses the round/cast into the matmul epilogues.
                 U = cas_ops.to_i16_storage(U)
                 O = cas_ops.to_i16_storage(O)
-        v = dense.weave_rows(U, O, plan.integer_upscale)
-        out = cas_quantize_pallas(v, plan.sharpen)
+        if plan.integer_upscale == 2 and not os.environ.get(
+            "VKRESAMPLE_NO_PARITY"
+        ):
+            # per-parity fused CAS: no woven pre-CAS image, no device-side
+            # row weave at all (measured 1.62 ms vs 2.14 ms for the
+            # weave+plain-CAS route at the flagship shape on v5e)
+            E, D = cas_parity_planes_u2(U, O, plan.sharpen)
+            if planes_out:
+                return E, D
+            out = jnp.stack([E, D], axis=-2)
+            out = out.reshape(
+                out.shape[:-3] + (2 * out.shape[-3], out.shape[-1])
+            )
+        else:
+            v = dense.weave_rows(U, O, plan.integer_upscale)
+            out = cas_quantize_pallas(v, plan.sharpen)
+        if planes_out:
+            o4 = out.reshape(
+                out.shape[:-2] + (out.shape[-2] // 2, 2, out.shape[-1])
+            )
+            return o4[..., 0, :], o4[..., 1, :]
         return out if planar_out else jnp.moveaxis(out, -3, -1)
 
     x = cas_ops.normalize_u8(img_u8, cdtype)  # (..., h, w, C)
@@ -135,10 +161,15 @@ def _pipeline(
         out = cas_quantize_pallas(v, plan.sharpen)
     else:
         out = cas_ops.quantize_u8(cas_ops.cas_sharpen(v, plan.sharpen))
+    if planes_out:
+        o4 = out.reshape(
+            out.shape[:-2] + (out.shape[-2] // 2, 2, out.shape[-1])
+        )
+        return o4[..., 0, :], o4[..., 1, :]
     return out if planar_out else jnp.moveaxis(out, -3, -1)
 
 
-def make_device_banks(plan: UpscalePlan, engine: Engine):
+def make_device_banks(plan: UpscalePlan, engine: Engine, device=None):
     """Device-resident dense bank pytree for MXU plans (None otherwise)."""
     if engine is not Engine.MXU:
         return None
@@ -151,20 +182,56 @@ def make_device_banks(plan: UpscalePlan, engine: Engine):
     )
     if banks is None:
         return None
-    return jax.device_put(banks)
+    if device is None:
+        return jax.device_put(banks)
+    return jax.device_put(banks, device)
+
+
+def parity_planes_supported(plan: UpscalePlan) -> bool:
+    """True when the plan runs the fused per-parity CAS route, whose
+    native device output is two uint8 parity planes (E even rows, D odd
+    rows) that the PNG encoder weaves for free."""
+    import os
+
+    from ..fft import dense
+    from ..fft.mxu_pipeline import DENSE_MAX
+
+    return (
+        _use_pallas_cas(plan)
+        and plan.resolve_engine() is Engine.MXU
+        and plan.r2c
+        and plan.integer_upscale == 2
+        and dense.r2c_rows_supported(plan)
+        and max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX
+        and not os.environ.get("VKRESAMPLE_NO_PARITY")
+    )
 
 
 @functools.lru_cache(maxsize=64)
-def build_upscale(plan: UpscalePlan, planar_out: bool = False) -> Callable:
+def build_upscale(
+    plan: UpscalePlan,
+    planar_out: bool = False,
+    device_id: Optional[int] = None,
+    planes_out: bool = False,
+) -> Callable:
     """Compile-once plan cache: the analog of initializeVulkanFFT being
     called once per (shape, precision, upscale) and reused across frames
     (VkResample.cpp:1506-1508, reuse loop at 1627).  The dense DFT banks
     are materialized on device here (the analog of VkFFT's plan-time LUT
-    upload, vkFFT.h:6157-6308) and passed per call."""
+    upload, vkFFT.h:6157-6308) and passed per call.
+
+    device_id selects the target device (the -d flag,
+    VkResample.cpp:1828-1844): banks are committed to it so the jitted
+    program and all its operands land on the same chip."""
     engine = plan.resolve_engine()
+    device = None if device_id is None else jax.devices()[device_id]
     jitfn = jax.jit(
         functools.partial(
-            _pipeline, plan=plan, engine=engine, planar_out=planar_out
+            _pipeline,
+            plan=plan,
+            engine=engine,
+            planar_out=planar_out,
+            planes_out=planes_out,
         )
     )
 
@@ -173,12 +240,12 @@ def build_upscale(plan: UpscalePlan, planar_out: bool = False) -> Callable:
         def fn_x64(img, _fn=jitfn, _plan=plan, _engine=engine, _banks=[None]):
             with jax.enable_x64():
                 if _banks[0] is None:
-                    _banks[0] = (make_device_banks(_plan, _engine),)
+                    _banks[0] = (make_device_banks(_plan, _engine, device),)
                 return _fn(img, _banks[0][0])
 
         return fn_x64
 
-    banks = make_device_banks(plan, engine)
+    banks = make_device_banks(plan, engine, device)
 
     def fn(img, _fn=jitfn, _banks=banks):
         return _fn(img, _banks)
