@@ -52,11 +52,7 @@ def parity_planes(xx, bb, br):
     return E  # planes are the final device artifact; probe one
 
 routes = [
-    ("split i16 (default)", split_route),
-    ("parity+weave bt=32", functools.partial(parity_weave, br=32)),
-    ("parity planes bt=32", functools.partial(parity_planes, br=32)),
     ("parity planes bt=64", functools.partial(parity_planes, br=64)),
-    ("parity planes bt=128", functools.partial(parity_planes, br=128)),
 ]
 
 # on-chip correctness of the planes route first
@@ -72,3 +68,39 @@ for name, fn in routes:
         print(f"{name:22s} {ms:8.3f} ms", flush=True)
     except Exception as e:
         print(f"{name:22s} FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
+
+
+# fused y+parity-CAS (in-kernel dots, no O in HBM)
+from vkresample_tpu.ops.ycas_pallas import ycas_parity_u2
+
+
+def ycas_parity(xx, bb, wb, bo):
+    xr = jnp.moveaxis(xx, -1, 0)
+    U, T2 = dense.r2c_x_only(xr, bb, HIGH)
+    U = cas_ops.to_i16_storage(U)
+    E, D = ycas_parity_u2(U, T2, bb["ycasYT2"], 0.2, Wb=wb, bo=bo)
+    return E
+
+
+# correctness on-chip first
+import functools as _ft
+E2, D2 = jax.jit(
+    _ft.partial(
+        lambda xx, bb: (lambda xr: (lambda UT: ycas_parity_u2(
+            cas_ops.to_i16_storage(UT[0]), UT[1], bb["ycasYT2"], 0.2, Wb=512, bo=64
+        ))(dense.r2c_x_only(xr, bb, HIGH)))(jnp.moveaxis(xx, -1, 0))
+    )
+)(x, banks)
+got2 = np.stack([np.asarray(E2), np.asarray(D2)], axis=-2).reshape(3, 2 * h, 2 * w)
+print("ycas_parity maxdiff vs oracle:", np.abs(got2.astype(int) - want.astype(int)).max(), flush=True)
+
+for name, fn in [
+    ("ycas_parity Wb=512 bo=64", _ft.partial(ycas_parity, wb=512, bo=64)),
+    ("ycas_parity Wb=512 bo=128", _ft.partial(ycas_parity, wb=512, bo=128)),
+    ("ycas_parity Wb=256 bo=64", _ft.partial(ycas_parity, wb=256, bo=64)),
+]:
+    try:
+        ms = time_device(fn, x, aux=banks, k1=4, k2=24)
+        print(f"{name:26s} {ms:8.3f} ms", flush=True)
+    except Exception as e:
+        print(f"{name:26s} FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)

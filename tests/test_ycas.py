@@ -61,3 +61,30 @@ def test_ycas_supported_predicate():
     assert not ycas_u2_supported((3, 1024, 512), 512, 512, 128)  # W too narrow
     assert not ycas_u2_supported((3, 100, 4096), 4096, 512, 128)  # h % bo
     assert not ycas_u2_supported((3, 1024, 4096), 4096, 320, 128)  # Wb % 128
+
+
+def test_ycas_parity_i16_matches_oracle():
+    """Fused y-matmul + per-parity CAS (no interleave): planes match the
+    oracle's even/odd rows."""
+    from vkresample_tpu.ops.ycas_pallas import ycas_parity_u2
+
+    banks, U, T2, want = _setup(seed=11)
+    E, D = ycas_parity_u2(
+        to_i16_storage(U), T2, jnp.asarray(banks["ycasYT2"]), 0.2,
+        Wb=128, bo=16, interpret=True,
+    )
+    got = np.stack([np.asarray(E), np.asarray(D)], axis=-2).reshape(want.shape)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_ycas_parity_single_band():
+    """nb == 1 geometry (whole column in one band)."""
+    from vkresample_tpu.ops.ycas_pallas import ycas_parity_u2
+
+    banks, U, T2, want = _setup(h=32, w=192, seed=13)
+    E, D = ycas_parity_u2(
+        to_i16_storage(U), T2, jnp.asarray(banks["ycasYT2"]), 0.2,
+        Wb=128, bo=16, interpret=True,
+    )
+    got = np.stack([np.asarray(E), np.asarray(D)], axis=-2).reshape(want.shape)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -229,6 +229,255 @@ def _ycas_kernel(
         ob = ob_next
 
 
+def _ycas_parity_kernel(
+    u_hbm,
+    t2_hbm,
+    yt_ref,
+    e_ref,
+    d_ref,
+    scu,
+    sct2,
+    opa,
+    opb,
+    sems,
+    *,
+    sharpen: float,
+    h: int,
+    W: int,
+    Wb: int,
+    bo: int,
+    ns: int,
+    scale: float,
+    has_corr: bool,
+):
+    """Parity-math variant of the fused y+CAS kernel: the in-kernel dots
+    produce O row bands and CAS evaluates per OUTPUT PARITY directly on
+    the U/O tiles — no sublane interleave anywhere (the woven variant's
+    poison: 4.1 ms vs 2.1 split on v5e).  E/D uint8 planes out.
+
+    Parity dependency structure (u=2): even row 2t needs O[t-1], O[t];
+    odd row 2t+1 needs U[t], U[t+1].  A band [a, b) therefore needs only
+    ONE carried O row (prev = O[a-1]) — no lookahead dot."""
+    from .cas_pallas import _parity_planes
+
+    g = pl.program_id(0)
+    Ww = Wb + 2 * HALO
+    h2 = h + RPAD if has_corr else h
+
+    def window(gg):
+        cc = gg // ns
+        ss = gg % ns
+        ws = pl.multiple_of(jnp.clip(ss * Wb - HALO, 0, W - Ww), HALO)
+        return cc, ss, ws
+
+    def dma_u(gg, slot):
+        cc, _, ws = window(gg)
+        return pltpu.make_async_copy(
+            u_hbm.at[cc, :, pl.ds(ws, Ww)], scu.at[slot], sems.at[slot, 0]
+        )
+
+    def dma_t2(gg, slot):
+        cc, _, ws = window(gg)
+        return pltpu.make_async_copy(
+            t2_hbm.at[cc, :, pl.ds(ws, Ww)], sct2.at[slot], sems.at[slot, 1]
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        dma_u(0, 0).start()
+        if has_corr:
+            dma_t2(0, 0).start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        nxt = jax.lax.rem(g + 1, 2)
+        dma_u(g + 1, nxt).start()
+        if has_corr:
+            dma_t2(g + 1, nxt).start()
+
+    dma_u(g, slot).wait()
+    if has_corr:
+        dma_t2(g, slot).wait()
+
+    f = _to_f32(scu[slot])
+    if scale != 1.0:
+        f = f * jnp.float32(scale)
+    # bf16 hi+lo split: exact-ish (residual ~2^-17) operands for the
+    # 3-pass HIGH-equivalent dots AND the CAS tiles reconstruct from them
+    fh = f.astype(jnp.bfloat16)
+    opa[...] = fh
+    opb[...] = (f - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    if has_corr:
+        t2 = sct2[slot]
+        t2h = t2.astype(jnp.bfloat16)
+        t2l = (t2 - t2h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a,
+            b,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def oband(a, b):
+        bh = yt_ref[a:b, :]
+        o = (
+            _dot(bh[:, 0:h], opa[...])
+            + _dot(bh[:, 0:h], opb[...])
+            + _dot(bh[:, h2 : h2 + h], opa[...])
+        )
+        if has_corr:
+            o = (
+                o
+                + _dot(bh[:, h : h + RPAD], t2h)
+                + _dot(bh[:, h : h + RPAD], t2l)
+                + _dot(bh[:, h2 + h : h2 + h + RPAD], t2h)
+            )
+        return o
+
+    def urows(a, b):
+        return opa[a:b].astype(jnp.float32) + opb[a:b].astype(jnp.float32)
+
+    _, ss, ws = window(g)
+    coff = ss * Wb - ws
+
+    def store(ref, rows_lo, plane, roff):
+        def _at(o):
+            @pl.when(coff == o)
+            def _():
+                ref[0, rows_lo : rows_lo + bo, :] = plane[
+                    roff : roff + bo, o : o + Wb
+                ]
+
+        _at(0)
+        _at(HALO)
+        _at(2 * HALO)
+
+    def _clip(t):
+        return jnp.clip(jnp.abs(t), 0.0, 1.0)
+
+    nb = h // bo
+    prev1 = None  # O row a-1 from the previous band
+    for k in range(nb):
+        a, b = k * bo, (k + 1) * bo
+        ob = oband(a, b)
+        if k == 0:
+            # tile rows [0, b+1): O row b is a never-read filler
+            lu = _clip(urows(0, min(b + 1, h)))
+            lo_ = _clip(
+                jnp.concatenate([ob, ob[bo - 1 : bo]], axis=0)[: lu.shape[0]]
+            )
+            even, odd = _parity_planes(lu, lo_, 0, h, sharpen)
+            store(e_ref, 0, even, 0)
+            store(d_ref, 0, odd, 0)
+        else:
+            # tile rows [a-1, min(b+1, h))
+            hi = min(b + 1, h)
+            lu = _clip(urows(a - 1, hi))
+            lo_ = _clip(
+                jnp.concatenate([prev1, ob, ob[bo - 1 : bo]], axis=0)[
+                    : lu.shape[0]
+                ]
+            )
+            even, odd = _parity_planes(lu, lo_, a - 1, h, sharpen)
+            store(e_ref, a, even, 1)
+            store(d_ref, a, odd, 1)
+        prev1 = ob[bo - 1 : bo]
+
+
+def ycas_parity_u2(
+    U: jnp.ndarray,
+    T2: jnp.ndarray | None,
+    YT2: jnp.ndarray,
+    sharpen: float,
+    Wb: int = None,
+    bo: int = None,
+    interpret: bool = False,
+):
+    """Fused y-matmul + per-parity CAS + quantize (u=2): U (..., C, h, W)
+    storage dtype (f32 or i16 Q2.14), T2 correction rows or None, YT2 the
+    stacked bf16 hi|lo y bank ("ycasYT2") -> (E, D) uint8 parity planes,
+    each (..., C, h, W).  O and the pre-CAS image never exist in HBM, and
+    there is no device-side row weave (the PNG encoder interleaves)."""
+    lead = U.shape[:-2]
+    U = U.reshape((-1,) + U.shape[-2:])
+    C, h, W = U.shape
+    if Wb is None or bo is None:
+        from ..core.tuning import current
+
+        t = current()
+        if Wb is None:
+            Wb = t.ycas_wb if U.dtype == jnp.int16 else t.ycas_wb // 2
+        if bo is None:
+            bo = t.ycas_bo
+    has_corr = T2 is not None
+    if not ycas_u2_supported((C, h, W), W, Wb, bo):
+        raise ValueError(
+            f"ycas_parity_u2 unsupported geometry h={h} W={W} Wb={Wb} bo={bo}"
+        )
+    h2 = h + RPAD if has_corr else h
+    if has_corr:
+        T2 = T2.reshape((-1,) + T2.shape[-2:])
+        r = T2.shape[-2]
+        if r < RPAD:
+            T2 = jnp.concatenate(
+                [T2, jnp.zeros((C, RPAD - r, W), T2.dtype)], axis=-2
+            )
+    else:
+        T2 = jnp.zeros((C, RPAD, 128), jnp.float32)  # placeholder, unread
+    assert YT2.dtype == jnp.bfloat16 and YT2.shape == (h, 2 * h2), (
+        YT2.shape,
+        YT2.dtype,
+    )
+
+    Ww = Wb + 2 * HALO
+    ns = W // Wb
+    kern = functools.partial(
+        _ycas_parity_kernel,
+        sharpen=float(sharpen),
+        h=h,
+        W=W,
+        Wb=Wb,
+        bo=bo,
+        ns=ns,
+        scale=_in_scale_for(U.dtype),
+        has_corr=has_corr,
+    )
+    out_spec = pl.BlockSpec(
+        (1, h, Wb),
+        lambda g, ns=ns: (g // ns, 0, g % ns),
+        memory_space=pltpu.VMEM,
+    )
+    E, D = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, h, W), jnp.uint8),
+            jax.ShapeDtypeStruct((C, h, W), jnp.uint8),
+        ),
+        grid=(C * ns,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                YT2.shape, lambda g: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((2, h, Ww), U.dtype),
+            pltpu.VMEM((2, RPAD, Ww), jnp.float32),
+            pltpu.VMEM((h, Ww), jnp.bfloat16),
+            pltpu.VMEM((h, Ww), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(U, T2, YT2)
+    return E.reshape(lead + (h, W)), D.reshape(lead + (h, W))
+
+
 def ycas_u2_supported(U_shape, W: int, Wb: int, bo: int) -> bool:
     C, h, w_ = U_shape[-3], U_shape[-2], U_shape[-1]
     return (
