@@ -219,3 +219,58 @@ def test_parity_planes_i16_matches_oracle():
     got = np.stack([np.asarray(E), np.asarray(D)], axis=-2).reshape(3, 2 * h, 2 * w)
     want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def _quad_setup(h, w, seed):
+    import jax
+
+    from vkresample_tpu.core.config import Engine
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.fft import dense, mxu_pipeline
+
+    plan = UpscalePlan(h=h, w=w, upscale=2.0, engine=Engine.MXU)
+    banks = mxu_pipeline.make_dense_banks(plan)
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    Ps = dense.r2c_quad(x_raw, banks, jax.lax.Precision.HIGHEST)
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    return Ps, want
+
+
+def _weave4(outs, want_shape):
+    got = np.zeros(want_shape, np.uint8)
+    got[:, 0::2, 0::2] = np.asarray(outs[0])
+    got[:, 0::2, 1::2] = np.asarray(outs[1])
+    got[:, 1::2, 0::2] = np.asarray(outs[2])
+    got[:, 1::2, 1::2] = np.asarray(outs[3])
+    return got
+
+
+def test_quad_parity_planes_matches_oracle():
+    from vkresample_tpu.ops.cas_pallas import cas_parity4_planes_u2
+
+    Ps, want = _quad_setup(64, 128, 43)
+    outs = cas_parity4_planes_u2(*Ps, 0.2, block_rows=16, interpret=True)
+    got = _weave4(outs, want.shape)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_quad_parity_planes_i16_matches_oracle():
+    from vkresample_tpu.ops.cas import to_i16_storage
+    from vkresample_tpu.ops.cas_pallas import cas_parity4_planes_u2
+
+    Ps, want = _quad_setup(64, 128, 44)
+    Ps = [to_i16_storage(p) for p in Ps]
+    outs = cas_parity4_planes_u2(*Ps, 0.2, block_rows=32, interpret=True)
+    got = _weave4(outs, want.shape)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_quad_parity_fallback_degenerate():
+    from vkresample_tpu.ops.cas_pallas import cas_parity4_planes_u2
+
+    Ps, want = _quad_setup(64, 50, 45)  # Wh=50 not a lane multiple
+    outs = cas_parity4_planes_u2(*Ps, 0.2, interpret=True)
+    got = _weave4(outs, want.shape)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -128,3 +128,34 @@ def test_pool_encode_batch_planar_parity(tmp_path):
         pool.encode_batch_planar_parity(paths, e, d)
     for i, p in enumerate(paths):
         np.testing.assert_array_equal(read_png(p), np.moveaxis(imgs[i], 0, -1))
+
+
+def test_write_png_planar_parity4_roundtrip(tmp_path):
+    from vkresample_tpu.io.png import read_png, write_png_planar_parity4
+
+    rng = np.random.default_rng(52)
+    img = rng.integers(0, 256, (3, 64, 48), np.uint8)  # (C, H, W)
+    ps = [img[:, ry::2, rx::2].copy() for ry in (0, 1) for rx in (0, 1)]
+    # order: p00, p01, p10, p11
+    ps = [img[:, 0::2, 0::2], img[:, 0::2, 1::2], img[:, 1::2, 0::2], img[:, 1::2, 1::2]]
+    p = str(tmp_path / "parity4.png")
+    write_png_planar_parity4(p, ps)
+    got = read_png(p)
+    np.testing.assert_array_equal(got, np.moveaxis(img, 0, -1))
+
+
+def test_pool_encode_batch_planar_parity4(tmp_path):
+    from vkresample_tpu.io.png import PngPool, read_png
+
+    rng = np.random.default_rng(53)
+    imgs = rng.integers(0, 256, (3, 3, 32, 64), np.uint8)  # (N, C, H, W)
+    ps = [
+        np.ascontiguousarray(imgs[:, :, ry::2, rx::2])
+        for ry in (0, 1)
+        for rx in (0, 1)
+    ]
+    paths = [str(tmp_path / f"{i:06d}.png") for i in range(3)]
+    with PngPool(2) as pool:
+        pool.encode_batch_planar_parity4(paths, ps)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(read_png(p), np.moveaxis(imgs[i], 0, -1))

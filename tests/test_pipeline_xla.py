@@ -109,3 +109,26 @@ def test_planes_out_matches_woven():
                                      planes_out=True))(jnp.asarray(img), banks)
     np.testing.assert_array_equal(np.asarray(E), woven[:, 0::2, :])
     np.testing.assert_array_equal(np.asarray(D), woven[:, 1::2, :])
+
+
+def test_planes_out_quad_matches_woven():
+    """Quad route formats: on CPU the pallas fast path is gated off, so
+    planes_format must be None (CLI then takes the woven path) while the
+    geometry predicate still selects quad for TPU runs.  The quad kernel
+    math itself is oracle-tested in test_cas_pallas; this guards the
+    format-consistency contract between planes_format and _pipeline."""
+    from vkresample_tpu.core.config import Engine, Precision
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.pipeline.upscale import _parity_route, planes_format
+
+    plan = UpscalePlan(h=32, w=128, upscale=2.0, precision=Precision.HALF,
+                       engine=Engine.MXU)
+    assert _parity_route(plan) == "quad"  # geometry says quad
+    assert planes_format(plan) is None  # but CPU has no pallas fast path
+
+    # odd-width geometry falls back to the rows formulation
+    plan2 = UpscalePlan(h=32, w=96, upscale=2.0, engine=Engine.MXU)
+    assert _parity_route(plan2) == "rows"
+    # non-u2 has no parity route at all
+    plan3 = UpscalePlan(h=32, w=128, upscale=3.0, engine=Engine.MXU)
+    assert _parity_route(plan3) is None

@@ -225,14 +225,16 @@ def run_single(cfg, extras) -> int:
     # planar device output (like the reference's planar GPU buffers); the
     # native PNG encoder interleaves channels during encode.  Banks and
     # compilation are committed to the same -d device as the input.
-    # u=2 plans emit PARITY PLANES (even/odd output rows) — the fused
-    # per-parity CAS kernel's native layout; the encoder's row pointers
-    # interleave them for free (pipeline/upscale.py parity_planes_supported).
-    from .pipeline.upscale import parity_planes_supported
+    # u=2 plans emit PARITY PLANES — the fused per-parity CAS kernels'
+    # native layouts ('quad': both axes split, 'rows': even/odd rows);
+    # the encoder's row loop interleaves them for free
+    # (pipeline/upscale.py planes_format).
+    from .pipeline.upscale import planes_format
 
-    planes = parity_planes_supported(plan)
+    fmt = planes_format(plan)
     fn = build_upscale(
-        plan, planar_out=True, device_id=cfg.device_id, planes_out=planes
+        plan, planar_out=True, device_id=cfg.device_id,
+        planes_out=fmt is not None,
     )
     x = jax.device_put(img, dev)
     from .utils.profiling import maybe_trace
@@ -245,7 +247,16 @@ def run_single(cfg, extras) -> int:
     )
     rc = 0
     out_path = cfg.output_path or default_output_name(w, cfg.upscale)
-    if planes:
+    if fmt == "quad":
+        ps = [np.asarray(p) for p in out]  # 4x (3, H/2, W/2)
+        if extras.get("validate"):
+            from .io.png import weave4_host
+
+            rc = _validate(img, np.moveaxis(weave4_host(*ps), 0, -1), plan)
+        from .io.png import write_png_planar_parity4
+
+        write_png_planar_parity4(out_path, ps)
+    elif fmt == "rows":
         e_np, d_np = (np.asarray(p) for p in out)  # each (3, H/2, W)
         if extras.get("validate"):
             woven = np.stack([e_np, d_np], axis=2).reshape(3, plan.H, plan.W)
@@ -309,11 +320,13 @@ def run_batched(cfg, extras) -> int:
         batch = max(n_dev, (batch // n_dev) * n_dev)
     # planar device output + native planar encode: no layout transpose on
     # either side of the PNG boundary.  u=2 plans emit parity planes and
-    # the encoder's row pointers interleave them for free.
-    from .pipeline.upscale import parity_planes_supported
+    # the encoder's row loop interleaves them for free.
+    from .pipeline.upscale import planes_format
 
-    planes = parity_planes_supported(plan)
-    fn = build_batched_upscale(plan, mesh, planar_out=True, planes_out=planes)
+    fmt = planes_format(plan)
+    fn = build_batched_upscale(
+        plan, mesh, planar_out=True, planes_out=fmt is not None
+    )
 
     t0 = time.perf_counter()
     done = 0
@@ -333,7 +346,10 @@ def run_batched(cfg, extras) -> int:
                     imgs = np.concatenate([imgs, pad], 0)
             if pending is not None:
                 paths_prev, res_prev, n_prev = pending
-                if planes:
+                if fmt == "quad":
+                    ps = [np.asarray(p)[:n_prev] for p in res_prev]
+                    pool.encode_batch_planar_parity4(paths_prev, ps)
+                elif fmt == "rows":
                     e_np = np.asarray(res_prev[0])[:n_prev]
                     d_np = np.asarray(res_prev[1])[:n_prev]
                     pool.encode_batch_planar_parity(paths_prev, e_np, d_np)

@@ -19,6 +19,7 @@ class DeviceTuning:
     ycas_wb: int = 256  # fused y+CAS strip width (i16; 512 OOMs 16M VMEM)
     ycas_bo: int = 128  # fused y+CAS kernel row-band height
     parity_block: int = 64  # per-parity CAS band height (1.62 ms on v5e)
+    quad_block: int = 64  # quad-parity CAS band height (1.57 ms on v5e)
 
 
 _TABLE = {

@@ -441,6 +441,15 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
         banks["Y1n"] = (Y1 / 255.0).astype(dtype)
         banks["beta"] = beta.astype(dtype)
     if u == 2 and dtype != "float64":
+        # quad-parity column split: output col 2s is EXACT up to a rank-1
+        # x-Nyquist correction (alpha[:, 0::2] = I - outer((-1)^i,(-1)^s)/w,
+        # verified to 5e-15), so the x matmul only needs the ODD columns —
+        # half the MXU work.  /255 folded, split-bf16 hi|lo like alpha.
+        aodd = alpha[:, 1::2] / 255.0
+        ao_hi = aodd.astype("bfloat16")
+        ao_lo = (aodd - ao_hi.astype(np.float64)).astype("bfloat16")
+        banks["alpha_odd_hi"] = ao_hi
+        banks["alpha_odd_lo"] = ao_lo
         # transposed banks for the fused y-matmul+CAS kernel
         # (ops/ycas_pallas.py): "ycasYT" f32 (h_ns, h2) for the HIGHEST
         # mode, "ycasYT2" stacked bf16 [hi | lo] (h_ns, 2*h2) for the
@@ -497,6 +506,57 @@ def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision):
     Uaug = U if T2 is None else jnp.concatenate([U, T2], axis=-2)
     O = jnp.einsum("jm,...jn->...mn", banks["Ymat_ns"], Uaug, precision=precision)
     return U, O
+
+
+def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision):
+    """Quad-parity fast path (u=2).  x_raw holds RAW uint8 values 0..255.
+    Returns the four pre-CAS parity planes, each (..., h, w):
+
+      P00 = output (even rows, even cols) = x/255 - rank-1 x-Nyquist corr
+      P01 = output (even rows, odd cols)  = x @ alpha_odd    [half-x matmul]
+      P10 = output (odd rows, even cols)  = Ymat_ns^T @ P00aug
+      P11 = output (odd rows, odd cols)   = Ymat_ns^T @ P01aug
+
+    Even output columns are exact samples up to the rank-1 correction
+    (alpha[:, 0::2] = I - outer((-1)^i, (-1)^s)/w), and even output rows
+    are exact x-pass rows (r2c_rows_supported identity) — so the full
+    transform chain is ONE half-width x matmul + the y matmul, and no
+    woven image ever exists (the PNG encoder interleaves both axes)."""
+    bank_dt = banks["alpha_odd_hi"].dtype
+    w = x_raw.shape[-1]
+    xb = x_raw.astype(bank_dt)
+    acc = jnp.float32
+    a_cat = jnp.concatenate(
+        [banks["alpha_odd_hi"], banks["alpha_odd_lo"]], axis=0
+    )
+    x_cat = jnp.concatenate([xb, xb], axis=-1)
+    P01 = jnp.einsum(
+        "...hk,kn->...hn", x_cat, a_cat, preferred_element_type=acc
+    )
+    xf = x_raw.astype(acc)
+    signs = jnp.asarray((-1.0) ** np.arange(w), acc)
+    q = jnp.sum(xf * signs, axis=-1, keepdims=True)  # (..., h, 1)
+    P00 = xf * jnp.asarray(1.0 / 255.0, acc) - (signs * q) * jnp.asarray(
+        1.0 / (255.0 * w), acc
+    )
+    t2e = t2o = None
+    if "Y1n" in banks:
+        tcorr = jnp.einsum(
+            "...hw,hr->...rw", xf, banks["Y1n"], precision=precision
+        )
+        t2 = jnp.einsum(
+            "...rw,wn->...rn", tcorr, banks["beta"], precision=precision
+        )
+        t2e, t2o = t2[..., 0::2], t2[..., 1::2]
+    P00aug = P00 if t2e is None else jnp.concatenate([P00, t2e], axis=-2)
+    P01aug = P01 if t2o is None else jnp.concatenate([P01, t2o], axis=-2)
+    P10 = jnp.einsum(
+        "jm,...jn->...mn", banks["Ymat_ns"], P00aug, precision=precision
+    )
+    P11 = jnp.einsum(
+        "jm,...jn->...mn", banks["Ymat_ns"], P01aug, precision=precision
+    )
+    return P00, P01, P10, P11
 
 
 def weave_rows(U: jnp.ndarray, O: jnp.ndarray, u: int) -> jnp.ndarray:

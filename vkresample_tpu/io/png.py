@@ -128,6 +128,24 @@ def _load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.vkr_png_encode_planar_parity4.restype = ctypes.c_int
+        lib.vkr_png_encode_planar_parity4.argtypes = [
+            ctypes.c_char_p,
+        ] + [ctypes.POINTER(ctypes.c_ubyte)] * 4 + [
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.vkr_pool_encode_batch_planar_parity4.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+        ] + [ctypes.POINTER(ctypes.c_ubyte)] * 4 + [
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
         _lib = lib
         return _lib
 
@@ -217,6 +235,46 @@ def write_png_planar_parity(
         return
     img = np.stack([e, d], axis=2).reshape(3, 2 * h2, w)  # host weave
     write_png(path, np.moveaxis(img, 0, -1), compression_level)
+
+
+def write_png_planar_parity4(
+    path: str, planes, compression_level: int = 6
+) -> None:
+    """Encode from QUAD-PARITY planes: (p00, p01, p10, p11), each
+    (3, H/2, W/2) uint8 (p[output row parity][output col parity]) — the
+    quad pipeline's native layout; both interleaves happen inside the
+    encoder's row loop (free)."""
+    ps = [np.ascontiguousarray(p, np.uint8) for p in planes]
+    if len(ps) != 4 or any(
+        p.shape != ps[0].shape or p.ndim != 3 or p.shape[0] != 3 for p in ps
+    ):
+        raise ValueError(f"expected 4 matching (3, h, w) planes")
+    lib = _load_native()
+    _, h2, wh = ps[0].shape
+    if lib is not None:
+        rc = lib.vkr_png_encode_planar_parity4(
+            path.encode(),
+            *[p.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)) for p in ps],
+            2 * wh,
+            2 * h2,
+            compression_level,
+        )
+        if rc != 0:
+            raise OSError(f"PNG encode failed ({rc}): {path}")
+        return
+    img = weave4_host(*ps)
+    write_png(path, np.moveaxis(img, 0, -1), compression_level)
+
+
+def weave4_host(p00, p01, p10, p11) -> np.ndarray:
+    """Host assembly of quad-parity planes into (..., 3, H, W) uint8."""
+    c, h2, wh = p00.shape[-3:]
+    out = np.empty(p00.shape[:-3] + (c, 2 * h2, 2 * wh), np.uint8)
+    out[..., 0::2, 0::2] = p00
+    out[..., 0::2, 1::2] = p01
+    out[..., 1::2, 0::2] = p10
+    out[..., 1::2, 1::2] = p11
+    return out
 
 
 def write_png(path: str, img: np.ndarray, compression_level: int = 6) -> None:
@@ -402,4 +460,34 @@ class PngPool:
                     raise OSError(f"PNG encode failed ({st}): {paths[i]}")
             return
         img = np.stack([e, d], axis=3).reshape(n, 3, 2 * h2, w)
+        self.encode_batch(paths, np.moveaxis(img, 1, -1), compression_level)
+
+    def encode_batch_planar_parity4(
+        self, paths: Sequence[str], planes, compression_level: int = 6
+    ) -> None:
+        """Encode QUAD-PARITY frames: 4 arrays (N, 3, H/2, W/2) uint8
+        (p[row parity][col parity]); both interleaves happen per row in
+        the encoder."""
+        ps = [np.ascontiguousarray(p, np.uint8) for p in planes]
+        n, c, h2, wh = ps[0].shape
+        assert c == 3 and len(paths) == n
+        assert all(p.shape == ps[0].shape for p in ps)
+        if self._lib is not None:
+            c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+            status = (ctypes.c_int * n)()
+            self._lib.vkr_pool_encode_batch_planar_parity4(
+                self._pool,
+                c_paths,
+                n,
+                *[p.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)) for p in ps],
+                2 * wh,
+                2 * h2,
+                compression_level,
+                status,
+            )
+            for i, st in enumerate(status):
+                if st != 0:
+                    raise OSError(f"PNG encode failed ({st}): {paths[i]}")
+            return
+        img = weave4_host(*ps)  # (N, 3, H, W)
         self.encode_batch(paths, np.moveaxis(img, 1, -1), compression_level)

@@ -266,6 +266,68 @@ int vkr_png_encode_planar_parity(const char* path, const unsigned char* e,
 }
 
 // ---------------------------------------------------------------------
+// quad-parity encode: the quad pipeline splits BOTH axes by parity —
+// four (3, H/2, W/2) uint8 plane stacks (p[row parity][col parity]).
+// The row loop assembles each output row from two plane stacks.
+// ---------------------------------------------------------------------
+int vkr_png_encode_planar_parity4(const char* path, const unsigned char* p00,
+                                  const unsigned char* p01,
+                                  const unsigned char* p10,
+                                  const unsigned char* p11, int width,
+                                  int height, int compression_level) {
+  if (height % 2 || width % 2) return -4;
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return -1;
+
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return -2;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(fp);
+    return -2;
+  }
+  std::vector<unsigned char> row((size_t)width * 3);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return -3;
+  }
+
+  png_init_io(png, fp);
+  png_set_compression_level(png, compression_level);
+  png_set_filter(png, 0, PNG_FILTER_SUB);
+  png_set_IHDR(png, info, width, height, 8, PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+
+  const int wh = width / 2;
+  const size_t plane = (size_t)(height / 2) * wh;
+  for (int y = 0; y < height; y++) {
+    const unsigned char* even_cols = (y & 1) ? p10 : p00;
+    const unsigned char* odd_cols = (y & 1) ? p11 : p01;
+    const size_t off = (size_t)(y >> 1) * wh;
+    for (int x = 0; x < wh; x++) {
+      for (int c = 0; c < 3; c++) {
+        row[3 * (2 * x) + c] = even_cols[c * plane + off + x];
+        row[3 * (2 * x + 1) + c] = odd_cols[c * plane + off + x];
+      }
+    }
+    png_write_row(png, row.data());
+  }
+  png_write_end(png, info);
+
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
+// ---------------------------------------------------------------------
 // worker pool: parallel decode/encode of file batches.
 // Replaces the reference's one-OS-thread-per-worker design
 // (VkResample.cpp:1958-1969) with a reusable pool.
@@ -410,6 +472,26 @@ void vkr_pool_encode_batch_planar_parity(void* pool, const char** paths,
     p->submit([=] {
       status[i] = vkr_png_encode_planar_parity(
           paths[i], e + (size_t)i * frame, d + (size_t)i * frame, w, h,
+          compression_level);
+    });
+  }
+  p->wait_idle();
+}
+
+// Encode a batch from four contiguous quad-parity buffers, each
+// (n, 3, h/2, w/2): p[row parity][col parity].
+void vkr_pool_encode_batch_planar_parity4(
+    void* pool, const char** paths, int n, const unsigned char* p00,
+    const unsigned char* p01, const unsigned char* p10,
+    const unsigned char* p11, int w, int h, int compression_level,
+    int* status) {
+  Pool* p = static_cast<Pool*>(pool);
+  const size_t frame = (size_t)(w / 2) * (h / 2) * 3;
+  for (int i = 0; i < n; i++) {
+    p->submit([=] {
+      const size_t o = (size_t)i * frame;
+      status[i] = vkr_png_encode_planar_parity4(
+          paths[i], p00 + o, p01 + o, p10 + o, p11 + o, w, h,
           compression_level);
     });
   }

@@ -589,6 +589,230 @@ def cas_parity_planes_u2(
 
 
 # ---------------------------------------------------------------------------
+# quad-parity fused CAS (u=2): rows AND columns split by parity
+# ---------------------------------------------------------------------------
+#
+# With the x matmul restricted to odd output columns (even columns are
+# exact samples + a rank-1 correction — see dense.r2c_quad), the pipeline
+# carries four pre-CAS parity planes P[ry][rx] and CAS evaluates each
+# output parity class directly: every stencil neighbor of a pixel in
+# plane (ry, rx) is a one-step row/column shift of a SIBLING plane, so no
+# interleave exists anywhere — the PNG encoder assembles rows from the
+# four uint8 planes via its row loop (both axes, free).
+#
+# Separable clamps (reference id_x_m/id_y_m independence,
+# VkResample.cpp:889-892) resolve exactly:
+#   col 0 west -> the center column's own value; col W-1 east likewise;
+#   corner extremes are row-shifts of the neighbor columns' x-extremes
+#   with the same clamp fallbacks.
+
+
+def _shiftL(t):
+    return jnp.concatenate([t[:, :1], t[:, :-1]], axis=1)
+
+
+def _shiftR(t):
+    return jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+
+
+def _quad_planes(p, ts, h, sharpen):
+    """p[ry][rx]: clipped tiles covering global rows [ts, ts+rows) of the
+    four parity planes (each h x Wh globally).  Returns the four uint8
+    output tiles; rows valid wherever the row halo is inside the tile
+    (global top/bottom handled by the clamps)."""
+    rows, Wh = p[0][0].shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    gtop = (row + ts) == 0
+    gbot = (row + ts) == h - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Wh), 1)
+    gleft = col == 0
+    gright = col == Wh - 1
+
+    # west/east values + extremes for centers living in (rho, rx)
+    wv = [[None, None], [None, None]]
+    ev = [[None, None], [None, None]]
+    xmin = [[None, None], [None, None]]
+    xmax = [[None, None], [None, None]]
+    wpe = [[None, None], [None, None]]
+    for ry in (0, 1):
+        a, b = p[ry][0], p[ry][1]
+        wv[ry][0] = jnp.where(gleft, a, _shiftL(b))
+        ev[ry][0] = b
+        wv[ry][1] = a
+        ev[ry][1] = jnp.where(gright, b, _shiftR(a))
+        for rx in (0, 1):
+            xmin[ry][rx] = jnp.minimum(wv[ry][rx], ev[ry][rx])
+            xmax[ry][rx] = jnp.maximum(wv[ry][rx], ev[ry][rx])
+            wpe[ry][rx] = wv[ry][rx] + ev[ry][rx]
+
+    out = [[None, None], [None, None]]
+    for ry in (0, 1):
+        for rx in (0, 1):
+            c = p[ry][rx]
+            sib = p[1 - ry][rx]
+            if ry == 0:
+                n = jnp.where(gtop, c, _yshift_up(sib))
+                s = sib
+                nmin = jnp.where(gtop, xmin[0][rx], _yshift_up(xmin[1][rx]))
+                nmax = jnp.where(gtop, xmax[0][rx], _yshift_up(xmax[1][rx]))
+                smin, smax = xmin[1][rx], xmax[1][rx]
+            else:
+                n = sib
+                s = jnp.where(gbot, c, _yshift_dn(sib))
+                nmin, nmax = xmin[0][rx], xmax[0][rx]
+                smin = jnp.where(gbot, xmin[1][rx], _yshift_dn(xmin[0][rx]))
+                smax = jnp.where(gbot, xmax[1][rx], _yshift_dn(xmax[0][rx]))
+            out[ry][rx] = _cas_core(
+                c, n, s, xmin[ry][rx], xmax[ry][rx], wpe[ry][rx],
+                jnp.minimum(nmin, smin), jnp.maximum(nmax, smax), sharpen,
+            )
+    return out
+
+
+def _quad_kernel(
+    p00_hbm, p01_hbm, p10_hbm, p11_hbm,
+    o00_ref, o01_ref, o10_ref, o11_ref,
+    s00, s01, s10, s11, sems,
+    *, sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
+):
+    g = pl.program_id(0)
+    rows = bt + 2 * pad
+    ins = (p00_hbm, p01_hbm, p10_hbm, p11_hbm)
+    scr = (s00, s01, s10, s11)
+
+    def window(gg):
+        cc = gg // nb
+        ii = gg % nb
+        ts = pl.multiple_of(jnp.clip(ii * bt - pad, 0, h - rows), pad)
+        return cc, ts
+
+    def dmas(gg, slot):
+        cc, ts = window(gg)
+        return [
+            pltpu.make_async_copy(
+                ins[j].at[cc, pl.ds(ts, rows), :], scr[j].at[slot],
+                sems.at[slot, j],
+            )
+            for j in range(4)
+        ]
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        for dma in dmas(g + 1, jax.lax.rem(g + 1, 2)):
+            dma.start()
+
+    for dma in dmas(g, slot):
+        dma.wait()
+
+    _, ts = window(g)
+
+    def _clip(t):
+        f = _to_f32(t)
+        if scale != 1.0:
+            f = f * jnp.float32(scale)
+        return jnp.clip(jnp.abs(f), 0.0, 1.0)
+
+    p = [
+        [_clip(s00[slot]), _clip(s01[slot])],
+        [_clip(s10[slot]), _clip(s11[slot])],
+    ]
+    out = _quad_planes(p, ts, h, sharpen)
+
+    i = g % nb
+    offset = i * bt - jnp.clip(i * bt - pad, 0, h - rows)
+    refs = (o00_ref, o01_ref, o10_ref, o11_ref)
+
+    def _store(o):
+        @pl.when(offset == o)
+        def _():
+            for ref, (ry, rx) in zip(refs, ((0, 0), (0, 1), (1, 0), (1, 1))):
+                ref[0] = out[ry][rx][o : o + bt, :]
+
+    _store(0)
+    _store(pad)
+    _store(2 * pad)
+
+
+def cas_parity4_planes_u2(
+    P00, P01, P10, P11, sharpen: float, block_rows: int = None,
+    interpret: bool = False,
+):
+    """u=2 quad-parity fused CAS: four pre-CAS planes (..., h, Wh) — rows
+    split by output row parity, columns by output column parity (see
+    dense.r2c_quad) — to four uint8 planes of the same shape.  Accepts
+    f32 or int16 Q2.14 inputs."""
+    lead = P00.shape[:-2]
+    planes = [x.reshape((-1,) + x.shape[-2:]) for x in (P00, P01, P10, P11)]
+    C, h, Wh = planes[0].shape
+    dt = planes[0].dtype
+    pad = _pad_for(dt)
+    if block_rows is None:
+        from ..core.tuning import current
+
+        block_rows = current().quad_block
+        if dt != jnp.int16:
+            block_rows = max(pad, block_rows // 2)
+    bt = _fit_block(block_rows, h, pad)
+    if (
+        bt < pad
+        or Wh % 128
+        or h < bt + 2 * pad
+        or dt not in (jnp.float32, jnp.int16)
+        or any(x.dtype != dt or x.shape != planes[0].shape for x in planes)
+    ):
+        # degenerate geometry: evaluate via the XLA CAS on the woven image
+        from . import cas as cas_ops
+
+        f = [
+            cas_ops.from_i16_storage(x) if x.dtype == jnp.int16
+            else x.astype(jnp.float32)
+            for x in planes
+        ]
+        v = jnp.stack(
+            [jnp.stack([f[0], f[1]], axis=-1), jnp.stack([f[2], f[3]], axis=-1)],
+            axis=-3,
+        )  # (C, h, 2, Wh, 2)
+        v = v.reshape(C, 2 * h, 2 * Wh)
+        out = cas_quantize_pallas(v, sharpen, interpret=interpret)
+        o4 = out.reshape(C, h, 2, Wh, 2)
+        return tuple(
+            o4[:, :, ry, :, rx].reshape(lead + (h, Wh))
+            for ry, rx in ((0, 0), (0, 1), (1, 0), (1, 1))
+        )
+
+    nb = h // bt
+    rows = bt + 2 * pad
+    kern = functools.partial(
+        _quad_kernel, sharpen=float(sharpen), bt=bt, h=h, nb=nb, pad=pad,
+        scale=_in_scale_for(dt),
+    )
+    ospec = pl.BlockSpec(
+        (1, bt, Wh), lambda g, nb=nb: (g // nb, g % nb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((C, h, Wh), jnp.uint8) for _ in range(4)
+        ),
+        grid=(C * nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(ospec, ospec, ospec, ospec),
+        scratch_shapes=[pltpu.VMEM((2, rows, Wh), dt)] * 4
+        + [pltpu.SemaphoreType.DMA((2, 4))],
+        interpret=interpret,
+    )(*planes)
+    return tuple(x.reshape(lead + (h, Wh)) for x in outs)
+
+
+# ---------------------------------------------------------------------------
 # block-pipelined CAS (automatic Mosaic prefetch, no manual DMA)
 # ---------------------------------------------------------------------------
 #

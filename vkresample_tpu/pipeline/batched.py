@@ -48,8 +48,9 @@ def build_batched_upscale(
         sh = mesh_lib.frames_sharding(mesh)
         rep = mesh_lib.replicated(mesh)
         banks_sh = None if banks is None else jax.tree.map(lambda _: rep, banks)
-        out_sh = (sh, sh) if planes_out else sh
-        jitfn = jax.jit(fn, in_shardings=(sh, banks_sh), out_shardings=out_sh)
+        # `sh` is a pytree prefix: applies to every output leaf (woven
+        # array, or the 2/4 parity planes)
+        jitfn = jax.jit(fn, in_shardings=(sh, banks_sh), out_shardings=sh)
 
     def run(imgs, _fn=jitfn, _banks=banks):
         return _fn(imgs, _banks)

@@ -112,29 +112,53 @@ def _pipeline(
         prec = plan.precision.matmul_precision
         import os
 
-        U, O = dense.r2c_rows(x_raw, banks, prec)
         storage = os.environ.get("VKRESAMPLE_HALF_STORAGE")
-        if plan.precision is Precision.HALF and storage != "f32":
+
+        def _store16(t):
+            # -p 2 half-memory storage (DEFAULT): int16 Q2.14 fixed point.
+            # Same bytes as the reference's fp16 storage (vkFFT.h:55
+            # halfPrecisionMemoryOnly), ~16x finer resolution on the
+            # CAS-clipped [0,1] signal (~0.008 u8 LSB); halves CAS HBM
+            # traffic vs f32.  XLA fuses the round/cast into the matmul
+            # epilogues.  bf16 is an A/B knob (up to 4 u8 LSB).
+            if plan.precision is not Precision.HALF or storage == "f32":
+                return t
             if storage == "bf16":
-                # A/B knob: bf16 storage (8 mantissa bits) costs up to
-                # 4 u8 LSB — kept for experiments only.
-                U = U.astype(jnp.bfloat16)
-                O = O.astype(jnp.bfloat16)
-            else:
-                # -p 2 half-memory storage (DEFAULT): int16 Q2.14 fixed
-                # point.  Same bytes as the reference's fp16 storage
-                # (vkFFT.h:55 halfPrecisionMemoryOnly), ~16x finer
-                # resolution on the CAS-clipped [0,1] signal (~0.008 u8
-                # LSB), and it halves weave+CAS HBM traffic vs f32.
-                # XLA fuses the round/cast into the matmul epilogues.
-                U = cas_ops.to_i16_storage(U)
-                O = cas_ops.to_i16_storage(O)
-        if plan.integer_upscale == 2 and not os.environ.get(
-            "VKRESAMPLE_NO_PARITY"
-        ):
+                return t.astype(jnp.bfloat16)
+            return cas_ops.to_i16_storage(t)
+
+        fmt = _parity_route(plan)
+        if fmt == "quad" and "alpha_odd_hi" in banks:
+            # quad-parity: x matmul only computes ODD output columns (even
+            # columns are exact samples + a rank-1 correction); CAS runs
+            # per (row, col) output parity on four half-width planes — no
+            # interleave anywhere on device (1.57 ms vs 1.97 rows-parity
+            # vs 2.14 weave+CAS at the flagship shape on v5e)
+            from ..ops.cas_pallas import cas_parity4_planes_u2
+
+            Ps = dense.r2c_quad(x_raw, banks, prec)
+            outs = cas_parity4_planes_u2(
+                *[_store16(p) for p in Ps], plan.sharpen
+            )
+            if planes_out:
+                return outs
+            o = jnp.stack(
+                [
+                    jnp.stack([outs[0], outs[1]], axis=-1),
+                    jnp.stack([outs[2], outs[3]], axis=-1),
+                ],
+                axis=-3,
+            )  # (..., h, 2, Wh, 2)
+            out = o.reshape(
+                o.shape[:-4] + (2 * o.shape[-4], 2 * o.shape[-2])
+            )
+            return out if planar_out else jnp.moveaxis(out, -3, -1)
+
+        U, O = dense.r2c_rows(x_raw, banks, prec)
+        U, O = _store16(U), _store16(O)
+        if fmt is not None:
             # per-parity fused CAS: no woven pre-CAS image, no device-side
-            # row weave at all (measured 1.62 ms vs 2.14 ms for the
-            # weave+plain-CAS route at the flagship shape on v5e)
+            # row weave at all
             E, D = cas_parity_planes_u2(U, O, plan.sharpen)
             if planes_out:
                 return E, D
@@ -187,12 +211,26 @@ def make_device_banks(plan: UpscalePlan, engine: Engine, device=None):
     return jax.device_put(banks, device)
 
 
-def parity_planes_supported(plan: UpscalePlan) -> bool:
-    """True when the plan runs the fused per-parity CAS route, whose
-    native device output is two uint8 parity planes (E even rows, D odd
-    rows) that the PNG encoder weaves for free."""
+def _parity_route(plan: UpscalePlan):
+    """Which parity formulation the u=2 fast path uses (geometry/env only;
+    callers gate on engine/banks): 'quad' (rows AND columns split — four
+    planes), 'rows' (two planes), or None."""
     import os
 
+    if plan.integer_upscale != 2 or os.environ.get("VKRESAMPLE_NO_PARITY"):
+        return None
+    if (
+        plan.w % 128 == 0
+        and os.environ.get("VKRESAMPLE_HALF_STORAGE") != "bf16"
+    ):
+        return "quad"
+    return "rows"
+
+
+def parity_planes_supported(plan: UpscalePlan) -> bool:
+    """True when the plan runs a fused per-parity CAS route whose native
+    device output is uint8 parity planes that the PNG encoder weaves for
+    free (see planes_format for which layout)."""
     from ..fft import dense
     from ..fft.mxu_pipeline import DENSE_MAX
 
@@ -200,11 +238,19 @@ def parity_planes_supported(plan: UpscalePlan) -> bool:
         _use_pallas_cas(plan)
         and plan.resolve_engine() is Engine.MXU
         and plan.r2c
-        and plan.integer_upscale == 2
         and dense.r2c_rows_supported(plan)
         and max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX
-        and not os.environ.get("VKRESAMPLE_NO_PARITY")
+        and _parity_route(plan) is not None
     )
+
+
+def planes_format(plan: UpscalePlan):
+    """Device output layout of the planes_out pipeline: 'quad' = four
+    (C, H/2, W/2) planes p[row parity][col parity]; 'rows' = (E, D)
+    (C, H/2, W) planes; None = woven output only."""
+    if not parity_planes_supported(plan):
+        return None
+    return _parity_route(plan)
 
 
 @functools.lru_cache(maxsize=64)
