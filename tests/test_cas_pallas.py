@@ -274,3 +274,54 @@ def test_quad_parity_fallback_degenerate():
     outs = cas_parity4_planes_u2(*Ps, 0.2, interpret=True)
     got = _weave4(outs, want.shape)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_quad_parity_column_strips():
+    """Wide planes route through the column-strip kernel (Wh > quad_wmax);
+    strip halos must reproduce the full-width result exactly."""
+    from vkresample_tpu.ops.cas import to_i16_storage
+    from vkresample_tpu.ops.cas_pallas import cas_parity4_planes_u2
+
+    rng = np.random.default_rng(46)
+    Wh = 1024
+    planes = [
+        to_i16_storage(jnp.asarray(rng.random((2, 64, Wh), np.float32) * 1.2 - 0.1))
+        for _ in range(4)
+    ]
+    import vkresample_tpu.core.tuning as tuning
+
+    full = cas_parity4_planes_u2(*planes, 0.2, block_rows=16, interpret=True)
+    orig = tuning.current
+    try:
+        t = orig()
+        import dataclasses
+
+        tuning.current = lambda: dataclasses.replace(t, quad_wmax=256)
+        strips = cas_parity4_planes_u2(*planes, 0.2, block_rows=16, interpret=True)
+    finally:
+        tuning.current = orig
+    for a, b in zip(full, strips):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_phases_quad_route_matches_oracle():
+    """The >DENSE_MAX route composition: packed forward -> phase planes ->
+    quad CAS (the phases ARE the parities).  CPU interpret, small shape."""
+    from vkresample_tpu.core.config import Engine
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.fft.rfft2 import irfft2_phase_planes, rfft2_packed
+    from vkresample_tpu.ops.cas import normalize_u8, to_i16_storage
+    from vkresample_tpu.ops.cas_pallas import cas_parity4_planes_u2
+
+    h, w = 64, 128
+    plan = UpscalePlan(h=h, w=w, upscale=2.0, engine=Engine.MXU)
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    x = jnp.moveaxis(normalize_u8(jnp.asarray(img), jnp.float32), -1, 0)
+    F = rfft2_packed(x)
+    pl4 = irfft2_phase_planes(F, h, w, 2, plan.kept_hi_x > 0)
+    Ps = [to_i16_storage(p) for p in (pl4[0][0], pl4[0][1], pl4[1][0], pl4[1][1])]
+    outs = cas_parity4_planes_u2(*Ps, 0.2, block_rows=16, interpret=True)
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    got = _weave4(outs, want.shape)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -20,6 +20,7 @@ class DeviceTuning:
     ycas_bo: int = 128  # fused y+CAS kernel row-band height
     parity_block: int = 64  # per-parity CAS band height (1.62 ms on v5e)
     quad_block: int = 64  # quad-parity CAS band height (1.57 ms on v5e)
+    quad_wmax: int = 4096  # widest full-width quad tile; wider -> col strips
 
 
 _TABLE = {

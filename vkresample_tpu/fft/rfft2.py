@@ -165,14 +165,17 @@ def _c2r_rows_packed(P: CPair, w: int, keep_nyquist: bool, max_factor: int):
     return out.reshape(out.shape[:-3] + (h, w))
 
 
-def irfft2_phases(
+def irfft2_phase_planes(
     F: CPair, h: int, w: int, u: int, keep_nyquist: bool, max_factor: int = 128
-) -> jnp.ndarray:
-    """Zero-band-aware inverse: (..., h, w//2+1) half spectrum -> the
-    (..., u*h, u*w) real image *pre-scaled by u^2* (i.e. already in CAS
-    units — the caller must NOT multiply by upscale^2 again).
+):
+    """Zero-band-aware inverse, PLANES form: (..., h, w//2+1) half spectrum
+    -> u x u list of (..., h, w) real phase planes with
+    out[u*ty+ry, u*tx+rx] = planes[ry][rx][ty, tx], pre-scaled by u^2.
 
-    u=1 degenerates to a plain irfft2 (keep_nyquist=True then).
+    The phase decomposition IS the parity decomposition: for u=2 these are
+    exactly the quad-parity pre-CAS planes the fused CAS kernel consumes
+    (ops/cas_pallas.cas_parity4_planes_u2) — so at sizes beyond the dense
+    banks the pipeline never materializes the woven image either.
     """
     Fr, Fi = F
     dt = Fr.dtype.name
@@ -195,6 +198,19 @@ def irfft2_phases(
             )
             cols.append(_c2r_rows_packed(P, w, keep_nyquist, max_factor))
         rows.append(cols)
+    return rows
+
+
+def irfft2_phases(
+    F: CPair, h: int, w: int, u: int, keep_nyquist: bool, max_factor: int = 128
+) -> jnp.ndarray:
+    """Zero-band-aware inverse: (..., h, w//2+1) half spectrum -> the
+    (..., u*h, u*w) real image *pre-scaled by u^2* (i.e. already in CAS
+    units — the caller must NOT multiply by upscale^2 again).
+
+    u=1 degenerates to a plain irfft2 (keep_nyquist=True then).
+    """
+    rows = irfft2_phase_planes(F, h, w, u, keep_nyquist, max_factor)
 
     # interleave phases via strided scatters: out[u*ty+ry, u*tx+rx] =
     # rows[ry][rx][ty, tx].  (A stack/moveaxis/reshape formulation creates

@@ -50,6 +50,17 @@ def _fit_block(block_rows: int, h: int, align: int) -> int:
     return max(bt, 0)
 
 
+def _vmem_row_cap(W: int, in_bytes: int, pad: int, n_tiles: int = 2) -> int:
+    """Max band height whose working set fits the ~16 MB VMEM budget for a
+    full-width kernel: n_tiles double-buffered input tiles of (bh+2*pad, W)
+    plus ~4 live f32 band temporaries.  Kernels at W=16384 previously
+    requested >16 MB and crashed the remote compiler outright."""
+    budget = 11 * 2**20
+    per_row = W * (2 * n_tiles * in_bytes + 4 * 4)
+    rows = budget // max(per_row, 1)
+    return max(int(rows) - 2 * pad, 0)
+
+
 def _yshift_up(a):
     return jnp.concatenate([a[:1, :], a[:-1, :]], axis=0)
 
@@ -331,7 +342,9 @@ def cas_quantize_pallas(
         from ..core.tuning import current
 
         block_rows = current().cas_block_rows
-    bh = _fit_block(block_rows, H, pad)
+    bh = _fit_block(
+        min(block_rows, _vmem_row_cap(W, v.dtype.itemsize, pad, 1)), H, pad
+    )
     if bh < pad or W % 128 or H < bh + 2 * pad:  # degenerate: XLA fallback
         from . import cas as cas_ops
 
@@ -537,7 +550,9 @@ def cas_parity_planes_u2(
             # f32 tiles double the scratch bytes: halve the band to stay
             # inside the 16 MB VMEM budget
             block_rows = max(pad, block_rows // 2)
-    bt = _fit_block(block_rows, h, pad)
+    bt = _fit_block(
+        min(block_rows, _vmem_row_cap(W, U.dtype.itemsize, pad, 2)), h, pad
+    )
     if (
         bt < pad
         or W % 128
@@ -615,16 +630,18 @@ def _shiftR(t):
     return jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
 
 
-def _quad_planes(p, ts, h, sharpen):
-    """p[ry][rx]: clipped tiles covering global rows [ts, ts+rows) of the
-    four parity planes (each h x Wh globally).  Returns the four uint8
-    output tiles; rows valid wherever the row halo is inside the tile
-    (global top/bottom handled by the clamps)."""
-    rows, Wh = p[0][0].shape
+def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None):
+    """p[ry][rx]: clipped tiles covering global rows [ts, ts+rows) and
+    global columns [ws, ws+Wsw) of the four parity planes (each h x Wh
+    globally).  Returns the four uint8 output tiles; valid wherever the
+    row/col halo is inside the tile (global edges handled by clamps)."""
+    rows, Wsw = p[0][0].shape
+    if Wh is None:
+        Wh = Wsw
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     gtop = (row + ts) == 0
     gbot = (row + ts) == h - 1
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, Wh), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Wsw), 1) + ws
     gleft = col == 0
     gright = col == Wh - 1
 
@@ -740,6 +757,88 @@ def _quad_kernel(
     _store(2 * pad)
 
 
+_CHALO = 128  # column halo (lane alignment) for the strip variant
+
+
+def _quad_strip_kernel(
+    p00_hbm, p01_hbm, p10_hbm, p11_hbm,
+    o00_ref, o01_ref, o10_ref, o11_ref,
+    s00, s01, s10, s11, sems,
+    *, sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
+    Wh: int, Wsb: int, nsW: int,
+):
+    """Column-strip variant for planes too wide for full-width tiles
+    (Wh * band bytes would blow VMEM): 1-D grid over (C, row band, col
+    strip); windows carry 128-column halos for the CAS x-neighbors."""
+    g = pl.program_id(0)
+    rows = bt + 2 * pad
+    Wsw = Wsb + 2 * _CHALO
+    ins = (p00_hbm, p01_hbm, p10_hbm, p11_hbm)
+    scr = (s00, s01, s10, s11)
+
+    def window(gg):
+        cc = gg // (nb * nsW)
+        rem = gg % (nb * nsW)
+        ii = rem // nsW
+        ss = rem % nsW
+        ts = pl.multiple_of(jnp.clip(ii * bt - pad, 0, h - rows), pad)
+        ws = pl.multiple_of(jnp.clip(ss * Wsb - _CHALO, 0, Wh - Wsw), _CHALO)
+        return cc, ii, ss, ts, ws
+
+    def dmas(gg, slot):
+        cc, _, _, ts, ws = window(gg)
+        return [
+            pltpu.make_async_copy(
+                ins[j].at[cc, pl.ds(ts, rows), pl.ds(ws, Wsw)],
+                scr[j].at[slot],
+                sems.at[slot, j],
+            )
+            for j in range(4)
+        ]
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        for dma in dmas(g + 1, jax.lax.rem(g + 1, 2)):
+            dma.start()
+
+    for dma in dmas(g, slot):
+        dma.wait()
+
+    _, ii, ss, ts, ws = window(g)
+
+    def _clip(t):
+        f = _to_f32(t)
+        if scale != 1.0:
+            f = f * jnp.float32(scale)
+        return jnp.clip(jnp.abs(f), 0.0, 1.0)
+
+    p = [
+        [_clip(s00[slot]), _clip(s01[slot])],
+        [_clip(s10[slot]), _clip(s11[slot])],
+    ]
+    out = _quad_planes(p, ts, h, sharpen, ws=ws, Wh=Wh)
+
+    roffset = ii * bt - ts
+    coffset = ss * Wsb - ws
+    refs = (o00_ref, o01_ref, o10_ref, o11_ref)
+
+    for ro in (0, pad, 2 * pad):
+        for co in (0, _CHALO, 2 * _CHALO):
+            @pl.when(jnp.logical_and(roffset == ro, coffset == co))
+            def _(ro=ro, co=co):
+                for ref, (ry, rx) in zip(
+                    refs, ((0, 0), (0, 1), (1, 0), (1, 1))
+                ):
+                    ref[0] = out[ry][rx][ro : ro + bt, co : co + Wsb]
+
+
 def cas_parity4_planes_u2(
     P00, P01, P10, P11, sharpen: float, block_rows: int = None,
     interpret: bool = False,
@@ -789,6 +888,51 @@ def cas_parity4_planes_u2(
 
     nb = h // bt
     rows = bt + 2 * pad
+
+    from ..core.tuning import current
+
+    wmax = current().quad_wmax
+    if Wh > wmax:
+        # wide planes: column strips (full-width tiles would blow VMEM)
+        Wsb = _fit_block(wmax, Wh, _CHALO)
+        if Wsb >= _CHALO and Wh >= Wsb + 2 * _CHALO:
+            nsW = Wh // Wsb
+            kern = functools.partial(
+                _quad_strip_kernel, sharpen=float(sharpen), bt=bt, h=h,
+                nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh, Wsb=Wsb,
+                nsW=nsW,
+            )
+            ospec = pl.BlockSpec(
+                (1, bt, Wsb),
+                lambda g, nb=nb, nsW=nsW: (
+                    g // (nb * nsW),
+                    (g % (nb * nsW)) // nsW,
+                    g % nsW,
+                ),
+                memory_space=pltpu.VMEM,
+            )
+            outs = pl.pallas_call(
+                kern,
+                out_shape=tuple(
+                    jax.ShapeDtypeStruct((C, h, Wh), jnp.uint8)
+                    for _ in range(4)
+                ),
+                grid=(C * nb * nsW,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+                out_specs=(ospec, ospec, ospec, ospec),
+                scratch_shapes=[
+                    pltpu.VMEM((2, rows, Wsb + 2 * _CHALO), dt)
+                ] * 4
+                + [pltpu.SemaphoreType.DMA((2, 4))],
+                interpret=interpret,
+            )(*planes)
+            return tuple(x.reshape(lead + (h, Wh)) for x in outs)
+        # no usable strip width: degrade to the XLA fallback
+        return cas_parity4_planes_u2(
+            *(p.reshape(lead + (h, Wh)) for p in planes),
+            sharpen, block_rows=1, interpret=interpret,
+        )
+
     kern = functools.partial(
         _quad_kernel, sharpen=float(sharpen), bt=bt, h=h, nb=nb, pad=pad,
         scale=_in_scale_for(dt),

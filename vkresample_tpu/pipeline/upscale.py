@@ -92,6 +92,51 @@ def _pipeline(
     """
     cdtype = plan.precision.compute_dtype
     use_pallas = _use_pallas_cas(plan)
+
+    def _quad_tail(outs):
+        """Shared epilogue for the four quad-parity uint8 planes."""
+        if planes_out:
+            return outs
+        o = jnp.stack(
+            [
+                jnp.stack([outs[0], outs[1]], axis=-1),
+                jnp.stack([outs[2], outs[3]], axis=-1),
+            ],
+            axis=-3,
+        )  # (..., h, 2, Wh, 2)
+        out = o.reshape(o.shape[:-4] + (2 * o.shape[-4], 2 * o.shape[-2]))
+        return out if planar_out else jnp.moveaxis(out, -3, -1)
+
+    if (
+        use_pallas
+        and engine is Engine.MXU
+        and (banks is None or "Ymat_ns" not in banks)
+        and plan.r2c
+        and plan.mxu_mode == "phases"
+        and _parity_route(plan) == "quad"
+    ):
+        # beyond the dense banks (>DENSE_MAX axes, integer u=2): the phase
+        # decomposition IS the parity decomposition — feed the four phase
+        # planes straight to the quad CAS kernel; neither the woven image
+        # nor the big spectrum ever exists
+        import os
+
+        from ..fft.rfft2 import irfft2_phase_planes, rfft2_packed
+        from ..ops.cas_pallas import cas_parity4_planes_u2
+
+        x = cas_ops.normalize_u8(img_u8, cdtype)
+        x = jnp.moveaxis(x, -1, -3)
+        F = rfft2_packed(x)
+        pl4 = irfft2_phase_planes(
+            F, plan.h, plan.w, 2, plan.kept_hi_x > 0
+        )
+        Ps = [pl4[0][0], pl4[0][1], pl4[1][0], pl4[1][1]]
+        if plan.precision is Precision.HALF and not os.environ.get(
+            "VKRESAMPLE_HALF_STORAGE"
+        ):
+            Ps = [cas_ops.to_i16_storage(p) for p in Ps]
+        return _quad_tail(cas_parity4_planes_u2(*Ps, plan.sharpen))
+
     if (
         use_pallas
         and engine is Engine.MXU
@@ -234,14 +279,21 @@ def parity_planes_supported(plan: UpscalePlan) -> bool:
     from ..fft import dense
     from ..fft.mxu_pipeline import DENSE_MAX
 
-    return (
+    if not (
         _use_pallas_cas(plan)
         and plan.resolve_engine() is Engine.MXU
         and plan.r2c
-        and dense.r2c_rows_supported(plan)
-        and max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX
         and _parity_route(plan) is not None
-    )
+    ):
+        return False
+    if (
+        dense.r2c_rows_supported(plan)
+        and max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX
+    ):
+        return True
+    # beyond the dense banks: the phase-decomposed route supplies the quad
+    # planes directly (the phases ARE the parities)
+    return plan.mxu_mode == "phases" and _parity_route(plan) == "quad"
 
 
 def planes_format(plan: UpscalePlan):
