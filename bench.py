@@ -72,8 +72,9 @@ def main() -> int:
     }
 
     if stages:
-        # per-stage split (each an extra compile; opt-in): x matmul alone,
-        # x+y matmuls, full pipeline -> localizes regressions
+        # per-stage split (each an extra compile; opt-in): x stage alone,
+        # x+y stages, full pipeline -> localizes regressions.  Unused
+        # planes DCE away, so slicing r2c_quad's outputs isolates stages.
         import jax.numpy as jnp
 
         from vkresample_tpu.fft import dense
@@ -83,13 +84,13 @@ def main() -> int:
 
         def x_only(xx, bb):
             xr = jnp.moveaxis(xx, -1, 0)
-            U, _ = dense.r2c_x_only(xr, bb, prec)
-            return cas_ops.to_i16_storage(U)
+            Ps = dense.r2c_quad(xr, bb, prec)
+            return tuple(cas_ops.to_i16_storage(p) for p in Ps[:2])
 
         def xy(xx, bb):
             xr = jnp.moveaxis(xx, -1, 0)
-            U, O = dense.r2c_rows(xr, bb, prec)
-            return cas_ops.to_i16_storage(U), cas_ops.to_i16_storage(O)
+            Ps = dense.r2c_quad(xr, bb, prec)
+            return tuple(cas_ops.to_i16_storage(p) for p in Ps)
 
         ms_x = time_device(x_only, x, aux=banks, k1=max(2, k2 // 5), k2=k2)
         ms_xy = time_device(xy, x, aux=banks, k1=max(2, k2 // 5), k2=k2)

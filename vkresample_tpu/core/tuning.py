@@ -21,6 +21,7 @@ class DeviceTuning:
     parity_block: int = 64  # per-parity CAS band height (1.62 ms on v5e)
     quad_block: int = 64  # quad-parity CAS band height (1.57 ms on v5e)
     quad_wmax: int = 4096  # widest full-width quad tile; wider -> col strips
+    quad_wsb: int = 1024  # quad column-strip width (strip VMEM budget)
 
 
 _TABLE = {

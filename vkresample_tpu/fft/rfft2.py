@@ -80,11 +80,17 @@ def _phase_twiddle_x_c2c(w: int, u: int, r: int, dtype_name: str):
 # ---------------------------------------------------------------------------
 
 
-def rfft2_packed(x: jnp.ndarray, max_factor: int = 128) -> CPair:
-    """(..., h, w) real -> (..., h, w//2+1) complex half spectrum.
+def rfft2_packed(
+    x: jnp.ndarray, max_factor: int = 128, k_cols: int = None
+) -> CPair:
+    """(..., h, w) real -> (..., h, k_cols) complex half spectrum
+    (k_cols defaults to the full w//2+1).
 
     Row-pair packing (h must be even): z[j] = row[2j] + i*row[2j+1], one
-    w-FFT per pair, Hermitian split, then a full complex y-FFT.
+    w-FFT per pair, Hermitian split, then a full complex y-FFT.  Passing
+    k_cols = w//2 (a zero-band consumer that drops the Nyquist column)
+    trims BEFORE the y transform — and keeps the lane dim a 128 multiple
+    instead of the pathological w//2+1.
     """
     h, w = x.shape[-2], x.shape[-1]
     assert h % 2 == 0, "row-pair packed forward requires even height"
@@ -95,7 +101,7 @@ def rfft2_packed(x: jnp.ndarray, max_factor: int = 128) -> CPair:
     # Zrev[k] = Z[(w-k) % w]
     Zr_rev = jnp.concatenate([Zr[..., :1], jnp.flip(Zr[..., 1:], -1)], -1)
     Zi_rev = jnp.concatenate([Zi[..., :1], jnp.flip(Zi[..., 1:], -1)], -1)
-    kk = w // 2 + 1
+    kk = w // 2 + 1 if k_cols is None else k_cols
     Zr_, Zi_ = Zr[..., :kk], Zi[..., :kk]
     Zr_rev, Zi_rev = Zr_rev[..., :kk], Zi_rev[..., :kk]
 

@@ -893,9 +893,14 @@ def cas_parity4_planes_u2(
 
     wmax = current().quad_wmax
     if Wh > wmax:
-        # wide planes: column strips (full-width tiles would blow VMEM)
-        Wsb = _fit_block(wmax, Wh, _CHALO)
-        if Wsb >= _CHALO and Wh >= Wsb + 2 * _CHALO:
+        # wide planes: column strips (full-width tiles would blow VMEM).
+        # ~24 live f32 row-tiles peak in _quad_planes: keep strips narrow
+        # and bands short.
+        Wsb = _fit_block(current().quad_wsb, Wh, _CHALO)
+        bt = _fit_block(min(bt, 32), h, pad)
+        if Wsb >= _CHALO and Wh >= Wsb + 2 * _CHALO and bt >= pad:
+            nb = h // bt
+            rows = bt + 2 * pad
             nsW = Wh // Wsb
             kern = functools.partial(
                 _quad_strip_kernel, sharpen=float(sharpen), bt=bt, h=h,

@@ -126,10 +126,10 @@ def _pipeline(
 
         x = cas_ops.normalize_u8(img_u8, cdtype)
         x = jnp.moveaxis(x, -1, -3)
-        F = rfft2_packed(x)
-        pl4 = irfft2_phase_planes(
-            F, plan.h, plan.w, 2, plan.kept_hi_x > 0
-        )
+        keep_nyq = plan.kept_hi_x > 0
+        kx = plan.w // 2 + (1 if keep_nyq else 0)
+        F = rfft2_packed(x, k_cols=kx)  # trim before the y transform
+        pl4 = irfft2_phase_planes(F, plan.h, plan.w, 2, keep_nyq)
         Ps = [pl4[0][0], pl4[0][1], pl4[1][0], pl4[1][1]]
         if plan.precision is Precision.HALF and not os.environ.get(
             "VKRESAMPLE_HALF_STORAGE"
