@@ -54,3 +54,30 @@ def test_batched_rejects_bad_input():
     plan = UpscalePlan(h=8, w=8, upscale=2.0)
     with pytest.raises(TypeError):
         upscale_batch(np.zeros((4, 8, 8, 3), np.float32), plan)
+
+
+def test_batched_planes_out_sharded():
+    """planes_out over the dp mesh: tuple outputs shard with the prefix
+    sharding (each plane sharded on the batch axis)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vkresample_tpu.core.config import Engine, Precision
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.pipeline.batched import build_batched_upscale
+
+    n = jax.device_count()
+    mesh = Mesh(np.array(jax.devices()), axis_names=("dp",))
+    plan = UpscalePlan(h=32, w=64, upscale=2.0, precision=Precision.HALF,
+                       engine=Engine.MXU)
+    fn = build_batched_upscale(plan, mesh, planar_out=True, planes_out=True)
+    imgs = np.random.default_rng(70).integers(
+        0, 256, (2 * n, 32, 64, 3), np.uint8
+    )
+    planes = fn(imgs)
+    assert isinstance(planes, tuple) and len(planes) in (2, 4)
+    woven_fn = build_batched_upscale(plan, mesh, planar_out=True)
+    woven = np.asarray(woven_fn(imgs))
+    if len(planes) == 2:
+        np.testing.assert_array_equal(np.asarray(planes[0]), woven[:, :, 0::2, :])
+        np.testing.assert_array_equal(np.asarray(planes[1]), woven[:, :, 1::2, :])
