@@ -81,17 +81,35 @@ def _pipeline(
 ):
     """(h, w, C) uint8 -> (H, W, C) uint8 (or (C, H, W) when planar_out).
 
-    planes_out (u=2 only): return (E, D) uint8 parity planes, each
-    (C, H/2, W) — the fused per-parity CAS kernel's native layout; the
-    PNG encoder interleaves rows for free via row pointers, so the woven
-    image never exists on device OR host.
+    planes_out (u=2 only): return uint8 parity planes in the format
+    planes_format(plan) reports — 'quad': four (C, H/2, W/2) planes
+    p[row parity][col parity]; 'rows': (E, D) (C, H/2, W).  These are the
+    fused per-parity CAS kernels' native layouts; the PNG encoder
+    interleaves inside its row loop, so the woven image never exists on
+    device OR host.
 
     `banks` is the (optional) device-array pytree of dense DFT matrices,
     passed as a jit argument so multi-MB matrices never become HLO literal
     constants.
     """
+    import os
+
     cdtype = plan.precision.compute_dtype
     use_pallas = _use_pallas_cas(plan)
+    storage = os.environ.get("VKRESAMPLE_HALF_STORAGE")
+
+    def _store16(t):
+        # -p 2 half-memory storage (DEFAULT): int16 Q2.14 fixed point.
+        # Same bytes as the reference's fp16 storage (vkFFT.h:55
+        # halfPrecisionMemoryOnly), ~16x finer resolution on the
+        # CAS-clipped [0,1] signal (~0.008 u8 LSB); halves CAS HBM
+        # traffic vs f32.  XLA fuses the round/cast into the matmul
+        # epilogues.  bf16 is an A/B knob (up to 4 u8 LSB).
+        if plan.precision is not Precision.HALF or storage == "f32":
+            return t
+        if storage == "bf16":
+            return t.astype(jnp.bfloat16)
+        return cas_ops.to_i16_storage(t)
 
     def _quad_tail(outs):
         """Shared epilogue for the four quad-parity uint8 planes."""
@@ -119,8 +137,6 @@ def _pipeline(
         # decomposition IS the parity decomposition — feed the four phase
         # planes straight to the quad CAS kernel; neither the woven image
         # nor the big spectrum ever exists
-        import os
-
         from ..fft.rfft2 import irfft2_phase_planes, rfft2_packed
         from ..ops.cas_pallas import cas_parity4_planes_u2
 
@@ -130,11 +146,7 @@ def _pipeline(
         kx = plan.w // 2 + (1 if keep_nyq else 0)
         F = rfft2_packed(x, k_cols=kx)  # trim before the y transform
         pl4 = irfft2_phase_planes(F, plan.h, plan.w, 2, keep_nyq)
-        Ps = [pl4[0][0], pl4[0][1], pl4[1][0], pl4[1][1]]
-        if plan.precision is Precision.HALF and not os.environ.get(
-            "VKRESAMPLE_HALF_STORAGE"
-        ):
-            Ps = [cas_ops.to_i16_storage(p) for p in Ps]
+        Ps = [_store16(p) for p in (pl4[0][0], pl4[0][1], pl4[1][0], pl4[1][1])]
         return _quad_tail(cas_parity4_planes_u2(*Ps, plan.sharpen))
 
     if (
@@ -155,22 +167,6 @@ def _pipeline(
 
         x_raw = jnp.moveaxis(img_u8, -1, -3)  # (..., C, h, w)
         prec = plan.precision.matmul_precision
-        import os
-
-        storage = os.environ.get("VKRESAMPLE_HALF_STORAGE")
-
-        def _store16(t):
-            # -p 2 half-memory storage (DEFAULT): int16 Q2.14 fixed point.
-            # Same bytes as the reference's fp16 storage (vkFFT.h:55
-            # halfPrecisionMemoryOnly), ~16x finer resolution on the
-            # CAS-clipped [0,1] signal (~0.008 u8 LSB); halves CAS HBM
-            # traffic vs f32.  XLA fuses the round/cast into the matmul
-            # epilogues.  bf16 is an A/B knob (up to 4 u8 LSB).
-            if plan.precision is not Precision.HALF or storage == "f32":
-                return t
-            if storage == "bf16":
-                return t.astype(jnp.bfloat16)
-            return cas_ops.to_i16_storage(t)
 
         fmt = _parity_route(plan)
         if fmt == "quad" and "alpha_odd_hi" in banks:
@@ -182,22 +178,9 @@ def _pipeline(
             from ..ops.cas_pallas import cas_parity4_planes_u2
 
             Ps = dense.r2c_quad(x_raw, banks, prec)
-            outs = cas_parity4_planes_u2(
-                *[_store16(p) for p in Ps], plan.sharpen
+            return _quad_tail(
+                cas_parity4_planes_u2(*[_store16(p) for p in Ps], plan.sharpen)
             )
-            if planes_out:
-                return outs
-            o = jnp.stack(
-                [
-                    jnp.stack([outs[0], outs[1]], axis=-1),
-                    jnp.stack([outs[2], outs[3]], axis=-1),
-                ],
-                axis=-3,
-            )  # (..., h, 2, Wh, 2)
-            out = o.reshape(
-                o.shape[:-4] + (2 * o.shape[-4], 2 * o.shape[-2])
-            )
-            return out if planar_out else jnp.moveaxis(out, -3, -1)
 
         U, O = dense.r2c_rows(x_raw, banks, prec)
         U, O = _store16(U), _store16(O)
