@@ -70,8 +70,9 @@ def test_gaussian_kernel_mass_and_blur():
 def test_engine_routing_and_fallback():
     from vkresample_tpu.ops.convolve import _engine_ok, kernel_spectrum
 
-    assert _engine_ok(16, 24) and _engine_ok(2048, 4096) and _engine_ok(131 - 3)
-    assert not _engine_ok(131)  # prime above the radix cap
+    assert _engine_ok(16, 24) and _engine_ok(2048, 4096) and _engine_ok(128)
+    assert not _engine_ok(131)  # non-7-smooth prime
+    assert not _engine_ok(17)  # small prime outside the radix set
     rng = np.random.default_rng(5)
     # non-smooth size: auto falls back to XLA and still matches direct
     x = rng.random((131, 8))
@@ -105,3 +106,36 @@ def test_plan_time_kernel_spectrum_reuse():
     a = np.asarray(fft_convolve2d(jnp.asarray(x), spec))
     b = np.asarray(fft_convolve2d(jnp.asarray(x), k))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_linear_convolution_spatial_zero_pad():
+    """vkFFT spatial zero-pad parity: linear (non-circular) convolution
+    matches direct full convolution."""
+    from vkresample_tpu.ops.convolve import fft_convolve2d_linear
+
+    rng = np.random.default_rng(8)
+    x = rng.random((9, 13)).astype(np.float32)
+    k = rng.random((4, 5)).astype(np.float32)
+    got = np.asarray(fft_convolve2d_linear(jnp.asarray(x), jnp.asarray(k)))
+    assert got.shape == (12, 17)
+    want = np.zeros((12, 17))
+    for dy in range(4):
+        for dx in range(5):
+            want[dy : dy + 9, dx : dx + 13] += k[dy, dx] * x
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_linear_convolution_batched():
+    from vkresample_tpu.ops.convolve import fft_convolve2d_linear
+
+    rng = np.random.default_rng(9)
+    x = rng.random((2, 8, 8)).astype(np.float32)
+    k = rng.random((3, 3)).astype(np.float32)
+    got = np.asarray(fft_convolve2d_linear(jnp.asarray(x), jnp.asarray(k)))
+    assert got.shape == (2, 10, 10)
+    for b in range(2):
+        want = np.zeros((10, 10))
+        for dy in range(3):
+            for dx in range(3):
+                want[dy : dy + 8, dx : dx + 8] += k[dy, dx] * x[b]
+        np.testing.assert_allclose(got[b], want, atol=1e-4)

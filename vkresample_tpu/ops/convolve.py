@@ -31,17 +31,11 @@ MAX_FACTOR = 128  # engine radix cap (core/smooth.py composite radixes)
 
 
 def _engine_ok(*dims: int, max_factor: int = MAX_FACTOR) -> bool:
-    """True when every axis factors over the mixed-radix engine's set."""
-    for n in dims:
-        m = int(n)
-        f = 2
-        while f <= max_factor and m > 1:
-            while m % f == 0:
-                m //= f
-            f += 1
-        if m != 1:
-            return False
-    return True
+    """True when every axis factors over the mixed-radix engine's radix
+    set — 7-smooth, like the reference engine (vkFFT.h:4716-4726)."""
+    from ..core.smooth import is_7smooth
+
+    return all(is_7smooth(int(n)) for n in dims)
 
 
 def _pair_mul(A: CPair, B: CPair) -> CPair:
@@ -141,6 +135,40 @@ def fft_matrix_convolve2d(
     Kf = jnp.fft.rfft2(kernel)  # (Cout, Cin, h, w2)
     Y = jnp.einsum("oihw,...ihw->...ohw", Kf, X)
     return jnp.fft.irfft2(Y, s=(h, w))
+
+
+def _smooth_up(n: int, max_factor: int = MAX_FACTOR) -> int:
+    """Smallest m >= n that factors over the engine radix set."""
+    m = int(n)
+    while not _engine_ok(m, max_factor=max_factor):
+        m += 1
+    return m
+
+
+def fft_convolve2d_linear(
+    x: jnp.ndarray, kernel: jnp.ndarray, engine: str = "auto"
+) -> jnp.ndarray:
+    """LINEAR (non-circular) 2D convolution via SPATIAL zero-padding —
+    the vkFFT spatial zero-pad capability (frequencyZeroPadding=0 default,
+    vkFFT.h:37-39): both operands are zero-extended to a common smooth
+    size >= h+hk-1 so wraparound never aliases, transformed, multiplied,
+    and cropped to the 'full' convolution extent (h+hk-1, w+wk-1).
+
+    x: (..., h, w) real; kernel: (hk, wk).  The reference elides reads of
+    the zero region inside its kernels; under XLA the padded transforms
+    are constant-folded/fused, and the kernel spectrum is computed once
+    at trace time for concrete kernels.
+    """
+    x = jnp.asarray(x)
+    kernel = jnp.asarray(kernel, x.dtype)
+    h, w = x.shape[-2], x.shape[-1]
+    hk, wk = kernel.shape[-2], kernel.shape[-1]
+    H = _smooth_up(h + hk - 1)
+    W = _smooth_up(w + wk - 1)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, H - h), (0, W - w)])
+    kp = jnp.pad(kernel, [(0, H - hk), (0, W - wk)])
+    out = fft_convolve2d(xp, kp, engine=engine)
+    return out[..., : h + hk - 1, : w + wk - 1]
 
 
 def gaussian_kernel(h: int, w: int, sigma: float, dtype=np.float32) -> np.ndarray:

@@ -38,11 +38,16 @@ def make_looped(pipeline: Callable) -> Callable:
             # iteration i's output — forbids hoisting/parallelizing
             xi = x.at[zero_in].set(carry.astype(x.dtype))
             out = pipeline(xi, aux)
-            leaf = jax.tree_util.tree_leaves(out)[0]  # pytree outputs ok
-            return leaf[(0,) * leaf.ndim]
+            # probe EVERY leaf (fixed i32 carry): a single-leaf probe lets
+            # XLA dead-code-eliminate the other outputs' computation in
+            # pure-XLA pipelines (custom calls are opaque, einsums not)
+            return sum(
+                leaf[(0,) * leaf.ndim].astype(jnp.int32)
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
 
-        c = jax.lax.fori_loop(0, k, body, x[zero_in])
-        return c.astype(jnp.int32)
+        c = jax.lax.fori_loop(0, k, body, x[zero_in].astype(jnp.int32))
+        return c
 
     return jax.jit(run)
 
