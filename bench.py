@@ -82,15 +82,18 @@ def main() -> int:
 
         prec = plan.precision.matmul_precision
 
+        codec = dict(
+            store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage
+        )
+
         def x_only(xx, bb):
             xr = jnp.moveaxis(xx, -1, 0)
-            Ps = dense.r2c_quad(xr, bb, prec)
-            return tuple(cas_ops.to_i16_storage(p) for p in Ps[:2])
+            Ps = dense.r2c_quad(xr, bb, prec, **codec)
+            return Ps[:2]
 
         def xy(xx, bb):
             xr = jnp.moveaxis(xx, -1, 0)
-            Ps = dense.r2c_quad(xr, bb, prec)
-            return tuple(cas_ops.to_i16_storage(p) for p in Ps)
+            return dense.r2c_quad(xr, bb, prec, **codec)
 
         ms_x = time_device(x_only, x, aux=banks, k1=max(2, k2 // 5), k2=k2)
         ms_xy = time_device(xy, x, aux=banks, k1=max(2, k2 // 5), k2=k2)

@@ -496,39 +496,71 @@ def r2c_x_only(x_raw: jnp.ndarray, banks: dict, precision):
     return U, T2
 
 
-def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision):
+def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
     """Row-split fast path: r2c_x_only plus the non-sample y matmul.
     Returns (U, O) where
     U (..., h, W)          = x-pass output == the SAMPLE output rows, and
     O (..., h*(u-1), W)    = non-sample rows, O[t*(u-1)+k] = out[u*t+k+1].
-    Weave with weave_rows (XLA) or fuse into the Pallas output kernel."""
+    Weave with weave_rows (XLA) or fuse into the Pallas output kernel.
+
+    store/load: optional pre-CAS storage codec — same staging trick as
+    r2c_quad (U otherwise feeds two consumers and XLA materializes the
+    f32 plane besides the stored one); returns stored planes when set."""
     U, T2 = r2c_x_only(x_raw, banks, precision)
-    Uaug = U if T2 is None else jnp.concatenate([U, T2], axis=-2)
-    O = jnp.einsum("jm,...jn->...mn", banks["Ymat_ns"], Uaug, precision=precision)
-    return U, O
+    h = x_raw.shape[-2]
+    if store is None:
+        Us, Um = U, U
+    else:
+        Us = store(U)
+        Um = load(Us)
+    Ym = banks["Ymat_ns"][:h]
+    Yc = banks["Ymat_ns"][h:]
+    O = jnp.einsum("jm,...jn->...mn", Ym, Um, precision=precision)
+    if T2 is not None:
+        O = O + jnp.einsum("rm,...rn->...mn", Yc, T2, precision=precision)
+    if store is None:
+        return Us, O
+    return Us, store(O)
 
 
-def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision):
+def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
     """Quad-parity fast path (u=2).  x_raw holds RAW uint8 values 0..255.
     Returns the four pre-CAS parity planes, each (..., h, w):
 
       P00 = output (even rows, even cols) = x/255 - rank-1 x-Nyquist corr
       P01 = output (even rows, odd cols)  = x @ alpha_odd    [half-x matmul]
-      P10 = output (odd rows, even cols)  = Ymat_ns^T @ P00aug
-      P11 = output (odd rows, odd cols)   = Ymat_ns^T @ P01aug
+      P10 = output (odd rows, even cols)  = Ymat_ns^T @ P00 (+ rank-r corr)
+      P11 = output (odd rows, odd cols)   = Ymat_ns^T @ P01 (+ rank-r corr)
 
     Even output columns are exact samples up to the rank-1 correction
     (alpha[:, 0::2] = I - outer((-1)^i, (-1)^s)/w), and even output rows
     are exact x-pass rows (r2c_rows_supported identity) — so the full
     transform chain is ONE half-width x matmul + the y matmul, and no
-    woven image ever exists (the PNG encoder interleaves both axes)."""
+    woven image ever exists (the PNG encoder interleaves both axes).
+
+    store/load: optional pre-CAS storage codec (e.g. int16 Q2.14).  When
+    given, every returned plane is store()d AND the y matmul reads the
+    load()ed even-row planes instead of their f32 originals.  That single
+    choice removes the f32 planes entirely: with store applied only
+    afterwards, P00/P01 feed two consumers (storage + y matmul) and XLA
+    must materialize 50 MB of f32 besides the stored planes — measured
+    0.305 ms vs 1.404 same-process for the whole stage at the flagship
+    shape (scripts/quad_stage2_ab.py); the staging error (2 Q2.14 ticks
+    = 0.03 u8 LSB) is far below the matmul's own operand rounding.
+
+    The rank-r y-Nyquist correction rows are contracted separately and
+    added (fused into the matmul epilogue) rather than concatenated onto
+    the planes — the aug-concat copies 2x25 MB for r==1 rows."""
     bank_dt = banks["alpha_odd_hi"].dtype
     w = x_raw.shape[-1]
+    h = x_raw.shape[-2]
     xb = x_raw.astype(bank_dt)
     acc = jnp.float32
     a_cat = jnp.concatenate(
         [banks["alpha_odd_hi"], banks["alpha_odd_lo"]], axis=0
     )
+    # stacked hi|lo bank: ONE MXU pass with internal accumulation (two
+    # einsums + add measured 0.688 vs 0.305 ms, scripts/quad_stage2_ab.py)
     x_cat = jnp.concatenate([xb, xb], axis=-1)
     P01 = jnp.einsum(
         "...hk,kn->...hn", x_cat, a_cat, preferred_element_type=acc
@@ -548,15 +580,21 @@ def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision):
             "...rw,wn->...rn", tcorr, banks["beta"], precision=precision
         )
         t2e, t2o = t2[..., 0::2], t2[..., 1::2]
-    P00aug = P00 if t2e is None else jnp.concatenate([P00, t2e], axis=-2)
-    P01aug = P01 if t2o is None else jnp.concatenate([P01, t2o], axis=-2)
-    P10 = jnp.einsum(
-        "jm,...jn->...mn", banks["Ymat_ns"], P00aug, precision=precision
-    )
-    P11 = jnp.einsum(
-        "jm,...jn->...mn", banks["Ymat_ns"], P01aug, precision=precision
-    )
-    return P00, P01, P10, P11
+    if store is None:
+        P00s, P01s, P00m, P01m = P00, P01, P00, P01
+    else:
+        P00s, P01s = store(P00), store(P01)
+        P00m, P01m = load(P00s), load(P01s)
+    Ym = banks["Ymat_ns"][:h]
+    Yc = banks["Ymat_ns"][h:]
+    P10 = jnp.einsum("jm,...jn->...mn", Ym, P00m, precision=precision)
+    P11 = jnp.einsum("jm,...jn->...mn", Ym, P01m, precision=precision)
+    if t2e is not None:
+        P10 = P10 + jnp.einsum("rm,...rn->...mn", Yc, t2e, precision=precision)
+        P11 = P11 + jnp.einsum("rm,...rn->...mn", Yc, t2o, precision=precision)
+    if store is None:
+        return P00s, P01s, P10, P11
+    return P00s, P01s, store(P10), store(P11)
 
 
 def weave_rows(U: jnp.ndarray, O: jnp.ndarray, u: int) -> jnp.ndarray:

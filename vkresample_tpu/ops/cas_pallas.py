@@ -94,7 +94,7 @@ def _cas_band(band: jnp.ndarray, sharpen: float, scale: float = 1.0) -> jnp.ndar
     f = _to_f32(band)
     if scale != 1.0:
         f = f * jnp.float32(scale)
-    ln = jnp.clip(jnp.abs(f), 0.0, 1.0)
+    ln = jnp.minimum(jnp.abs(f), 1.0)  # abs>=0: the 0-clamp is dead
 
     west = jnp.concatenate([ln[:, :1], ln[:, : W - 1]], axis=1)
     east = jnp.concatenate([ln[:, 1:], ln[:, W - 1 :]], axis=1)
@@ -120,16 +120,20 @@ def _cas_band(band: jnp.ndarray, sharpen: float, scale: float = 1.0) -> jnp.ndar
     maxlen = 0.5 * (max_cross + max_all)
 
     one = jnp.float32(1.0)
-    # min(minlen/(1-minlen), (1-maxlen)/maxlen) via select-then-divide:
-    # picks the smaller quotient by cross-multiplication, then does ONE
-    # division.  The selected denominator is provably nonzero (minlen=1
-    # forces the other branch; maxlen=0 likewise), which also removes the
-    # reference formula's inf/NaN corner cases.
+    # min(minlen/(1-minlen), (1-maxlen)/maxlen): pick the smaller quotient
+    # by cross-multiplication, then evaluate it with ONE rsqrt.  The
+    # selected denominator is provably nonzero (minlen=1 forces the other
+    # branch; maxlen=0 likewise), which also removes the reference
+    # formula's inf/NaN corner cases.
     a, b = minlen, one - minlen
     cq, d = one - maxlen, maxlen
     pred = a * d < cq * b
-    sc = jnp.where(pred, a, cq) / jnp.where(pred, b, d)
-    sc = -jnp.float32(sharpen) * jnp.sqrt(jnp.maximum(sc, 0.0))
+    num = jnp.where(pred, a, cq)
+    den = jnp.where(pred, b, d)
+    # sqrt(num/den) = num * rsqrt(num*den); see _cas_core for the A/B
+    sc = (-jnp.float32(sharpen)) * num * jax.lax.rsqrt(
+        jnp.maximum(num * den, jnp.float32(1e-30))
+    )
 
     out = (c + sc * (n + s + wpe)) / (one + 4.0 * sc)
     return jnp.clip(out * 255.0, 0.0, 255.0)
@@ -405,8 +409,17 @@ def _cas_core(c, n, s, xmin, xmax, wpe, cmin, cmax, sharpen):
     a, b = minlen, one - minlen
     cq, d = one - maxlen, maxlen
     pred = a * d < cq * b
-    sc = jnp.where(pred, a, cq) / jnp.where(pred, b, d)
-    sc = -jnp.float32(sharpen) * jnp.sqrt(jnp.maximum(sc, 0.0))
+    num = jnp.where(pred, a, cq)
+    den = jnp.where(pred, b, d)
+    # sqrt(num/den) = num * rsqrt(num*den) for num, den >= 0 — saves the
+    # divide (rsqrt is a native VPU op; divide is reciprocal + Newton).
+    # The tiny floor makes num==0 yield 0 instead of 0*inf=NaN.
+    # Same-process A/B: 0.638 ms vs 0.764 for the divide+sqrt form at the
+    # flagship quad shape (scripts/cas_rsqrt_ab.py), ±1 u8 LSB rounding
+    # shift on ~boundary pixels.
+    sc = (-jnp.float32(sharpen)) * num * jax.lax.rsqrt(
+        jnp.maximum(num * den, jnp.float32(1e-30))
+    )
     out = (c + sc * (n + s + wpe)) / (one + 4.0 * sc)
     return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
@@ -495,7 +508,7 @@ def _parity_kernel(
         f = _to_f32(t)
         if scale != 1.0:
             f = f * jnp.float32(scale)
-        return jnp.clip(jnp.abs(f), 0.0, 1.0)
+        return jnp.minimum(jnp.abs(f), 1.0)  # abs>=0: the 0-clamp is dead
 
     even, odd = _parity_planes(
         _clip(scu[slot]), _clip(sco[slot]), ts, h, sharpen
@@ -734,7 +747,7 @@ def _quad_kernel(
         f = _to_f32(t)
         if scale != 1.0:
             f = f * jnp.float32(scale)
-        return jnp.clip(jnp.abs(f), 0.0, 1.0)
+        return jnp.minimum(jnp.abs(f), 1.0)  # abs>=0: the 0-clamp is dead
 
     p = [
         [_clip(s00[slot]), _clip(s01[slot])],
@@ -817,7 +830,7 @@ def _quad_strip_kernel(
         f = _to_f32(t)
         if scale != 1.0:
             f = f * jnp.float32(scale)
-        return jnp.clip(jnp.abs(f), 0.0, 1.0)
+        return jnp.minimum(jnp.abs(f), 1.0)  # abs>=0: the 0-clamp is dead
 
     p = [
         [_clip(s00[slot]), _clip(s01[slot])],

@@ -168,6 +168,20 @@ def _pipeline(
         x_raw = jnp.moveaxis(img_u8, -1, -3)  # (..., C, h, w)
         prec = plan.precision.matmul_precision
 
+        # pre-CAS storage codec for the split paths: when int16 Q2.14
+        # storage is active, quantize INSIDE the transform (the y matmul
+        # reads the dequantized stored planes) so the f32 planes never
+        # materialize — see dense.r2c_quad's docstring for the A/B.
+        _i16_mode = plan.precision is Precision.HALF and storage not in (
+            "f32",
+            "bf16",
+        )
+        _codec = (
+            dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+            if _i16_mode
+            else {}
+        )
+
         fmt = _parity_route(plan)
         if fmt == "quad" and "alpha_odd_hi" in banks:
             # quad-parity: x matmul only computes ODD output columns (even
@@ -177,13 +191,14 @@ def _pipeline(
             # vs 2.14 weave+CAS at the flagship shape on v5e)
             from ..ops.cas_pallas import cas_parity4_planes_u2
 
-            Ps = dense.r2c_quad(x_raw, banks, prec)
-            return _quad_tail(
-                cas_parity4_planes_u2(*[_store16(p) for p in Ps], plan.sharpen)
-            )
+            Ps = dense.r2c_quad(x_raw, banks, prec, **_codec)
+            if not _i16_mode:
+                Ps = [_store16(p) for p in Ps]
+            return _quad_tail(cas_parity4_planes_u2(*Ps, plan.sharpen))
 
-        U, O = dense.r2c_rows(x_raw, banks, prec)
-        U, O = _store16(U), _store16(O)
+        U, O = dense.r2c_rows(x_raw, banks, prec, **_codec)
+        if not _i16_mode:
+            U, O = _store16(U), _store16(O)
         if fmt is not None:
             # per-parity fused CAS: no woven pre-CAS image, no device-side
             # row weave at all
