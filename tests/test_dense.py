@@ -95,3 +95,43 @@ def test_c2c_chain_matches_oracle():
     G = oracle.assemble_big_spectrum(F, plan)
     want = 4.0 * np.abs(np.fft.ifft2(G))
     assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_r2c_quad_codec_matches_uncoded():
+    """The int16 Q2.14 store/load staging inside r2c_quad must agree with
+    the unstaged f32 path to within the staging quantum (the y matmul
+    reads dequantized planes — error bound 2^-14 * sum|Y| per pixel)."""
+    from vkresample_tpu.ops import cas as cas_ops
+
+    plan = UpscalePlan(h=32, w=128, upscale=2.0, engine=Engine.MXU)
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (3, 32, 128), np.uint8)
+    banks = dense.r2c_rows_banks(plan, "float32")
+    assert "alpha_odd_hi" in banks
+    Pf = dense.r2c_quad(jnp.asarray(img), banks, HIGHEST)
+    Pq = dense.r2c_quad(
+        jnp.asarray(img), banks, HIGHEST,
+        store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage,
+    )
+    for f, q in zip(Pf, Pq):
+        assert q.dtype == jnp.int16
+        d = np.abs(np.asarray(q, np.float64) / 16384.0 - np.asarray(f, np.float64))
+        assert d.max() < 3e-3, d.max()
+
+
+def test_r2c_rows_codec_matches_uncoded():
+    from vkresample_tpu.ops import cas as cas_ops
+
+    plan = UpscalePlan(h=32, w=64, upscale=2.0, engine=Engine.MXU)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (3, 32, 64), np.uint8)
+    banks = dense.r2c_rows_banks(plan, "float32")
+    Uf, Of = dense.r2c_rows(jnp.asarray(img), banks, HIGHEST)
+    Uq, Oq = dense.r2c_rows(
+        jnp.asarray(img), banks, HIGHEST,
+        store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage,
+    )
+    for f, q in zip((Uf, Of), (Uq, Oq)):
+        assert q.dtype == jnp.int16
+        d = np.abs(np.asarray(q, np.float64) / 16384.0 - np.asarray(f, np.float64))
+        assert d.max() < 3e-3, d.max()
