@@ -466,7 +466,125 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
         yt_hi = ytp.astype("bfloat16")
         yt_lo = (ytp - yt_hi.astype(np.float64)).astype("bfloat16")
         banks["ycasYT2"] = np.concatenate([yt_hi, yt_lo], axis=1)
+        # int8 MXU digit banks (r2c_quad int8 route; int8 rides the MXU at
+        # 2x the bf16 rate).  x bank: three rounded base-128 digits of
+        # alpha_odd (the 2^15 headroom keeps every digit in int8; build-time
+        # assert).  y bank: exact shift/mask digits of the 15-bit fixed-
+        # point main rows + a bf16 residual that cancels the bank
+        # quantization.  Same-process A/B: y 0.119 vs 0.292 ms (HIGH),
+        # x 0.162 vs 0.304 ms (stacked bf16 hi|lo) — scripts/int8_mm_ab.py.
+        SCALE21 = float((1 << 21) - (1 << 15))
+        SX = float(np.abs(aodd).max())
+        Aq = np.round(aodd / SX * SCALE21).astype(np.int64)
+        xd1 = np.round(Aq / (1 << 14)).astype(np.int64)
+        rem = Aq - (xd1 << 14)
+        xd2 = np.round(rem / (1 << 7)).astype(np.int64)
+        xd3 = rem - (xd2 << 7)
+        assert max(
+            abs(int(d.min())) if d.size else 0 for d in (xd1, xd2, xd3)
+        ) <= 128 and max(
+            int(d.max()) if d.size else 0 for d in (xd1, xd2, xd3)
+        ) <= 127, "x digit overflow"
+        banks["xq_d1"] = xd1.astype(np.int8)
+        banks["xq_d2"] = xd2.astype(np.int8)
+        banks["xq_d3"] = xd3.astype(np.int8)
+        xs_scale = SX / SCALE21
+        Arec = (
+            xd1.astype(np.float64) * (1 << 14) + xd2 * (1 << 7) + xd3
+        ) * xs_scale
+        # compensation for the exact (x - 128) int8 shift of uint8 pixels
+        banks["xq_corr"] = (128.0 * Arec.sum(axis=0)).astype("float32")
+        banks["xq_scale"] = np.float32(xs_scale)
+        Ymain = Ymat_ns[:h].astype(np.float64)
+        SY = float(np.abs(Ymain).max())
+        Yq = np.round(Ymain / SY * 16384.0).astype(np.int32)
+        yqh = (Yq >> 8).astype(np.int8)  # exact: Yq in [-2^14, 2^14]
+        yql = ((Yq & 255) - 128).astype(np.int8)  # exact offset digit
+        banks["yq_h"] = yqh
+        banks["yq_lo"] = yql
+        # constants of the offset-digit expansion (see _quad_int8_y)
+        banks["yq_comp"] = (
+            32768.0 * yqh.astype(np.float64).sum(axis=0)
+            + 128.0 * yql.astype(np.float64).sum(axis=0)
+        ).astype("float32")
+        banks["yq_scale"] = np.float32(SY / (16384.0 * 16384.0))
+        banks["yq_res"] = (Ymain - SY * Yq.astype(np.float64) / 16384.0).astype(
+            "bfloat16"
+        )
     return banks
+
+
+def _use_int8(banks: dict, store) -> bool:
+    """int8 MXU route applies on the half-precision quad path: the stored
+    int16 planes make the activation digits exact shift/masks, and the
+    mode's tolerance absorbs the ~0.01 u8 LSB the digit banks add."""
+    import os
+
+    return (
+        store is not None
+        and "xq_d1" in banks
+        and not os.environ.get("VKRESAMPLE_NO_INT8")
+    )
+
+
+def _quad_int8_x(x_raw: jnp.ndarray, banks: dict) -> jnp.ndarray:
+    """Odd-column x matmul as three int8 MXU passes (1.5 bf16-pass
+    equivalents vs the 2-pass stacked bf16 hi|lo): uint8 pixels shift to
+    exact int8 via (x - 128) with a precomputed rank-1 compensation; the
+    bank is three rounded base-128 digits (21 bits)."""
+    xs = (x_raw.astype(jnp.int32) - 128).astype(jnp.int8)
+
+    def mm(dd):
+        return jnp.einsum(
+            "...hk,kn->...hn", xs, dd, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+
+    acc = (
+        mm(banks["xq_d1"]) * jnp.float32(1 << 14)
+        + mm(banks["xq_d2"]) * jnp.float32(1 << 7)
+        + mm(banks["xq_d3"])
+    )
+    return acc * banks["xq_scale"] + banks["xq_corr"]
+
+
+def _quad_int8_y(Pst: jnp.ndarray, banks: dict) -> jnp.ndarray:
+    """Non-sample-row y matmul read straight from the STORED int16 Q2.14
+    plane via exact int8 digits — 4 int8 MXU passes (2 bf16-pass
+    equivalents vs precision-HIGH's 3) plus one bf16 residual pass that
+    cancels the bank quantization (total error ~0.01 u8 LSB).
+
+    Digit algebra (both operands as d_hi*256 + (d_lo + 128), every digit
+    exactly int8 for the full int16 range):
+      sum Yq*Pq = 65536*yh.ph + 256*(yh.pl + yl.ph) + yl.pl
+                + [32768*colsum(yh) + 128*colsum(yl)]   (bank constant)
+                + 128 * colsum_j(Pq)                    (one cheap reduce)
+    """
+    pi = Pst.astype(jnp.int32)
+    ph = (pi >> 8).astype(jnp.int8)
+    pl = ((pi & 255) - 128).astype(jnp.int8)
+
+    def mm(a, b):
+        return jnp.einsum(
+            "jm,...jn->...mn", a, b, preferred_element_type=jnp.int32
+        )
+
+    acc = mm(banks["yq_h"], ph).astype(jnp.float32) * jnp.float32(65536.0)
+    acc = acc + (
+        mm(banks["yq_h"], pl) + mm(banks["yq_lo"], ph)
+    ).astype(jnp.float32) * jnp.float32(256.0)
+    acc = acc + mm(banks["yq_lo"], pl).astype(jnp.float32)
+    psum = jnp.sum(pi, axis=-2, keepdims=True).astype(jnp.float32)
+    acc = acc + jnp.float32(128.0) * psum + banks["yq_comp"][:, None]
+    out = acc * banks["yq_scale"]
+    pb = (pi.astype(jnp.float32) * jnp.float32(1.0 / 16384.0)).astype(
+        jnp.bfloat16
+    )
+    return out + jnp.einsum(
+        "jm,...jn->...mn",
+        banks["yq_res"],
+        pb,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def r2c_x_only(x_raw: jnp.ndarray, banks: dict, precision):
@@ -554,17 +672,21 @@ def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
     bank_dt = banks["alpha_odd_hi"].dtype
     w = x_raw.shape[-1]
     h = x_raw.shape[-2]
-    xb = x_raw.astype(bank_dt)
     acc = jnp.float32
-    a_cat = jnp.concatenate(
-        [banks["alpha_odd_hi"], banks["alpha_odd_lo"]], axis=0
-    )
-    # stacked hi|lo bank: ONE MXU pass with internal accumulation (two
-    # einsums + add measured 0.688 vs 0.305 ms, scripts/quad_stage2_ab.py)
-    x_cat = jnp.concatenate([xb, xb], axis=-1)
-    P01 = jnp.einsum(
-        "...hk,kn->...hn", x_cat, a_cat, preferred_element_type=acc
-    )
+    int8_route = _use_int8(banks, store)
+    if int8_route:
+        P01 = _quad_int8_x(x_raw, banks)
+    else:
+        xb = x_raw.astype(bank_dt)
+        a_cat = jnp.concatenate(
+            [banks["alpha_odd_hi"], banks["alpha_odd_lo"]], axis=0
+        )
+        # stacked hi|lo bank: ONE MXU pass with internal accumulation (two
+        # einsums + add measured 0.688 vs 0.305 ms, scripts/quad_stage2_ab.py)
+        x_cat = jnp.concatenate([xb, xb], axis=-1)
+        P01 = jnp.einsum(
+            "...hk,kn->...hn", x_cat, a_cat, preferred_element_type=acc
+        )
     xf = x_raw.astype(acc)
     signs = jnp.asarray((-1.0) ** np.arange(w), acc)
     q = jnp.sum(xf * signs, axis=-1, keepdims=True)  # (..., h, 1)
@@ -585,10 +707,14 @@ def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
     else:
         P00s, P01s = store(P00), store(P01)
         P00m, P01m = load(P00s), load(P01s)
-    Ym = banks["Ymat_ns"][:h]
     Yc = banks["Ymat_ns"][h:]
-    P10 = jnp.einsum("jm,...jn->...mn", Ym, P00m, precision=precision)
-    P11 = jnp.einsum("jm,...jn->...mn", Ym, P01m, precision=precision)
+    if int8_route:
+        P10 = _quad_int8_y(P00s, banks)
+        P11 = _quad_int8_y(P01s, banks)
+    else:
+        Ym = banks["Ymat_ns"][:h]
+        P10 = jnp.einsum("jm,...jn->...mn", Ym, P00m, precision=precision)
+        P11 = jnp.einsum("jm,...jn->...mn", Ym, P01m, precision=precision)
     if t2e is not None:
         P10 = P10 + jnp.einsum("rm,...rn->...mn", Yc, t2e, precision=precision)
         P11 = P11 + jnp.einsum("rm,...rn->...mn", Yc, t2o, precision=precision)
