@@ -62,7 +62,7 @@ def main() -> int:
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     x = jax.device_put(img, jax.devices()[0])
 
-    ms = time_device(pipeline, x, aux=banks, k1=max(2, k2 // 5), k2=k2)
+    ms = time_device(pipeline, x, aux=banks, k1=max(2, k2 // 5), k2=k2, reps=3)
 
     result = {
         "metric": "upscale_2048x1024_to_4096x2048_fp16_ms_per_frame",

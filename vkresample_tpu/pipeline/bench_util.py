@@ -52,8 +52,14 @@ def make_looped(pipeline: Callable) -> Callable:
     return jax.jit(run)
 
 
-def time_device(pipeline: Callable, x, aux=None, k1: int = 4, k2: int = 20) -> float:
-    """Returns ms per pipeline iteration, launch/readback overhead removed."""
+def time_device(
+    pipeline: Callable, x, aux=None, k1: int = 4, k2: int = 20, reps: int = 1
+) -> float:
+    """Returns ms per pipeline iteration, launch/readback overhead removed.
+
+    reps > 1 repeats the (k1, k2) measurement pair and returns the MIN —
+    this host drifts upward within a process (thermal/tunnel noise), and
+    the minimum is the stable capability signal."""
     run = make_looped(pipeline)
 
     def measure(k) -> float:
@@ -63,6 +69,9 @@ def time_device(pipeline: Callable, x, aux=None, k1: int = 4, k2: int = 20) -> f
         return time.perf_counter() - t0
 
     measure(k1)  # compile (k is traced) + warm path
-    t1 = measure(k1)
-    t2 = measure(k2)
-    return max(t2 - t1, 1e-9) * 1000.0 / (k2 - k1)
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        t1 = measure(k1)
+        t2 = measure(k2)
+        best = min(best, max(t2 - t1, 1e-9) * 1000.0 / (k2 - k1))
+    return best
