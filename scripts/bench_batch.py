@@ -16,7 +16,11 @@ sys.path.insert(0, ".")
 from vkresample_tpu.core.config import Engine, Precision
 from vkresample_tpu.core.plan import UpscalePlan
 from vkresample_tpu.pipeline.bench_util import time_device
-from vkresample_tpu.pipeline.upscale import _pipeline, make_device_banks
+from vkresample_tpu.pipeline.upscale import (
+    _pipeline,
+    make_device_banks,
+    parity_planes_supported,
+)
 
 
 def main():
@@ -26,8 +30,12 @@ def main():
     )
     engine = plan.resolve_engine()
     banks = make_device_banks(plan, engine)
+    # parity planes out, like bench.py and the CLI: the device-side woven
+    # u8 output needs a lane-interleave relayout that costs ~10x the whole
+    # pipeline on TPU — the PNG encoder weaves for free instead
     single = functools.partial(
-        _pipeline, plan=plan, engine=engine, planar_out=True
+        _pipeline, plan=plan, engine=engine, planar_out=True,
+        planes_out=parity_planes_supported(plan),
     )
 
     rng = np.random.default_rng(0)
@@ -36,11 +44,9 @@ def main():
         x = jax.device_put(imgs)
 
         def step(xx, bb):
-            # _pipeline is batch-polymorphic; reduce over the batch so the
-            # timing probe depends on every frame
-            return jnp.max(single(xx, bb), axis=0)
+            return single(xx, bb)
 
-        ms = time_device(step, x, aux=banks, k1=3, k2=12)
+        ms = time_device(step, x, aux=banks, k1=3, k2=12, reps=2)
         print(
             f"batch={batch}: {ms:8.3f} ms/step -> {1000.0 * batch / ms:7.1f} frames/s",
             flush=True,

@@ -60,6 +60,11 @@ def mm8(a, b):
 
 
 def y_int8(p0, aux, drop_lolo=False):
+    """NOTE: this rounded digit split wraps plo in int8 for near-saturated
+    planes (pi >= 32640 clips phi to 127, leaving plo in [128, 255]) — it
+    was superseded by the EXACT offset-digit algebra shipped in
+    dense._quad_int8_y (timed below as 'y int8 shipped'), kept here only
+    as the record of the original decision measurement."""
     (p1,) = aux
     outs = []
     for p in (p0, p1):
@@ -72,6 +77,15 @@ def y_int8(p0, aux, drop_lolo=False):
             acc = acc + mm8(ylo, plo).astype(jnp.float32)
         outs.append(cas_ops.to_i16_storage(acc * jnp.float32(YSCALE * 16384.0)))
     return tuple(outs)
+
+
+def y_int8_shipped(p0, aux):
+    """The exact shipped route (dense._quad_int8_y: offset digits +
+    bf16 residual pass), measured on the same operands."""
+    (p1,) = aux
+    return tuple(
+        cas_ops.to_i16_storage(dense._quad_int8_y(p, banks)) for p in (p0, p1)
+    )
 
 
 def y_high(p0, aux):
@@ -101,11 +115,14 @@ def check_y(outs):
     )
 
 
-for name, fn in [
+Y_VARIANTS = [
     ("y HIGH (current)", y_high),
     ("y int8 x4", lambda p0, aux: y_int8(p0, aux, False)),
     ("y int8 x3", lambda p0, aux: y_int8(p0, aux, True)),
-]:
+]
+if "xq_d1" in banks:
+    Y_VARIANTS.append(("y int8 shipped", y_int8_shipped))
+for name, fn in Y_VARIANTS:
     try:
         outs = jax.jit(fn)(P0, (P1,))
         err = check_y(outs)

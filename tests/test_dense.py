@@ -135,3 +135,42 @@ def test_r2c_rows_codec_matches_uncoded():
         assert q.dtype == jnp.int16
         d = np.abs(np.asarray(q, np.float64) / 16384.0 - np.asarray(f, np.float64))
         assert d.max() < 3e-3, d.max()
+
+
+def test_r2c_quad_int8_route_matches_plain_staging(monkeypatch):
+    """The int8 MXU route (HALF plans build digit banks; active at
+    precision != HIGHEST) must agree with the plain i16-staged matmul
+    path to well under a u8 LSB (x digits err ~0.01 LSB, y digits + bf16
+    residual ~0.01 LSB)."""
+    import jax as _jax
+
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.ops import cas as cas_ops
+
+    plan = UpscalePlan(
+        h=32, w=128, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (3, 32, 128), np.uint8)
+    banks = dense.r2c_rows_banks(plan, "float32")
+    assert "xq_d1" in banks  # HALF plans build the digit banks
+    codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+    HIGH = _jax.lax.Precision.HIGH
+    Pi = dense.r2c_quad(jnp.asarray(img), banks, HIGH, **codec)
+    # HIGHEST disables the route (the accuracy override keeps meaning)
+    Pp = dense.r2c_quad(jnp.asarray(img), banks, HIGHEST, **codec)
+    for a, b in zip(Pi, Pp):
+        d = np.abs(
+            np.asarray(a, np.float64) / 16384.0
+            - np.asarray(b, np.float64) / 16384.0
+        )
+        assert d.max() < 1.5e-3, d.max()  # ~0.4 u8 LSB headroom
+    # env opt-out matches the HIGHEST-disabled path bit-exactly at HIGH?
+    # (not required — both are plain paths; just confirm the knob works)
+    monkeypatch.setenv("VKRESAMPLE_NO_INT8", "1")
+    Po = dense.r2c_quad(jnp.asarray(img), banks, HIGH, **codec)
+    for a, b in zip(Po, Pp):
+        d = np.abs(
+            np.asarray(a, np.int32) - np.asarray(b, np.int32)
+        )
+        assert d.max() <= 2  # HIGH vs HIGHEST matmul rounding only

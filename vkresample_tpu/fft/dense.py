@@ -466,6 +466,7 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
         yt_hi = ytp.astype("bfloat16")
         yt_lo = (ytp - yt_hi.astype(np.float64)).astype("bfloat16")
         banks["ycasYT2"] = np.concatenate([yt_hi, yt_lo], axis=1)
+    if u == 2 and dtype != "float64" and _int8_banks_wanted(plan):
         # int8 MXU digit banks (r2c_quad int8 route; int8 rides the MXU at
         # 2x the bf16 rate).  x bank: three rounded base-128 digits of
         # alpha_odd (the 2^15 headroom keeps every digit in int8; build-time
@@ -514,15 +515,37 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
     return banks
 
 
-def _use_int8(banks: dict, store) -> bool:
+def _int8_banks_wanted(plan) -> bool:
+    """Build the int8 digit banks only when the route can activate: the
+    half-precision mode with int16 Q2.14 storage (the default) and no
+    explicit opt-out.  SINGLE/DOUBLE and the f32/bf16 storage knobs never
+    take the route, so building ~16 MB of digit banks there would only
+    waste HBM and upload time."""
+    import os
+
+    from ..core.config import Precision
+
+    return (
+        plan.precision is Precision.HALF
+        and not os.environ.get("VKRESAMPLE_NO_INT8")
+        and os.environ.get("VKRESAMPLE_HALF_STORAGE") not in ("f32", "bf16")
+    )
+
+
+def _use_int8(banks: dict, store, precision) -> bool:
     """int8 MXU route applies on the half-precision quad path: the stored
     int16 planes make the activation digits exact shift/masks, and the
-    mode's tolerance absorbs the ~0.01 u8 LSB the digit banks add."""
+    mode's tolerance absorbs the ~0.01 u8 LSB the digit banks add.
+    Precision HIGHEST (the VKRESAMPLE_MM_PRECISION=highest override)
+    disables the route so the accuracy knob keeps meaning what it says."""
     import os
+
+    import jax as _jax
 
     return (
         store is not None
         and "xq_d1" in banks
+        and precision is not _jax.lax.Precision.HIGHEST
         and not os.environ.get("VKRESAMPLE_NO_INT8")
     )
 
@@ -673,7 +696,7 @@ def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
     w = x_raw.shape[-1]
     h = x_raw.shape[-2]
     acc = jnp.float32
-    int8_route = _use_int8(banks, store)
+    int8_route = _use_int8(banks, store, precision)
     if int8_route:
         P01 = _quad_int8_x(x_raw, banks)
     else:
@@ -703,15 +726,16 @@ def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
         )
         t2e, t2o = t2[..., 0::2], t2[..., 1::2]
     if store is None:
-        P00s, P01s, P00m, P01m = P00, P01, P00, P01
+        P00s, P01s = P00, P01
     else:
         P00s, P01s = store(P00), store(P01)
-        P00m, P01m = load(P00s), load(P01s)
     Yc = banks["Ymat_ns"][h:]
     if int8_route:
         P10 = _quad_int8_y(P00s, banks)
         P11 = _quad_int8_y(P01s, banks)
     else:
+        P00m = P00 if store is None else load(P00s)
+        P01m = P01 if store is None else load(P01s)
         Ym = banks["Ymat_ns"][:h]
         P10 = jnp.einsum("jm,...jn->...mn", Ym, P00m, precision=precision)
         P11 = jnp.einsum("jm,...jn->...mn", Ym, P01m, precision=precision)

@@ -57,9 +57,12 @@ def time_device(
 ) -> float:
     """Returns ms per pipeline iteration, launch/readback overhead removed.
 
-    reps > 1 repeats the (k1, k2) measurement pair and returns the MIN —
-    this host drifts upward within a process (thermal/tunnel noise), and
-    the minimum is the stable capability signal."""
+    reps > 1 repeats each loop-length measurement and uses the MIN of the
+    t1s and the MIN of the t2s in ONE difference quotient — this host's
+    noise is upward-only (thermal/tunnel stalls), so per-measurement
+    minima cancel it, whereas min-of-quotients would be biased low (a
+    stall inside a k1 measurement deflates that rep's quotient and the
+    min would select exactly the corrupted rep)."""
     run = make_looped(pipeline)
 
     def measure(k) -> float:
@@ -69,9 +72,6 @@ def time_device(
         return time.perf_counter() - t0
 
     measure(k1)  # compile (k is traced) + warm path
-    best = float("inf")
-    for _ in range(max(1, reps)):
-        t1 = measure(k1)
-        t2 = measure(k2)
-        best = min(best, max(t2 - t1, 1e-9) * 1000.0 / (k2 - k1))
-    return best
+    t1 = min(measure(k1) for _ in range(max(1, reps)))
+    t2 = min(measure(k2) for _ in range(max(1, reps)))
+    return max(t2 - t1, 1e-9) * 1000.0 / (k2 - k1)
