@@ -111,22 +111,16 @@ def _pipeline(
             return t.astype(jnp.bfloat16)
         return cas_ops.to_i16_storage(t)
 
-    def _quad_tail(outs):
-        """Shared epilogue for the four quad-parity uint8 planes."""
-        if planes_out:
-            return outs
-        o = jnp.stack(
-            [
-                jnp.stack([outs[0], outs[1]], axis=-1),
-                jnp.stack([outs[2], outs[3]], axis=-1),
-            ],
-            axis=-3,
-        )  # (..., h, 2, Wh, 2)
-        out = o.reshape(o.shape[:-4] + (2 * o.shape[-4], 2 * o.shape[-2]))
-        return out if planar_out else jnp.moveaxis(out, -3, -1)
-
+    # The quad (column-split) formulation is ONLY taken when the caller
+    # consumes parity PLANES: weaving the columns back on device is a u8
+    # lane interleave, and BOTH formulations measured pathological on TPU
+    # (stack+reshape ~16 ms, strided scatters ~330 ms, vs 1.4 ms for the
+    # whole pipeline).  Woven-output callers (the library upscale() API)
+    # take the rows-parity route instead — its row weave is a sublane
+    # interleave, which is cheap.
     if (
         use_pallas
+        and planes_out
         and engine is Engine.MXU
         and (banks is None or "Ymat_ns" not in banks)
         and plan.r2c
@@ -147,7 +141,7 @@ def _pipeline(
         F = rfft2_packed(x, k_cols=kx)  # trim before the y transform
         pl4 = irfft2_phase_planes(F, plan.h, plan.w, 2, keep_nyq)
         Ps = [_store16(p) for p in (pl4[0][0], pl4[0][1], pl4[1][0], pl4[1][1])]
-        return _quad_tail(cas_parity4_planes_u2(*Ps, plan.sharpen))
+        return cas_parity4_planes_u2(*Ps, plan.sharpen)
 
     if (
         use_pallas
@@ -183,18 +177,19 @@ def _pipeline(
         )
 
         fmt = _parity_route(plan)
-        if fmt == "quad" and "alpha_odd_hi" in banks:
+        if fmt == "quad" and "alpha_odd_hi" in banks and planes_out:
             # quad-parity: x matmul only computes ODD output columns (even
             # columns are exact samples + a rank-1 correction); CAS runs
             # per (row, col) output parity on four half-width planes — no
             # interleave anywhere on device (1.57 ms vs 1.97 rows-parity
-            # vs 2.14 weave+CAS at the flagship shape on v5e)
+            # vs 2.14 weave+CAS at the flagship shape on v5e).  Gated on
+            # planes_out: see the column-weave note above.
             from ..ops.cas_pallas import cas_parity4_planes_u2
 
             Ps = dense.r2c_quad(x_raw, banks, prec, **_codec)
             if not _i16_mode:
                 Ps = [_store16(p) for p in Ps]
-            return _quad_tail(cas_parity4_planes_u2(*Ps, plan.sharpen))
+            return cas_parity4_planes_u2(*Ps, plan.sharpen)
 
         U, O = dense.r2c_rows(x_raw, banks, prec, **_codec)
         if not _i16_mode:
