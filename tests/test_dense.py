@@ -174,3 +174,27 @@ def test_r2c_quad_int8_route_matches_plain_staging(monkeypatch):
             np.asarray(a, np.int32) - np.asarray(b, np.int32)
         )
         assert d.max() <= 2  # HIGH vs HIGHEST matmul rounding only
+
+
+def test_r2c_rows_int8_route_matches_plain_staging():
+    import jax as _jax
+
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.ops import cas as cas_ops
+
+    plan = UpscalePlan(
+        h=32, w=64, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (3, 32, 64), np.uint8)
+    banks = dense.r2c_rows_banks(plan, "float32")
+    assert "xqf_d1" in banks
+    codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+    Ui, Oi = dense.r2c_rows(jnp.asarray(img), banks, _jax.lax.Precision.HIGH, **codec)
+    Up, Op = dense.r2c_rows(jnp.asarray(img), banks, HIGHEST, **codec)
+    for a, b in zip((Ui, Oi), (Up, Op)):
+        d = np.abs(
+            np.asarray(a, np.float64) / 16384.0
+            - np.asarray(b, np.float64) / 16384.0
+        )
+        assert d.max() < 1.5e-3, d.max()

@@ -474,28 +474,10 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
         # point main rows + a bf16 residual that cancels the bank
         # quantization.  Same-process A/B: y 0.119 vs 0.292 ms (HIGH),
         # x 0.162 vs 0.304 ms (stacked bf16 hi|lo) — scripts/int8_mm_ab.py.
-        SCALE21 = float((1 << 21) - (1 << 15))
-        SX = float(np.abs(aodd).max())
-        Aq = np.round(aodd / SX * SCALE21).astype(np.int64)
-        xd1 = np.round(Aq / (1 << 14)).astype(np.int64)
-        rem = Aq - (xd1 << 14)
-        xd2 = np.round(rem / (1 << 7)).astype(np.int64)
-        xd3 = rem - (xd2 << 7)
-        assert max(
-            abs(int(d.min())) if d.size else 0 for d in (xd1, xd2, xd3)
-        ) <= 128 and max(
-            int(d.max()) if d.size else 0 for d in (xd1, xd2, xd3)
-        ) <= 127, "x digit overflow"
-        banks["xq_d1"] = xd1.astype(np.int8)
-        banks["xq_d2"] = xd2.astype(np.int8)
-        banks["xq_d3"] = xd3.astype(np.int8)
-        xs_scale = SX / SCALE21
-        Arec = (
-            xd1.astype(np.float64) * (1 << 14) + xd2 * (1 << 7) + xd3
-        ) * xs_scale
-        # compensation for the exact (x - 128) int8 shift of uint8 pixels
-        banks["xq_corr"] = (128.0 * Arec.sum(axis=0)).astype("float32")
-        banks["xq_scale"] = np.float32(xs_scale)
+        banks.update(_int8_x_digit_banks(aodd, "xq"))
+        # full-width digits for the rows route (woven-output callers,
+        # w % 128 != 0 geometries) — the y digit banks below are shared
+        banks.update(_int8_x_digit_banks(an.astype(np.float64), "xqf"))
         Ymain = Ymat_ns[:h].astype(np.float64)
         SY = float(np.abs(Ymain).max())
         Yq = np.round(Ymain / SY * 16384.0).astype(np.int32)
@@ -513,6 +495,34 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
             "bfloat16"
         )
     return banks
+
+
+def _int8_x_digit_banks(A, key: str) -> dict:
+    """Three rounded base-128 int8 digits of a 21-bit fixed-point
+    rendering of the f64 x bank A (columns already /255-folded), plus the
+    (x - 128) shift compensation row and the reconstruction scale.  The
+    2^15 headroom in the scale keeps every digit in int8 (asserted)."""
+    SCALE21 = float((1 << 21) - (1 << 15))
+    SX = float(np.abs(A).max())
+    Aq = np.round(A / SX * SCALE21).astype(np.int64)
+    d1 = np.round(Aq / (1 << 14)).astype(np.int64)
+    rem = Aq - (d1 << 14)
+    d2 = np.round(rem / (1 << 7)).astype(np.int64)
+    d3 = rem - (d2 << 7)
+    assert all(
+        -128 <= int(d.min()) and int(d.max()) <= 127
+        for d in (d1, d2, d3)
+        if d.size
+    ), "x digit overflow"
+    scale = SX / SCALE21
+    Arec = (d1.astype(np.float64) * (1 << 14) + d2 * (1 << 7) + d3) * scale
+    return {
+        key + "_d1": d1.astype(np.int8),
+        key + "_d2": d2.astype(np.int8),
+        key + "_d3": d3.astype(np.int8),
+        key + "_corr": (128.0 * Arec.sum(axis=0)).astype("float32"),
+        key + "_scale": np.float32(scale),
+    }
 
 
 def _int8_banks_wanted(plan) -> bool:
@@ -550,11 +560,13 @@ def _use_int8(banks: dict, store, precision) -> bool:
     )
 
 
-def _quad_int8_x(x_raw: jnp.ndarray, banks: dict) -> jnp.ndarray:
-    """Odd-column x matmul as three int8 MXU passes (1.5 bf16-pass
-    equivalents vs the 2-pass stacked bf16 hi|lo): uint8 pixels shift to
-    exact int8 via (x - 128) with a precomputed rank-1 compensation; the
-    bank is three rounded base-128 digits (21 bits)."""
+def _quad_int8_x(x_raw: jnp.ndarray, banks: dict, key: str = "xq") -> jnp.ndarray:
+    """x matmul as three int8 MXU passes (1.5 bf16-pass equivalents vs
+    the 2-pass stacked bf16 hi|lo): uint8 pixels shift to exact int8 via
+    (x - 128) with a precomputed rank-1 compensation; the bank is three
+    rounded base-128 digits (21 bits).  key selects the digit-bank set:
+    "xq" = odd output columns (quad route), "xqf" = full width (rows
+    route)."""
     xs = (x_raw.astype(jnp.int32) - 128).astype(jnp.int8)
 
     def mm(dd):
@@ -563,11 +575,11 @@ def _quad_int8_x(x_raw: jnp.ndarray, banks: dict) -> jnp.ndarray:
         ).astype(jnp.float32)
 
     acc = (
-        mm(banks["xq_d1"]) * jnp.float32(1 << 14)
-        + mm(banks["xq_d2"]) * jnp.float32(1 << 7)
-        + mm(banks["xq_d3"])
+        mm(banks[key + "_d1"]) * jnp.float32(1 << 14)
+        + mm(banks[key + "_d2"]) * jnp.float32(1 << 7)
+        + mm(banks[key + "_d3"])
     )
-    return acc * banks["xq_scale"] + banks["xq_corr"]
+    return acc * banks[key + "_scale"] + banks[key + "_corr"]
 
 
 def _quad_int8_y(Pst: jnp.ndarray, banks: dict) -> jnp.ndarray:
@@ -646,17 +658,36 @@ def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
 
     store/load: optional pre-CAS storage codec — same staging trick as
     r2c_quad (U otherwise feeds two consumers and XLA materializes the
-    f32 plane besides the stored one); returns stored planes when set."""
-    U, T2 = r2c_x_only(x_raw, banks, precision)
+    f32 plane besides the stored one); returns stored planes when set.
+
+    On the half/i16 path with u=2 the contractions run on the int8 MXU
+    route (full-width "xqf" digit banks + the shared y digit banks) —
+    same algebra as r2c_quad, see docs/MATH.md §8."""
     h = x_raw.shape[-2]
-    if store is None:
-        Us, Um = U, U
-    else:
+    int8_route = _use_int8(banks, store, precision) and "xqf_d1" in banks
+    if int8_route:
+        U = _quad_int8_x(x_raw, banks, "xqf")
+        T2 = None
+        if "Y1n" in banks:
+            xf = x_raw.astype(jnp.float32)
+            tcorr = jnp.einsum(
+                "...hw,hr->...rw", xf, banks["Y1n"], precision=precision
+            )
+            T2 = jnp.einsum(
+                "...rw,wn->...rn", tcorr, banks["beta"], precision=precision
+            )
         Us = store(U)
-        Um = load(Us)
-    Ym = banks["Ymat_ns"][:h]
+        O = _quad_int8_y(Us, banks)
+    else:
+        U, T2 = r2c_x_only(x_raw, banks, precision)
+        if store is None:
+            Us, Um = U, U
+        else:
+            Us = store(U)
+            Um = load(Us)
+        Ym = banks["Ymat_ns"][:h]
+        O = jnp.einsum("jm,...jn->...mn", Ym, Um, precision=precision)
     Yc = banks["Ymat_ns"][h:]
-    O = jnp.einsum("jm,...jn->...mn", Ym, Um, precision=precision)
     if T2 is not None:
         O = O + jnp.einsum("rm,...rn->...mn", Yc, T2, precision=precision)
     if store is None:
