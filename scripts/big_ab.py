@@ -29,21 +29,45 @@ print("mxu_mode:", plan.mxu_mode, "planes_format:", planes_format(plan), flush=T
 img = np.random.default_rng(0).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 x = jax.device_put(img)
 
+want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+
+# --- dense int8 big-quad route (banks present) -------------------------
+from vkresample_tpu.pipeline.upscale import make_device_banks  # noqa: E402
+
+try:
+    banks = make_device_banks(plan, Engine.MXU)
+    assert banks is not None and "xq_d1" in banks, "big int8 banks missing"
+    dense_quad = functools.partial(
+        _pipeline, plan=plan, engine=Engine.MXU, planes_out=True
+    )
+    outs = jax.jit(dense_quad)(x, banks)
+    got = weave4_host(*[np.asarray(p) for p in outs])
+    print(
+        "dense-int8 quad maxdiff vs oracle:",
+        np.abs(got.astype(np.int64) - want.astype(np.int64)).max(),
+        flush=True,
+    )
+    del outs, got
+    ms = time_device(dense_quad, x, aux=banks, k1=2, k2=8, reps=2)
+    print(f"{'dense-int8 quad planes':26s} {ms:9.3f} ms", flush=True)
+except Exception as e:
+    print(f"dense-int8 quad FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
+banks = None
+
+# --- phases route (banks=None) and XLA baselines -----------------------
 quad = functools.partial(
     _pipeline, plan=plan, engine=Engine.MXU, planes_out=True
 )
 
-# correctness of the quad phases route first
 try:
-    outs = jax.jit(quad)(x)
+    outs = jax.jit(quad)(x, None)
     got = weave4_host(*[np.asarray(p) for p in outs])
-    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
     print(
         "phases-quad maxdiff vs oracle:",
         np.abs(got.astype(np.int64) - want.astype(np.int64)).max(),
         flush=True,
     )
-    del outs, got, want
+    del outs, got
 except Exception as e:
     print("phases-quad correctness FAILED:", str(e)[:300], flush=True)
 

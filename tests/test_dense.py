@@ -198,3 +198,34 @@ def test_r2c_rows_int8_route_matches_plain_staging():
             - np.asarray(b, np.float64) / 16384.0
         )
         assert d.max() < 1.5e-3, d.max()
+
+
+def test_r2c_quad_int8_only_banks_match_regular():
+    """The big-tier int8-only bank set (r2c_quad_int8_banks — no f32
+    alpha/Ymat matrices, beta pre-split in bf16) must reproduce the
+    regular quad banks' int8 route to within the bf16 correction
+    rounding."""
+    import jax as _jax
+
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.ops import cas as cas_ops
+
+    plan = UpscalePlan(
+        h=32, w=128, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (3, 32, 128), np.uint8)
+    big = dense.r2c_quad_int8_banks(plan)
+    assert "Ymat_ns" not in big and "xq_d1" in big
+    reg = dense.r2c_rows_banks(plan, "float32")
+    codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+    HIGH = _jax.lax.Precision.HIGH
+    Pb = dense.r2c_quad(jnp.asarray(img), big, HIGH, **codec)
+    Pr = dense.r2c_quad(jnp.asarray(img), reg, HIGH, **codec)
+    for a, b in zip(Pb, Pr):
+        d = np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32))
+        assert d.max() <= 24, d.max()  # bf16 beta rounding, Q2.14 ticks
+
+    # without the codec the int8-only set must refuse loudly
+    with pytest.raises(ValueError, match="int8-only"):
+        dense.r2c_quad(jnp.asarray(img), big, HIGH)

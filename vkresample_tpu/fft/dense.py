@@ -256,16 +256,28 @@ def _r2c_chain_banks(
     Ry = np.real(comp)
     Iy = np.imag(comp)
 
-    # factor the (near-)rank-1 imaginary residue
+    # factor the (near-)rank-1 imaginary residue.  For the standard band
+    # geometry Iy is EXACTLY rank 1 (only the unpaired relocated y-Nyquist
+    # bin contributes an imaginary part), so try direct cross extraction
+    # first — an O(h*H) check instead of an SVD that takes minutes at
+    # 4096x8192 (the big dense-int8 tier's geometry); SVD remains the
+    # fallback for any non-rank-1 geometry.
     smax = np.abs(Iy).max()
     if smax < 1e-9:
         Y1 = np.zeros((h, 0))
         Y2 = np.zeros((0, H))
     else:
-        U_, s_, Vt_ = np.linalg.svd(Iy, full_matrices=False)
-        r = int(np.sum(s_ > 1e-10 * s_[0]))
-        Y1 = U_[:, :r] * s_[:r]
-        Y2 = Vt_[:r]
+        t0, m0 = np.unravel_index(int(np.argmax(np.abs(Iy))), Iy.shape)
+        u_col = Iy[:, m0]
+        v_row = Iy[t0, :] / Iy[t0, m0]
+        if np.abs(Iy - np.outer(u_col, v_row)).max() <= 1e-12 * smax:
+            Y1 = u_col[:, None]
+            Y2 = v_row[None, :]
+        else:
+            U_, s_, Vt_ = np.linalg.svd(Iy, full_matrices=False)
+            r = int(np.sum(s_ > 1e-10 * s_[0]))
+            Y1 = U_[:, :r] * s_[:r]
+            Y2 = Vt_[:r]
     return (
         alpha.astype(dtype),
         beta.astype(dtype),
@@ -542,6 +554,58 @@ def _int8_banks_wanted(plan) -> bool:
     )
 
 
+def r2c_quad_int8_banks(plan, dtype: str = "float32") -> dict:
+    """Minimal int8-only bank set for the BIG dense quad route (u=2 half
+    mode beyond DENSE_MAX): x odd-column digit banks, y digit banks +
+    bf16 residual, the rank-r y-Nyquist correction factors, and the
+    parity-pre-split beta correction banks in bf16 — no f32/bf16 alpha or
+    Ymat matrices (those would be 0.5-1 GB at 8192x16384).
+
+    At 4096x8192 -> 8192x16384 this is ~250 MB of device banks and turns
+    the frame into 3+8 int8 MXU matmuls + quad CAS, vs the mixed-radix
+    phases route's many-stage relayouts (same-process A/B in
+    scripts/big_ab.py).  Detect this set by "xq_d1" present and
+    "Ymat_ns" absent; it requires the int8 route (store codec + not
+    HIGHEST)."""
+    u = plan.integer_upscale
+    assert u == 2 and r2c_rows_supported(plan) and plan.w % 128 == 0
+    h, w, H, W = plan.h, plan.w, plan.H, plan.W
+    alpha, beta, Ry, Y1, Y2 = _r2c_chain_banks(
+        h, w, H, W,
+        plan.kept_lo_y, plan.kept_hi_y, plan.kept_lo_x, False, "float64",
+    )
+    Ymat = np.concatenate([Ry, Y2], axis=0)
+    y_s = Ymat.reshape(-1, h, u)[:, :, 0]
+    ident = np.zeros((Ymat.shape[0], h))
+    ident[:h] = np.eye(h)
+    assert np.abs(y_s - ident).max() < 1e-9, "y sample-row identity failed"
+    Ymat_ns = np.ascontiguousarray(
+        Ymat.reshape(-1, h, u)[:, :, 1:].reshape(-1, h * (u - 1))
+    )
+    aodd = alpha[:, 1::2] / 255.0
+    banks = _int8_x_digit_banks(aodd, "xq")
+    Ymain = Ymat_ns[:h]
+    SY = float(np.abs(Ymain).max())
+    Yq = np.round(Ymain / SY * 16384.0).astype(np.int32)
+    yqh = (Yq >> 8).astype(np.int8)
+    yql = ((Yq & 255) - 128).astype(np.int8)
+    banks["yq_h"] = yqh
+    banks["yq_lo"] = yql
+    banks["yq_comp"] = (
+        32768.0 * yqh.astype(np.float64).sum(axis=0)
+        + 128.0 * yql.astype(np.float64).sum(axis=0)
+    ).astype("float32")
+    banks["yq_scale"] = np.float32(SY / (16384.0 * 16384.0))
+    banks["yq_res"] = (Ymain - SY * Yq / 16384.0).astype("bfloat16")
+    r = Y1.shape[1]
+    if r:
+        banks["Y1n"] = (Y1 / 255.0).astype(dtype)
+        banks["Yc"] = np.ascontiguousarray(Ymat_ns[h:]).astype(dtype)
+        banks["beta_e"] = np.ascontiguousarray(beta[:, 0::2]).astype("bfloat16")
+        banks["beta_o"] = np.ascontiguousarray(beta[:, 1::2]).astype("bfloat16")
+    return banks
+
+
 def _use_int8(banks: dict, store, precision) -> bool:
     """int8 MXU route applies on the half-precision quad path: the stored
     int16 planes make the activation digits exact shift/masks, and the
@@ -723,15 +787,20 @@ def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
     The rank-r y-Nyquist correction rows are contracted separately and
     added (fused into the matmul epilogue) rather than concatenated onto
     the planes — the aug-concat copies 2x25 MB for r==1 rows."""
-    bank_dt = banks["alpha_odd_hi"].dtype
     w = x_raw.shape[-1]
     h = x_raw.shape[-2]
     acc = jnp.float32
     int8_route = _use_int8(banks, store, precision)
+    if not int8_route and "alpha_odd_hi" not in banks:
+        raise ValueError(
+            "this bank set is int8-only (big dense quad tier) — it "
+            "requires half mode with int16 storage and no "
+            "VKRESAMPLE_NO_INT8/MM_PRECISION=highest override"
+        )
     if int8_route:
         P01 = _quad_int8_x(x_raw, banks)
     else:
-        xb = x_raw.astype(bank_dt)
+        xb = x_raw.astype(banks["alpha_odd_hi"].dtype)
         a_cat = jnp.concatenate(
             [banks["alpha_odd_hi"], banks["alpha_odd_lo"]], axis=0
         )
@@ -752,15 +821,27 @@ def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
         tcorr = jnp.einsum(
             "...hw,hr->...rw", xf, banks["Y1n"], precision=precision
         )
-        t2 = jnp.einsum(
-            "...rw,wn->...rn", tcorr, banks["beta"], precision=precision
-        )
-        t2e, t2o = t2[..., 0::2], t2[..., 1::2]
+        if "beta_e" in banks:
+            # big int8-only bank set: beta pre-split by output column
+            # parity in bf16 (a full f32 beta would be 0.5 GB at 16K)
+            tb = tcorr.astype(jnp.bfloat16)
+            t2e = jnp.einsum(
+                "...rw,wn->...rn", tb, banks["beta_e"],
+                preferred_element_type=acc,
+            )
+            t2o = jnp.einsum(
+                "...rw,wn->...rn", tb, banks["beta_o"],
+                preferred_element_type=acc,
+            )
+        else:
+            t2 = jnp.einsum(
+                "...rw,wn->...rn", tcorr, banks["beta"], precision=precision
+            )
+            t2e, t2o = t2[..., 0::2], t2[..., 1::2]
     if store is None:
         P00s, P01s = P00, P01
     else:
         P00s, P01s = store(P00), store(P01)
-    Yc = banks["Ymat_ns"][h:]
     if int8_route:
         P10 = _quad_int8_y(P00s, banks)
         P11 = _quad_int8_y(P01s, banks)
@@ -771,6 +852,7 @@ def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
         P10 = jnp.einsum("jm,...jn->...mn", Ym, P00m, precision=precision)
         P11 = jnp.einsum("jm,...jn->...mn", Ym, P01m, precision=precision)
     if t2e is not None:
+        Yc = banks["Yc"] if "Yc" in banks else banks["Ymat_ns"][h:]
         P10 = P10 + jnp.einsum("rm,...rn->...mn", Yc, t2e, precision=precision)
         P11 = P11 + jnp.einsum("rm,...rn->...mn", Yc, t2o, precision=precision)
     if store is None:

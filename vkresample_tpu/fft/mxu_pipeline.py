@@ -39,15 +39,32 @@ def _assemble_pair(F, plan):
 # 4K -> 8K with <=0.5 GB of banks; the mixed-radix path above this size
 # needs memory staging work (see docs/STATUS.md).
 DENSE_MAX = 8192
+# ...except the u=2 half-mode quad route, whose int8 digit banks stay
+# affordable (~250 MB at 8K->16K) and whose 3+8 int8 MXU matmuls beat the
+# mixed-radix phases route's many-stage relayouts — see
+# dense.r2c_quad_int8_banks.
+DENSE_INT8_MAX = 16384
 
 
 def make_dense_banks(plan: UpscalePlan, dtype: str = "float32"):
     """Numpy bank pytree for the dense chain, or None when the plan routes
     to the mixed-radix path.  Callers jax.device_put the result and pass it
-    as a jit ARGUMENT (multi-MB HLO literal constants choke compilation)."""
+    as a jit ARGUMENT (multi-MB HLO literal constants choke compilation).
+
+    Beyond DENSE_MAX, eligible u=2 half-mode plans get the int8-only big
+    quad bank set (detect: "xq_d1" present, "Ymat_ns" absent)."""
     from . import dense
 
     if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
+        if (
+            plan.r2c
+            and max(plan.h, plan.w, plan.H, plan.W) <= DENSE_INT8_MAX
+            and plan.integer_upscale == 2
+            and plan.w % 128 == 0
+            and dense.r2c_rows_supported(plan)
+            and dense._int8_banks_wanted(plan)
+        ):
+            return dense.r2c_quad_int8_banks(plan, dtype)
         return None
     if plan.r2c:
         if dense.r2c_rows_supported(plan):

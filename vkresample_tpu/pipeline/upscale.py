@@ -111,6 +111,25 @@ def _pipeline(
             return t.astype(jnp.bfloat16)
         return cas_ops.to_i16_storage(t)
 
+    # pre-CAS storage codec for the split paths: when int16 Q2.14 storage
+    # is active, quantize INSIDE the transform (the y matmul reads the
+    # dequantized stored planes) so the f32 planes never materialize —
+    # see dense.r2c_quad's docstring for the A/B.
+    _i16_mode = plan.precision is Precision.HALF and storage not in (
+        "f32",
+        "bf16",
+    )
+    # big int8-only dense quad bank set (>DENSE_MAX; dense.r2c_quad_int8_banks):
+    # usable only with parity-plane output and the i16 codec
+    use_big_quad = (
+        banks is not None
+        and "xq_d1" in banks
+        and "Ymat_ns" not in banks
+        and planes_out
+        and _i16_mode
+        and _parity_route(plan) == "quad"
+    )
+
     # The quad (column-split) formulation is ONLY taken when the caller
     # consumes parity PLANES: weaving the columns back on device is a u8
     # lane interleave, and BOTH formulations measured pathological on TPU
@@ -123,6 +142,7 @@ def _pipeline(
         and planes_out
         and engine is Engine.MXU
         and (banks is None or "Ymat_ns" not in banks)
+        and not use_big_quad
         and plan.r2c
         and plan.mxu_mode == "phases"
         and _parity_route(plan) == "quad"
@@ -147,7 +167,7 @@ def _pipeline(
         use_pallas
         and engine is Engine.MXU
         and banks is not None
-        and "Ymat_ns" in banks
+        and ("Ymat_ns" in banks or use_big_quad)
         and plan.r2c
     ):
         # row-split fast path: raw uint8 feeds the split-bf16 x matmul
@@ -161,15 +181,6 @@ def _pipeline(
 
         x_raw = jnp.moveaxis(img_u8, -1, -3)  # (..., C, h, w)
         prec = plan.precision.matmul_precision
-
-        # pre-CAS storage codec for the split paths: when int16 Q2.14
-        # storage is active, quantize INSIDE the transform (the y matmul
-        # reads the dequantized stored planes) so the f32 planes never
-        # materialize — see dense.r2c_quad's docstring for the A/B.
-        _i16_mode = plan.precision is Precision.HALF and storage not in (
-            "f32",
-            "bf16",
-        )
         _codec = (
             dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
             if _i16_mode
@@ -177,7 +188,11 @@ def _pipeline(
         )
 
         fmt = _parity_route(plan)
-        if fmt == "quad" and "alpha_odd_hi" in banks and planes_out:
+        if (
+            fmt == "quad"
+            and ("alpha_odd_hi" in banks or use_big_quad)
+            and planes_out
+        ):
             # quad-parity: x matmul only computes ODD output columns (even
             # columns are exact samples + a rank-1 correction); CAS runs
             # per (row, col) output parity on four half-width planes — no
