@@ -132,3 +132,38 @@ def test_planes_out_quad_matches_woven():
     # non-u2 has no parity route at all
     plan3 = UpscalePlan(h=32, w=128, upscale=3.0, engine=Engine.MXU)
     assert _parity_route(plan3) is None
+
+
+def test_pipeline_big_quad_banks_route(monkeypatch):
+    """_pipeline's big int8-only bank gating (use_big_quad): with pallas
+    forced on, parity-plane output and the i16 codec, the int8-only bank
+    set drives the quad branch (the small geometry lands on the quad
+    kernel's XLA fallback, so this runs fully on CPU) and the woven
+    result matches the oracle."""
+    import functools
+
+    import jax
+    from jax import numpy as jnp
+
+    from vkresample_tpu.core.config import Engine, Precision
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.fft import dense
+    from vkresample_tpu.oracle import numpy_ref as oracle
+    from vkresample_tpu.pipeline import upscale as up
+
+    plan = UpscalePlan(h=32, w=128, upscale=2.0, precision=Precision.HALF,
+                       engine=Engine.MXU)
+    banks = jax.device_put(dense.r2c_quad_int8_banks(plan))
+    monkeypatch.setattr(up, "_use_pallas_cas", lambda p: True)
+    img = np.random.default_rng(77).integers(0, 256, (32, 128, 3), np.uint8)
+    outs = jax.jit(
+        functools.partial(up._pipeline, plan=plan, engine=Engine.MXU,
+                          planar_out=True, planes_out=True)
+    )(jnp.asarray(img), banks)
+    got = np.zeros((3, 64, 256), np.uint8)
+    got[:, 0::2, 0::2] = np.asarray(outs[0])
+    got[:, 0::2, 1::2] = np.asarray(outs[1])
+    got[:, 1::2, 0::2] = np.asarray(outs[2])
+    got[:, 1::2, 1::2] = np.asarray(outs[3])
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
