@@ -21,7 +21,8 @@ class DeviceTuning:
     parity_block: int = 64  # per-parity CAS band height (1.62 ms on v5e)
     quad_block: int = 64  # quad-parity CAS band height (1.57 ms on v5e)
     quad_wmax: int = 4096  # widest full-width quad tile; wider -> col strips
-    quad_wsb: int = 1024  # quad column-strip width (strip VMEM budget)
+    quad_wsb: int = 2048  # quad column-strip width (15.4 vs 16.4 ms at
+    # 8K->16K for 1024; 512 is 21 ms — scripts/big_stage.py)
 
 
 _TABLE = {
