@@ -229,3 +229,21 @@ def test_r2c_quad_int8_only_banks_match_regular():
     # without the codec the int8-only set must refuse loudly
     with pytest.raises(ValueError, match="int8-only"):
         dense.r2c_quad(jnp.asarray(img), big, HIGH)
+
+
+def test_big_int8_banks_gated_by_env(monkeypatch):
+    """MM_PRECISION=highest (and planes=False) must suppress the big
+    int8-only bank set so >8K plans fall back to the phases route instead
+    of crashing in r2c_quad."""
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.fft import mxu_pipeline
+
+    plan = UpscalePlan(
+        h=4096, w=8192, upscale=2.0, precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    monkeypatch.setenv("VKRESAMPLE_MM_PRECISION", "highest")
+    assert mxu_pipeline.make_dense_banks(plan, planes=True) is None
+    monkeypatch.delenv("VKRESAMPLE_MM_PRECISION")
+    # woven/planar callers (planes=False) never build the big set either
+    assert mxu_pipeline.make_dense_banks(plan, planes=False) is None

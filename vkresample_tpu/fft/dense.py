@@ -270,7 +270,13 @@ def _r2c_chain_banks(
         t0, m0 = np.unravel_index(int(np.argmax(np.abs(Iy))), Iy.shape)
         u_col = Iy[:, m0]
         v_row = Iy[t0, :] / Iy[t0, m0]
-        if np.abs(Iy - np.outer(u_col, v_row)).max() <= 1e-12 * smax:
+        # acceptance tolerance must cover the O(h*eps) absolute rounding
+        # noise of the complex Df@DY partial sums (whose terms are O(1)
+        # even where the imaginary residue is small) — a pure relative
+        # bound can spuriously reject the exactly-rank-1 geometry and
+        # silently fall back to the minutes-long SVD
+        tol = max(1e-12 * smax, 8.0 * h * np.finfo(np.float64).eps)
+        if np.abs(Iy - np.outer(u_col, v_row)).max() <= tol:
             Y1 = u_col[:, None]
             Y2 = v_row[None, :]
         else:
@@ -490,22 +496,7 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
         # full-width digits for the rows route (woven-output callers,
         # w % 128 != 0 geometries) — the y digit banks below are shared
         banks.update(_int8_x_digit_banks(an.astype(np.float64), "xqf"))
-        Ymain = Ymat_ns[:h].astype(np.float64)
-        SY = float(np.abs(Ymain).max())
-        Yq = np.round(Ymain / SY * 16384.0).astype(np.int32)
-        yqh = (Yq >> 8).astype(np.int8)  # exact: Yq in [-2^14, 2^14]
-        yql = ((Yq & 255) - 128).astype(np.int8)  # exact offset digit
-        banks["yq_h"] = yqh
-        banks["yq_lo"] = yql
-        # constants of the offset-digit expansion (see _quad_int8_y)
-        banks["yq_comp"] = (
-            32768.0 * yqh.astype(np.float64).sum(axis=0)
-            + 128.0 * yql.astype(np.float64).sum(axis=0)
-        ).astype("float32")
-        banks["yq_scale"] = np.float32(SY / (16384.0 * 16384.0))
-        banks["yq_res"] = (Ymain - SY * Yq.astype(np.float64) / 16384.0).astype(
-            "bfloat16"
-        )
+        banks.update(_int8_y_digit_banks(Ymat_ns[:h].astype(np.float64)))
     return banks
 
 
@@ -537,6 +528,28 @@ def _int8_x_digit_banks(A, key: str) -> dict:
     }
 
 
+def _int8_y_digit_banks(Ymain) -> dict:
+    """Exact shift/mask int8 digits of the 15-bit fixed-point y main-row
+    matrix, the offset-digit constants, and the bf16 residual that
+    cancels the bank quantization (see _quad_int8_y for the algebra)."""
+    SY = float(np.abs(Ymain).max())
+    Yq = np.round(Ymain / SY * 16384.0).astype(np.int32)
+    yqh = (Yq >> 8).astype(np.int8)  # exact: Yq in [-2^14, 2^14]
+    yql = ((Yq & 255) - 128).astype(np.int8)  # exact offset digit
+    return {
+        "yq_h": yqh,
+        "yq_lo": yql,
+        "yq_comp": (
+            32768.0 * yqh.astype(np.float64).sum(axis=0)
+            + 128.0 * yql.astype(np.float64).sum(axis=0)
+        ).astype("float32"),
+        "yq_scale": np.float32(SY / (16384.0 * 16384.0)),
+        "yq_res": (
+            Ymain - SY * Yq.astype(np.float64) / 16384.0
+        ).astype("bfloat16"),
+    }
+
+
 def _int8_banks_wanted(plan) -> bool:
     """Build the int8 digit banks only when the route can activate: the
     half-precision mode with int16 Q2.14 storage (the default) and no
@@ -551,6 +564,7 @@ def _int8_banks_wanted(plan) -> bool:
         plan.precision is Precision.HALF
         and not os.environ.get("VKRESAMPLE_NO_INT8")
         and os.environ.get("VKRESAMPLE_HALF_STORAGE") not in ("f32", "bf16")
+        and os.environ.get("VKRESAMPLE_MM_PRECISION", "").lower() != "highest"
     )
 
 
@@ -584,19 +598,7 @@ def r2c_quad_int8_banks(plan, dtype: str = "float32") -> dict:
     )
     aodd = alpha[:, 1::2] / 255.0
     banks = _int8_x_digit_banks(aodd, "xq")
-    Ymain = Ymat_ns[:h]
-    SY = float(np.abs(Ymain).max())
-    Yq = np.round(Ymain / SY * 16384.0).astype(np.int32)
-    yqh = (Yq >> 8).astype(np.int8)
-    yql = ((Yq & 255) - 128).astype(np.int8)
-    banks["yq_h"] = yqh
-    banks["yq_lo"] = yql
-    banks["yq_comp"] = (
-        32768.0 * yqh.astype(np.float64).sum(axis=0)
-        + 128.0 * yql.astype(np.float64).sum(axis=0)
-    ).astype("float32")
-    banks["yq_scale"] = np.float32(SY / (16384.0 * 16384.0))
-    banks["yq_res"] = (Ymain - SY * Yq / 16384.0).astype("bfloat16")
+    banks.update(_int8_y_digit_banks(Ymat_ns[:h]))
     r = Y1.shape[1]
     if r:
         banks["Y1n"] = (Y1 / 255.0).astype(dtype)
@@ -704,13 +706,22 @@ def r2c_x_only(x_raw: jnp.ndarray, banks: dict, precision):
     U = jnp.einsum(
         "...hk,kn->...hn", x_cat, a_cat, preferred_element_type=acc
     )
-    T2 = None
-    if "Y1n" in banks:
-        tcorr = jnp.einsum(
-            "...hw,hr->...rw", x_raw.astype(acc), banks["Y1n"], precision=precision
-        )
-        T2 = jnp.einsum("...rw,wn->...rn", tcorr, banks["beta"], precision=precision)
-    return U, T2
+    return U, _x_nyq_corr(x_raw, banks, precision, acc)
+
+
+def _x_nyq_corr(x_raw, banks: dict, precision, acc=None):
+    """Rank-r y-Nyquist correction rows T2 (..., r, W) for the split
+    paths, or None when the plan has no imaginary y residue."""
+    if "Y1n" not in banks:
+        return None
+    if acc is None:
+        acc = jnp.float32
+    tcorr = jnp.einsum(
+        "...hw,hr->...rw", x_raw.astype(acc), banks["Y1n"], precision=precision
+    )
+    return jnp.einsum(
+        "...rw,wn->...rn", tcorr, banks["beta"], precision=precision
+    )
 
 
 def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
@@ -731,15 +742,7 @@ def r2c_rows(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
     int8_route = _use_int8(banks, store, precision) and "xqf_d1" in banks
     if int8_route:
         U = _quad_int8_x(x_raw, banks, "xqf")
-        T2 = None
-        if "Y1n" in banks:
-            xf = x_raw.astype(jnp.float32)
-            tcorr = jnp.einsum(
-                "...hw,hr->...rw", xf, banks["Y1n"], precision=precision
-            )
-            T2 = jnp.einsum(
-                "...rw,wn->...rn", tcorr, banks["beta"], precision=precision
-            )
+        T2 = _x_nyq_corr(x_raw, banks, precision)
         Us = store(U)
         O = _quad_int8_y(Us, banks)
     else:

@@ -46,21 +46,31 @@ DENSE_MAX = 8192
 DENSE_INT8_MAX = 16384
 
 
-def make_dense_banks(plan: UpscalePlan, dtype: str = "float32"):
+def make_dense_banks(
+    plan: UpscalePlan, dtype: str = "float32", planes: bool = False
+):
     """Numpy bank pytree for the dense chain, or None when the plan routes
     to the mixed-radix path.  Callers jax.device_put the result and pass it
     as a jit ARGUMENT (multi-MB HLO literal constants choke compilation).
 
     Beyond DENSE_MAX, eligible u=2 half-mode plans get the int8-only big
-    quad bank set (detect: "xq_d1" present, "Ymat_ns" absent)."""
+    quad bank set (detect: "xq_d1" present, "Ymat_ns" absent) — ONLY when
+    the caller consumes parity planes (planes=True): the set costs
+    minutes of host numpy and ~250 MB of HBM at 8K->16K, and the pipeline
+    can use it only on the planes route (woven callers run the phases
+    fallback that ignores banks)."""
+    import os
+
     from . import dense
 
     if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
         if (
-            plan.r2c
+            planes
+            and plan.r2c
             and max(plan.h, plan.w, plan.H, plan.W) <= DENSE_INT8_MAX
             and plan.integer_upscale == 2
             and plan.w % 128 == 0
+            and not os.environ.get("VKRESAMPLE_NO_PARITY")
             and dense.r2c_rows_supported(plan)
             and dense._int8_banks_wanted(plan)
         ):

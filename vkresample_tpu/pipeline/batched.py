@@ -32,7 +32,7 @@ def build_batched_upscale(
     from .upscale import make_device_banks
 
     engine = plan.resolve_engine()
-    banks = make_device_banks(plan, engine)
+    banks = make_device_banks(plan, engine, planes=planes_out)
     # _pipeline is batch-polymorphic over leading dims (vmap would hit the
     # pallas_call batching rule, which can't handle ANY-memspace refs)
     fn = functools.partial(

@@ -246,8 +246,12 @@ def _pipeline(
     return out if planar_out else jnp.moveaxis(out, -3, -1)
 
 
-def make_device_banks(plan: UpscalePlan, engine: Engine, device=None):
-    """Device-resident dense bank pytree for MXU plans (None otherwise)."""
+def make_device_banks(
+    plan: UpscalePlan, engine: Engine, device=None, planes: bool = True
+):
+    """Device-resident dense bank pytree for MXU plans (None otherwise).
+    planes: whether the caller consumes parity-plane output — gates the
+    big int8-only bank set (see make_dense_banks)."""
     if engine is not Engine.MXU:
         return None
     import numpy as _np
@@ -255,7 +259,7 @@ def make_device_banks(plan: UpscalePlan, engine: Engine, device=None):
     from ..fft import mxu_pipeline
 
     banks = mxu_pipeline.make_dense_banks(
-        plan, _np.dtype(plan.precision.compute_dtype).name
+        plan, _np.dtype(plan.precision.compute_dtype).name, planes=planes
     )
     if banks is None:
         return None
@@ -346,12 +350,16 @@ def build_upscale(
         def fn_x64(img, _fn=jitfn, _plan=plan, _engine=engine, _banks=[None]):
             with jax.enable_x64():
                 if _banks[0] is None:
-                    _banks[0] = (make_device_banks(_plan, _engine, device),)
+                    _banks[0] = (
+                        make_device_banks(
+                            _plan, _engine, device, planes=planes_out
+                        ),
+                    )
                 return _fn(img, _banks[0][0])
 
         return fn_x64
 
-    banks = make_device_banks(plan, engine, device)
+    banks = make_device_banks(plan, engine, device, planes=planes_out)
 
     def fn(img, _fn=jitfn, _banks=banks):
         return _fn(img, _banks)
