@@ -267,16 +267,23 @@ def _r2c_chain_banks(
         Y1 = np.zeros((h, 0))
         Y2 = np.zeros((0, H))
     else:
-        t0, m0 = np.unravel_index(int(np.argmax(np.abs(Iy))), Iy.shape)
+        m0 = int(np.argmax(np.abs(Iy).max(axis=0)))
         u_col = Iy[:, m0]
-        v_row = Iy[t0, :] / Iy[t0, m0]
-        # acceptance tolerance must cover the O(h*eps) absolute rounding
-        # noise of the complex Df@DY partial sums (whose terms are O(1)
-        # even where the imaginary residue is small) — a pure relative
-        # bound can spuriously reject the exactly-rank-1 geometry and
-        # silently fall back to the minutes-long SVD
+        # v by least-squares projection, not single-row division: the
+        # projection averages the O(h*eps) rounding noise of the complex
+        # Df@DY partial sums down by sqrt(h) — single-row extraction at
+        # h=4096 leaves ~4e-10 junk in the sample columns, which breaks
+        # the downstream y sample-row identity assert (caught on-chip).
+        v_row = (u_col @ Iy) / float(u_col @ u_col)
+        # acceptance tolerance with an absolute floor for the same noise —
+        # a pure relative bound spuriously rejects the exactly-rank-1
+        # geometry and silently falls back to the minutes-long SVD
         tol = max(1e-12 * smax, 8.0 * h * np.finfo(np.float64).eps)
         if np.abs(Iy - np.outer(u_col, v_row)).max() <= tol:
+            # zero sub-noise v entries (the true factor's zero columns)
+            v_row = np.where(
+                np.abs(v_row) * np.abs(u_col).max() <= tol, 0.0, v_row
+            )
             Y1 = u_col[:, None]
             Y2 = v_row[None, :]
         else:
