@@ -44,7 +44,14 @@ def main():
         x = jax.device_put(imgs)
 
         def step(xx, bb):
-            return single(xx, bb)
+            # batch-dependent reduce so no frame can be dead-code
+            # eliminated when the probe reads only element [0, ...]
+            # (advisor round-2 finding: pure-XLA pipelines without the
+            # Pallas CAS custom call are DCE-prone)
+            out = single(xx, bb)
+            return jax.tree.map(
+                lambda p: jnp.max(p, axis=0, keepdims=True), out
+            )
 
         ms = time_device(step, x, aux=banks, k1=3, k2=12, reps=2)
         print(

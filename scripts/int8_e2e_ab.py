@@ -1,8 +1,8 @@
 """Same-process e2e A/B + oracle check: int8 quad route vs bf16/HIGH.
 
-VKRESAMPLE_NO_INT8 is read at trace time, so toggling it between jit
-builds compares the two routes in one process.  Oracle maxdiff is
-checked at the flagship shape for both.
+The route is decided from bank content (advisor round-2 fix), so the
+bf16/HIGH arm passes a bank dict with the xq*/yq* digit banks stripped.
+Oracle maxdiff is checked at the flagship shape for both.
 """
 import functools
 import os
@@ -41,12 +41,13 @@ def weave(outs):
     return got
 
 
+banks_off = {
+    k: v for k, v in banks.items() if not k.startswith(("xq", "yq"))
+}
 results = {}
-for name, env in [("bf16/HIGH", "1"), ("int8", "")]:
-    os.environ["VKRESAMPLE_NO_INT8"] = env
+for name, bb in [("bf16/HIGH", banks_off), ("int8", banks)]:
     fn = functools.partial(pipe)
-    outs = jax.jit(fn)(x, banks)
+    outs = jax.jit(fn)(x, bb)
     md = int(np.abs(weave(outs).astype(int) - want.astype(int)).max())
-    ms = time_device(fn, x, aux=banks, k1=8, k2=40)
+    ms = time_device(fn, x, aux=bb, k1=8, k2=40)
     print(f"{name:10s} {ms:7.3f} ms   oracle maxdiff {md}", flush=True)
-os.environ.pop("VKRESAMPLE_NO_INT8", None)

@@ -26,6 +26,9 @@ h, w = 1024, 2048
 plan = UpscalePlan(
     h=h, w=w, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
 )
+import os
+
+os.environ["VKRESAMPLE_YCAS_BANKS"] = "1"  # experiment-only banks
 banks = jax.device_put(mxu_pipeline.make_dense_banks(plan))
 img = np.random.default_rng(0).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 x = jax.device_put(img)

@@ -165,10 +165,12 @@ def test_r2c_quad_int8_route_matches_plain_staging(monkeypatch):
             - np.asarray(b, np.float64) / 16384.0
         )
         assert d.max() < 1.5e-3, d.max()  # ~0.4 u8 LSB headroom
-    # env opt-out matches the HIGHEST-disabled path bit-exactly at HIGH?
-    # (not required — both are plain paths; just confirm the knob works)
+    # the NO_INT8 opt-out acts at BANK BUILD time (advisor round-2 fix:
+    # route is decided from bank content, never from env at trace time)
     monkeypatch.setenv("VKRESAMPLE_NO_INT8", "1")
-    Po = dense.r2c_quad(jnp.asarray(img), banks, HIGH, **codec)
+    banks_off = dense.r2c_rows_banks(plan, "float32")
+    assert "xq_d1" not in banks_off
+    Po = dense.r2c_quad(jnp.asarray(img), banks_off, HIGH, **codec)
     for a, b in zip(Po, Pp):
         d = np.abs(
             np.asarray(a, np.int32) - np.asarray(b, np.int32)

@@ -14,10 +14,18 @@ from vkresample_tpu.oracle import numpy_ref as oracle
 
 
 def _setup(h=64, w=256, seed=5):
+    import os
+
     plan = UpscalePlan(
         h=h, w=w, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
     )
-    banks = mxu_pipeline.make_dense_banks(plan)
+    # the ycas banks are experiment-only (rejected kernel) and are built
+    # only on request so production plans don't upload dead banks
+    os.environ["VKRESAMPLE_YCAS_BANKS"] = "1"
+    try:
+        banks = mxu_pipeline.make_dense_banks(plan)
+    finally:
+        os.environ.pop("VKRESAMPLE_YCAS_BANKS", None)
     assert "ycasYT" in banks
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w, 3), np.uint8)

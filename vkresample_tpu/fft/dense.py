@@ -443,7 +443,10 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
     y_s = Ymat.reshape(-1, h, u)[:, :, 0]
     ident = np.zeros((Ymat.shape[0], h))
     ident[:h] = np.eye(h)
-    assert np.abs(y_s - ident).max() < 1e-9, "y sample-row identity failed"
+    if np.abs(y_s - ident).max() >= 1e-9:
+        # explicit raise (not assert): stripped under python -O, and a
+        # failure here means silently wrong images
+        raise ValueError("y sample-row identity failed")
     # fold the /255 uint8 normalization (VkResample.cpp:1644) into the x
     # banks and split them into bf16 hi+lo terms: uint8 pixel values are
     # EXACT in bf16, so the x pass runs as TWO plain-bf16 MXU passes with
@@ -465,6 +468,23 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
     if r:
         banks["Y1n"] = (Y1 / 255.0).astype(dtype)
         banks["beta"] = beta.astype(dtype)
+    if u == 2 and dtype != "float64" and _ycas_banks_wanted():
+        # transposed y banks for the REJECTED fused y-matmul+CAS experiment
+        # (ops/ycas_pallas.py, 4.1 ms vs 1.4 — docs/STATUS.md); built only
+        # when VKRESAMPLE_YCAS_BANKS=1 (the ycas A/B scripts and tests set
+        # it) so production plans don't upload ~8 MB of dead banks
+        from ..ops.ycas_pallas import RPAD
+
+        r_ = Y1.shape[1]
+        h2 = h + RPAD if r_ else h
+        ytp = np.zeros((h, h2), np.float64)
+        ytp[:, :h] = Ymat_ns[:h].T
+        if r_:
+            ytp[:, h : h + r_] = Ymat_ns[h:].T
+        banks["ycasYT"] = ytp.astype("float32")
+        yt_hi = ytp.astype("bfloat16")
+        yt_lo = (ytp - yt_hi.astype(np.float64)).astype("bfloat16")
+        banks["ycasYT2"] = np.concatenate([yt_hi, yt_lo], axis=1)
     if u == 2 and dtype != "float64":
         # quad-parity column split: output col 2s is EXACT up to a rank-1
         # x-Nyquist correction (alpha[:, 0::2] = I - outer((-1)^i,(-1)^s)/w,
@@ -475,22 +495,6 @@ def r2c_rows_banks(plan, dtype: str) -> dict:
         ao_lo = (aodd - ao_hi.astype(np.float64)).astype("bfloat16")
         banks["alpha_odd_hi"] = ao_hi
         banks["alpha_odd_lo"] = ao_lo
-        # transposed banks for the fused y-matmul+CAS kernel
-        # (ops/ycas_pallas.py): "ycasYT" f32 (h_ns, h2) for the HIGHEST
-        # mode, "ycasYT2" stacked bf16 [hi | lo] (h_ns, 2*h2) for the
-        # bf16x3 mode (manual HIGH-equivalent 3-pass matmul); correction
-        # columns zero-padded to the DMA sublane quantum
-        from ..ops.ycas_pallas import RPAD
-
-        h2 = h + RPAD if r else h
-        ytp = np.zeros((h, h2), np.float64)
-        ytp[:, :h] = Ymat_ns[:h].T
-        if r:
-            ytp[:, h : h + r] = Ymat_ns[h:].T
-        banks["ycasYT"] = ytp.astype("float32")
-        yt_hi = ytp.astype("bfloat16")
-        yt_lo = (ytp - yt_hi.astype(np.float64)).astype("bfloat16")
-        banks["ycasYT2"] = np.concatenate([yt_hi, yt_lo], axis=1)
     if u == 2 and dtype != "float64" and _int8_banks_wanted(plan):
         # int8 MXU digit banks (r2c_quad int8 route; int8 rides the MXU at
         # 2x the bf16 rate).  x bank: three rounded base-128 digits of
@@ -519,11 +523,14 @@ def _int8_x_digit_banks(A, key: str) -> dict:
     rem = Aq - (d1 << 14)
     d2 = np.round(rem / (1 << 7)).astype(np.int64)
     d3 = rem - (d2 << 7)
-    assert all(
+    if not all(
         -128 <= int(d.min()) and int(d.max()) <= 127
         for d in (d1, d2, d3)
         if d.size
-    ), "x digit overflow"
+    ):
+        # explicit raise (not assert): stripped under python -O, and an
+        # overflow would silently wrap in the int8 cast -> corrupt banks
+        raise ValueError("x digit overflow")
     scale = SX / SCALE21
     Arec = (d1.astype(np.float64) * (1 << 14) + d2 * (1 << 7) + d3) * scale
     return {
@@ -555,6 +562,13 @@ def _int8_y_digit_banks(Ymain) -> dict:
             Ymain - SY * Yq.astype(np.float64) / 16384.0
         ).astype("bfloat16"),
     }
+
+
+def _ycas_banks_wanted() -> bool:
+    """ycasYT/ycasYT2 feed only the rejected ycas_u2 experiment kernels."""
+    import os
+
+    return bool(os.environ.get("VKRESAMPLE_YCAS_BANKS"))
 
 
 def _int8_banks_wanted(plan) -> bool:
@@ -589,7 +603,8 @@ def r2c_quad_int8_banks(plan, dtype: str = "float32") -> dict:
     "Ymat_ns" absent; it requires the int8 route (store codec + not
     HIGHEST)."""
     u = plan.integer_upscale
-    assert u == 2 and r2c_rows_supported(plan) and plan.w % 128 == 0
+    if not (u == 2 and r2c_rows_supported(plan) and plan.w % 128 == 0):
+        raise ValueError("big int8 quad banks require u=2 and w % 128 == 0")
     h, w, H, W = plan.h, plan.w, plan.H, plan.W
     alpha, beta, Ry, Y1, Y2 = _r2c_chain_banks(
         h, w, H, W,
@@ -599,7 +614,8 @@ def r2c_quad_int8_banks(plan, dtype: str = "float32") -> dict:
     y_s = Ymat.reshape(-1, h, u)[:, :, 0]
     ident = np.zeros((Ymat.shape[0], h))
     ident[:h] = np.eye(h)
-    assert np.abs(y_s - ident).max() < 1e-9, "y sample-row identity failed"
+    if np.abs(y_s - ident).max() >= 1e-9:
+        raise ValueError("y sample-row identity failed")
     Ymat_ns = np.ascontiguousarray(
         Ymat.reshape(-1, h, u)[:, :, 1:].reshape(-1, h * (u - 1))
     )
@@ -620,16 +636,20 @@ def _use_int8(banks: dict, store, precision) -> bool:
     int16 planes make the activation digits exact shift/masks, and the
     mode's tolerance absorbs the ~0.01 u8 LSB the digit banks add.
     Precision HIGHEST (the VKRESAMPLE_MM_PRECISION=highest override)
-    disables the route so the accuracy knob keeps meaning what it says."""
-    import os
+    disables the route so the accuracy knob keeps meaning what it says.
 
+    Decided from BANK CONTENT only (plus the precision argument), never
+    from env vars: the env knobs are resolved once at bank-build time
+    (_int8_banks_wanted), so the built banks and the traced route can
+    never disagree within a process (advisor round-2 finding).  A/B
+    harnesses that want the non-int8 arm strip the xq*/yq* keys from the
+    bank dict instead of toggling env mid-process."""
     import jax as _jax
 
     return (
         store is not None
         and "xq_d1" in banks
         and precision is not _jax.lax.Precision.HIGHEST
-        and not os.environ.get("VKRESAMPLE_NO_INT8")
     )
 
 
