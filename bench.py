@@ -35,8 +35,9 @@ def main() -> int:
 
     h, w, u = 1024, 2048, 2.0
     baseline_ms = 2.0
-    args = [a for a in sys.argv[1:] if a != "--stages"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     stages = "--stages" in sys.argv[1:]
+    matrix = "--matrix" in sys.argv[1:]
     k2 = int(args[0]) if args else 40
 
     plan = UpscalePlan(
@@ -100,6 +101,43 @@ def main() -> int:
         result["stage_x_matmul_ms"] = round(ms_x, 4)
         result["stage_y_matmul_ms"] = round(ms_xy - ms_x, 4)
         result["stage_cas_ms"] = round(ms - ms_xy, 4)
+
+    if matrix:
+        # non-flagship tiers (each an extra compile; opt-in) so the c2c,
+        # fractional, fp32-single, and woven library-API routes can't
+        # regress invisibly (round-2 verdict weak #5)
+        km = max(6, k2 // 4)
+
+        def _measure(key, mplan, planes_out_, planar=True):
+            eng = mplan.resolve_engine()
+            bb = make_device_banks(mplan, eng, planes=planes_out_)
+            fn = functools.partial(
+                _pipeline, plan=mplan, engine=eng, planar_out=planar,
+                planes_out=planes_out_,
+            )
+            result[key] = round(
+                time_device(fn, x, aux=bb, k1=max(2, km // 3), k2=km), 4
+            )
+
+        _measure(
+            "single_fp32_ms",
+            UpscalePlan(h=h, w=w, upscale=u, precision=Precision.SINGLE,
+                        sharpen=0.2, engine=Engine.AUTO),
+            planes,
+        )
+        _measure(
+            "c2c_ms",
+            UpscalePlan(h=h, w=w, upscale=u, precision=Precision.HALF,
+                        sharpen=0.2, r2c=False, engine=Engine.AUTO),
+            False,
+        )
+        _measure(
+            "frac_u1_5_ms",
+            UpscalePlan(h=h, w=w, upscale=1.5, precision=Precision.HALF,
+                        sharpen=0.2, engine=Engine.AUTO),
+            False,
+        )
+        _measure("woven_half_ms", plan, False)
 
     print(json.dumps(result))
     return 0

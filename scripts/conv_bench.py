@@ -1,0 +1,40 @@
+"""Perf record for the convolution surface (round-2 verdict missing #3:
+"functionally equivalent, perf never measured").
+
+Times fft_convolve2d on the in-house engine vs the XLA (jnp.fft) engine
+at two sizes, plus the plan-time kernel-spectrum variant (the analog of
+VkFFT's kernel_convolution upload, vkFFT.h:3157-3517 — our spectrum
+multiply is a separate XLA op inside the same jit rather than fused
+inside one kernel; this records what that costs).
+"""
+import functools
+import sys
+
+import jax
+import numpy as np
+from jax import numpy as jnp
+
+sys.path.insert(0, ".")
+from vkresample_tpu.ops.convolve import (
+    fft_convolve2d,
+    gaussian_kernel,
+    kernel_spectrum,
+)
+from vkresample_tpu.pipeline.bench_util import time_device
+
+rng = np.random.default_rng(0)
+for h, w in [(1024, 2048), (4096, 4096)]:
+    x = jax.device_put(rng.standard_normal((3, h, w)).astype(np.float32))
+    kern = gaussian_kernel(h, w, sigma=3.0)
+    for engine in ("mxu", "xla"):
+        tag, spec_arrays = kernel_spectrum(jnp.asarray(kern), engine)
+        spec_arrays = jax.device_put(spec_arrays)
+
+        def run(xx, aux, tg=tag):
+            return fft_convolve2d(xx, (tg, aux))
+
+        try:
+            ms = time_device(run, x, aux=spec_arrays, k1=4, k2=16)
+            print(f"{h}x{w} conv engine={engine:4s} {ms:8.3f} ms", flush=True)
+        except Exception as e:
+            print(f"{h}x{w} engine={engine}: FAILED {str(e)[:160]}", flush=True)

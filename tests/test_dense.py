@@ -233,19 +233,35 @@ def test_r2c_quad_int8_only_banks_match_regular():
         dense.r2c_quad(jnp.asarray(img), big, HIGH)
 
 
-def test_big_int8_banks_gated_by_env(monkeypatch):
-    """MM_PRECISION=highest (and planes=False) must suppress the big
-    int8-only bank set so >8K plans fall back to the phases route instead
-    of crashing in r2c_quad."""
+def test_big_banks_routing_by_env(monkeypatch):
+    """Big-tier bank routing: staged circulant banks are the default
+    (they serve every matmul-precision mode, HIGHEST included); int8
+    dense banks on VKRESAMPLE_BIG=int8; None for woven (planes=False)
+    callers and when both tiers are suppressed."""
     from vkresample_tpu.core.config import Precision
     from vkresample_tpu.fft import mxu_pipeline
 
     plan = UpscalePlan(
-        h=4096, w=8192, upscale=2.0, precision=Precision.HALF,
+        h=64, w=256, upscale=2.0, precision=Precision.HALF,
         engine=Engine.MXU,
     )
+    monkeypatch.setattr(mxu_pipeline, "DENSE_MAX", 32)
+    monkeypatch.setattr(mxu_pipeline, "DENSE_INT8_MAX", 512)
+    monkeypatch.setenv("VKRESAMPLE_MM_PRECISION", "highest")
+    banks = mxu_pipeline.make_dense_banks(plan, planes=True)
+    assert banks is not None and "stx_b1" in banks
+    monkeypatch.delenv("VKRESAMPLE_MM_PRECISION")
+    # woven callers (planes=False) get staged banks too (quad planes +
+    # the u16-packed column weave), but never the int8 dense set
+    wb = mxu_pipeline.make_dense_banks(plan, planes=False)
+    assert wb is not None and "stx_b1" in wb
+    monkeypatch.setenv("VKRESAMPLE_BIG", "int8")
+    assert mxu_pipeline.make_dense_banks(plan, planes=False) is None
+    monkeypatch.delenv("VKRESAMPLE_BIG")
+    # VKRESAMPLE_BIG=int8 selects the round-2 int8 dense tier
+    monkeypatch.setenv("VKRESAMPLE_BIG", "int8")
+    banks = mxu_pipeline.make_dense_banks(plan, planes=True)
+    assert banks is not None and "xq_d1" in banks and "stx_b1" not in banks
+    # ...which MM_PRECISION=highest suppresses entirely (phases fallback)
     monkeypatch.setenv("VKRESAMPLE_MM_PRECISION", "highest")
     assert mxu_pipeline.make_dense_banks(plan, planes=True) is None
-    monkeypatch.delenv("VKRESAMPLE_MM_PRECISION")
-    # woven/planar callers (planes=False) never build the big set either
-    assert mxu_pipeline.make_dense_banks(plan, planes=False) is None

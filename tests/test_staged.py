@@ -1,0 +1,198 @@
+"""Staged circulant-convolution engine vs the dense banks and the oracle.
+
+The staged route factors each axis's circulant contraction into three
+small matmuls (fft/staged.py); these tests pin its algebra to the dense
+tier's O(n^2) matrices (which are themselves oracle-pinned)."""
+import jax
+import numpy as np
+from jax import numpy as jnp
+
+from vkresample_tpu.core.config import Engine, Precision
+from vkresample_tpu.core.plan import UpscalePlan
+from vkresample_tpu.fft import dense, staged
+from vkresample_tpu.ops import cas as cas_ops
+from vkresample_tpu.oracle import numpy_ref as oracle
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _circulant_ref(kernel, x):
+    """out[s] = sum_t kernel[(s-t) mod n] x[t] over the last axis."""
+    return np.real(
+        np.fft.ifft(np.fft.fft(kernel) * np.fft.fft(x, axis=-1), axis=-1)
+    )
+
+
+def test_staged_conv_matches_circulant_lanes_and_rows():
+    rng = np.random.default_rng(0)
+    n = 24
+    kernel = rng.standard_normal(n)
+    banks = {
+        k: jnp.asarray(v)
+        for k, v in staged.conv_banks(kernel, "t_", n1=4).items()
+    }
+    x = rng.standard_normal((3, 5, n))
+    out = staged.conv_apply_lanes(jnp.asarray(x), banks, "t_", HIGHEST)
+    assert np.abs(np.asarray(out) - _circulant_ref(kernel, x)).max() < 1e-4
+    # rows: same conv along axis -2
+    xr = np.moveaxis(x, -1, -2)  # (3, n, 5)
+    out = staged.conv_apply_rows(jnp.asarray(xr), banks, "t_", HIGHEST)
+    want = np.moveaxis(_circulant_ref(kernel, x), -1, -2)
+    assert np.abs(np.asarray(out) - want).max() < 1e-4
+
+
+def test_kernels_match_dense_chain_banks():
+    """psi_o/chi kernels and the y kernel reproduce the dense tier's
+    alpha/beta/Ymat_ns columns exactly (same band geometry)."""
+    plan = UpscalePlan(
+        h=64, w=128, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    h, w, H, W = plan.h, plan.w, plan.H, plan.W
+    alpha, beta, Ry, Y1, Y2 = dense._r2c_chain_banks(
+        h, w, H, W,
+        plan.kept_lo_y, plan.kept_hi_y, plan.kept_lo_x, False, "float64",
+    )
+    psi_o, chi_o, chi_e = staged.x_kernels(w, plan.kept_lo_x)
+    # alpha_odd[i, s] = psi_o[(s - i) mod w]
+    i, s = np.meshgrid(np.arange(w), np.arange(w), indexing="ij")
+    assert np.abs(alpha[:, 1::2] - psi_o[(s - i) % w]).max() < 1e-12
+    assert np.abs(beta[:, 1::2] - chi_o[(s - i) % w]).max() < 1e-12
+    assert np.abs(beta[:, 0::2] - chi_e[(s - i) % w]).max() < 1e-12
+    # y kernel: Ymat_ns main rows are the odd-row circulant
+    Ymat = np.concatenate([Ry, Y2], axis=0)
+    Ymat_ns = Ymat.reshape(-1, h, 2)[:h, :, 1]  # (t_in, s_out) odd rows
+    cy, a0 = staged.y_kernel(h, plan.kept_lo_y, plan.kept_hi_y)
+    t, so = np.meshgrid(np.arange(h), np.arange(h), indexing="ij")
+    assert np.abs(Ymat_ns - cy[(so - t) % h]).max() < 1e-12
+    # rank-1 imaginary residue matches the dense Y1 (x) Y2 factorization
+    iy = np.outer(Y1[:, 0], Y2[0]) if Y1.shape[1] else np.zeros((h, H))
+    iy_odd = iy[:, 1::2]
+    want = a0 * (-1.0) ** (so - t)
+    assert np.abs(iy_odd - want).max() < 1e-12
+
+
+def test_staged_quad_matches_oracle():
+    plan = UpscalePlan(
+        h=64, w=256, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    assert staged.staged_supported(plan)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 256, 3), np.uint8)
+    banks = {
+        k: jnp.asarray(v) for k, v in staged.r2c_quad_staged_banks(plan).items()
+    }
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+    Ps = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
+    # reassemble the woven pre-CAS image from the parity planes
+    got = np.zeros((3, 128, 512))
+    got[:, 0::2, 0::2] = np.asarray(Ps[0], np.float64) / 16384.0
+    got[:, 0::2, 1::2] = np.asarray(Ps[1], np.float64) / 16384.0
+    got[:, 1::2, 0::2] = np.asarray(Ps[2], np.float64) / 16384.0
+    got[:, 1::2, 1::2] = np.asarray(Ps[3], np.float64) / 16384.0
+    # pre-CAS oracle in CAS units: u^2 * zero-band inverse
+    u2 = float(np.float32(plan.upscale)) ** 2
+    want = np.empty((3, 128, 512))
+    for ch in range(3):
+        F = np.fft.rfft2(img[:, :, ch].astype(np.float64) / 255.0)
+        G = oracle.assemble_big_spectrum(F, plan)
+        want[ch] = u2 * np.fft.irfft2(G, s=(plan.H, plan.W))
+    assert np.abs(got - want).max() < 2e-3  # well under half a u8 LSB
+
+
+def test_pipeline_staged_banks_route(monkeypatch):
+    """_pipeline with staged banks: parity-plane output matches the
+    oracle (quad CAS kernel runs its XLA fallback on CPU), and the woven
+    upscale_precas_mxu fallback handles staged banks too."""
+    import functools
+
+    from vkresample_tpu.fft import mxu_pipeline
+    from vkresample_tpu.pipeline import upscale as up
+
+    plan = UpscalePlan(
+        h=32, w=128, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    banks = jax.device_put(
+        {k: jnp.asarray(v) for k, v in staged.r2c_quad_staged_banks(plan).items()}
+    )
+    monkeypatch.setattr(up, "_use_pallas_cas", lambda p: True)
+    img = np.random.default_rng(11).integers(0, 256, (32, 128, 3), np.uint8)
+    outs = jax.jit(
+        functools.partial(
+            up._pipeline, plan=plan, engine=Engine.MXU,
+            planar_out=True, planes_out=True,
+        )
+    )(jnp.asarray(img), banks)
+    got = np.zeros((3, 64, 256), np.uint8)
+    got[:, 0::2, 0::2] = np.asarray(outs[0])
+    got[:, 0::2, 1::2] = np.asarray(outs[1])
+    got[:, 1::2, 0::2] = np.asarray(outs[2])
+    got[:, 1::2, 1::2] = np.asarray(outs[3])
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # woven caller (library API): quad planes + u16-packed column weave
+    wov = np.asarray(
+        jax.jit(
+            functools.partial(
+                up._pipeline, plan=plan, engine=Engine.MXU,
+                planar_out=True, planes_out=False,
+            )
+        )(jnp.asarray(img), banks)
+    )
+    np.testing.assert_array_equal(wov, got)
+    # woven fallback path (non-Pallas callers, -validate, CPU tests)
+    x = jnp.moveaxis(jnp.asarray(img, jnp.float32) / 255.0, -1, -3)
+    v = mxu_pipeline.upscale_precas_mxu(x, plan, banks)
+    u2 = float(np.float32(plan.upscale)) ** 2
+    wantv = np.empty((3, 64, 256))
+    for ch in range(3):
+        F = np.fft.rfft2(img[:, :, ch].astype(np.float64) / 255.0)
+        G = oracle.assemble_big_spectrum(F, plan)
+        wantv[ch] = u2 * np.fft.irfft2(G, s=(plan.H, plan.W))
+    assert np.abs(np.asarray(v, np.float64) - wantv).max() < 2e-3
+
+
+def test_staged_double_any_size_banks_and_accuracy():
+    """DOUBLE routes through staged f64 banks at EVERY size (a few MB vs
+    the dense tier's O(n^2) f64 banks) and holds fp64-grade accuracy."""
+    from vkresample_tpu.fft import mxu_pipeline
+
+    plan = UpscalePlan(
+        h=32, w=128, upscale=2.0, precision=Precision.DOUBLE,
+        engine=Engine.MXU,
+    )
+    banks = mxu_pipeline.make_dense_banks(plan, "float64")
+    assert banks is not None and "stx_b1" in banks
+    assert banks["stx_b1"].dtype == np.float64
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 128, 3), np.uint8)
+    with jax.enable_x64():
+        x = jnp.moveaxis(jnp.asarray(img, jnp.float64) / 255.0, -1, -3)
+        v = mxu_pipeline.upscale_precas_mxu(
+            x, plan, jax.device_put(banks)
+        )
+        got = np.asarray(v, np.float64)
+    u2 = float(np.float32(plan.upscale)) ** 2
+    want = np.empty((3, 64, 256))
+    for ch in range(3):
+        F = np.fft.rfft2(img[:, :, ch].astype(np.float64) / 255.0)
+        G = oracle.assemble_big_spectrum(F, plan)
+        want[ch] = u2 * np.fft.irfft2(G, s=(plan.H, plan.W))
+    assert np.abs(got - want).max() < 1e-10
+
+
+def test_staged_quad_matches_dense_quad_f32():
+    """No-codec f32 path (SINGLE-mode analog) against dense.r2c_quad."""
+    plan = UpscalePlan(
+        h=32, w=128, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (3, 32, 128), np.uint8)
+    dbanks = dense.r2c_rows_banks(plan, "float32")
+    sbanks = {
+        k: jnp.asarray(v) for k, v in staged.r2c_quad_staged_banks(plan).items()
+    }
+    Pd = dense.r2c_quad(jnp.asarray(img), dbanks, HIGHEST)
+    Ps = staged.r2c_quad_staged(jnp.asarray(img), sbanks, HIGHEST)
+    for a, b in zip(Pd, Ps):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4

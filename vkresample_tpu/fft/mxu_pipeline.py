@@ -53,25 +53,53 @@ def make_dense_banks(
     to the mixed-radix path.  Callers jax.device_put the result and pass it
     as a jit ARGUMENT (multi-MB HLO literal constants choke compilation).
 
-    Beyond DENSE_MAX, eligible u=2 half-mode plans get the int8-only big
-    quad bank set (detect: "xq_d1" present, "Ymat_ns" absent) — ONLY when
-    the caller consumes parity planes (planes=True): the set costs
-    minutes of host numpy and ~250 MB of HBM at 8K->16K, and the pipeline
-    can use it only on the planes route (woven callers run the phases
-    fallback that ignores banks)."""
+    Beyond DENSE_MAX, eligible u=2 plans get the STAGED circulant bank
+    set (detect: "stx_b1" present — fft/staged.py: three small matmuls
+    per axis, O(n*n1) bank bytes, any composite size) — ONLY when the
+    caller consumes parity planes (planes=True; woven callers run the
+    phases fallback that ignores banks).  VKRESAMPLE_BIG=int8 falls back
+    to the round-2 int8 dense quad tier (O(n^2) banks, capped at
+    DENSE_INT8_MAX) for A/B."""
     import os
 
-    from . import dense
+    from ..core.config import Precision
+    from . import dense, staged
 
+    if (
+        plan.precision is Precision.DOUBLE
+        and plan.r2c
+        and os.environ.get("VKRESAMPLE_BIG", "staged") == "staged"
+        and staged.staged_supported(plan)
+    ):
+        # DOUBLE runs the staged circulant route at EVERY size: the dense
+        # f64 banks cost O(n^2) bytes (~1.7 GB at 4K->8K) where staged
+        # banks are a few MB, and f64 rides the staged matmuls natively
+        # (consumed by the woven upscale_precas_mxu path — the DOUBLE
+        # pipeline stays on XLA CAS)
+        return staged.r2c_quad_staged_banks(plan, "float64")
     if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
-        if (
-            planes
-            and plan.r2c
-            and max(plan.h, plan.w, plan.H, plan.W) <= DENSE_INT8_MAX
+        quad_geom = (
+            plan.r2c
             and plan.integer_upscale == 2
             and plan.w % 128 == 0
             and not os.environ.get("VKRESAMPLE_NO_PARITY")
+            and os.environ.get("VKRESAMPLE_HALF_STORAGE") != "bf16"
             and dense.r2c_rows_supported(plan)
+        )
+        if (
+            quad_geom
+            and plan.precision is not Precision.DOUBLE
+            and os.environ.get("VKRESAMPLE_BIG", "staged") == "staged"
+            and staged.staged_supported(plan)
+        ):
+            # staged banks serve BOTH consumers: parity planes (PNG path)
+            # and woven output (library API — quad planes + the u16-packed
+            # column weave, ops/weave.py)
+            return staged.r2c_quad_staged_banks(plan)
+        if (
+            planes
+            and quad_geom
+            and max(plan.h, plan.w, plan.H, plan.W) <= DENSE_INT8_MAX
             and dense._int8_banks_wanted(plan)
         ):
             return dense.r2c_quad_int8_banks(plan, dtype)
@@ -94,6 +122,23 @@ def upscale_precas_mxu(
     """
     from . import dense
 
+    if banks is not None and "stx_b1" in banks:
+        # staged circulant banks (big tier): compute the quad parity
+        # planes and weave — the correctness/woven path; the perf path
+        # consumes the planes directly (planes_out)
+        import jax as _jax
+
+        from . import dense, staged
+
+        Ps = staged.r2c_quad_staged(
+            x * 255.0, banks, _jax.lax.Precision.HIGHEST
+        )
+        top = jnp.stack([Ps[0], Ps[1]], axis=-1)
+        top = top.reshape(top.shape[:-2] + (2 * top.shape[-2],))
+        bot = jnp.stack([Ps[2], Ps[3]], axis=-1)
+        bot = bot.reshape(bot.shape[:-2] + (2 * bot.shape[-2],))
+        out = jnp.stack([top, bot], axis=-2)
+        return out.reshape(out.shape[:-3] + (2 * top.shape[-2], top.shape[-1]))
     if max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX:
         prec = plan.precision.matmul_precision
         if banks is None:

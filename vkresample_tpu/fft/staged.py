@@ -1,0 +1,364 @@
+"""Staged circulant-convolution transform: the big-tier any-size engine.
+
+The u=2 zero-band upscale's two hot contractions are exactly CIRCULANT:
+
+  - the composed y roundtrip restricted to non-sample (odd) output rows is
+    Ymat_ns[t, s] = Re phi(2(s-t)+1) with
+    phi(d) = (1/h) sum_j keep(j) e^{i pi sigma(j) d / h}
+    (shift-invariance of the band-limited interpolation kernel; the same
+    composition VkFFT realizes as fwd FFT -> zero-band inverse,
+    /root/reference/vkFFT/vkFFT.h:4733-4771), and
+  - the odd-output-column x matrix alpha_odd[i, s] = psi(2(s-i)+1) is the
+    same structure along the lane axis (no x-Nyquist column on the u=2
+    band, so it is exactly band-limited hence exactly circulant).
+
+So instead of one dense O(n^2) MXU matmul per axis (the dense tier, which
+needs O(n^2) bank bytes and caps at DENSE_INT8_MAX), each axis is a
+length-n circular convolution evaluated by a two-level Cooley-Tukey
+factorization n = n1*n2 as THREE batched small matmuls — the TPU-native
+equivalent of VkFFT's multi-upload 4-step FFT (vkFFT.h:2205-2389: the
+inter-pass twiddles), with the twiddles AND the kernel's eigenvalues
+folded into the middle stage's per-k2 banks:
+
+  t = t1 + n1*t2,  k = k2 + n2*k1
+  S1 (fwd DFT over t2):   Y[t1,k2]  = sum_t2  x[t1+n1*t2] W2[t2,k2]
+  S2 (per-k2 n1 x n1):    Z[t1',k2] = sum_t1  M[k2][t1,t1'] Y[t1,k2]
+     M[k2][t1,t1'] = (1/n1) sum_k1 e^{-2pi i t1(k2/n + k1/n1)}
+                     Lam[k2+n2*k1] e^{+2pi i t1'(k1/n1 + k2/n)}
+  S3 (inv DFT over k2):   out[t1'+n1*t2'] = (1/n2) sum_k2 Z[t1',k2]
+                                            e^{+2pi i t2' k2 / n2}
+
+FLOPs drop O(n) -> O(n1 + 2*n2) per element and bank bytes O(n^2) ->
+O(n*n1): at 4096x8192 -> 8192x16384 the y stage goes from a 4096^2 int8
+digit matmul (33.6 ms, ~250 MB of banks, ~245 s of host staging) to three
+f32 matmuls with ~4 MB of banks built in milliseconds — and the 16384 cap
+disappears (any composite n with a factor ~128 works, covering every
+7-smooth size the scheduler accepts).
+
+Both convolutions are REAL kernels applied to real planes.  The complex
+stage arithmetic rides as an explicit size-2 tensor dimension in the
+banks ("real block" form), so each stage is ONE einsum over real data —
+three passes total, real in / real out, no Karatsuba adds and no complex
+packing of the activations (the stacked spectral intermediate is the
+only inherent 2x).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# kernel columns (numpy, O(n log n) — no O(n^2) matrix ever materializes)
+# ---------------------------------------------------------------------------
+
+
+def _odd_kernel(n: int, g: np.ndarray) -> np.ndarray:
+    """c[d] = (1/n) sum_k g[k] e^{i pi sigma(k) (2d+1) / n} for the
+    half-sample-offset (odd output) lattice, as one length-n ifft:
+    sigma(k) == k (mod n) makes the d-dependent factor e^{2pi i k d/n}."""
+    return np.fft.ifft(g)
+
+
+def y_kernel(h: int, kept_lo: int, kept_hi: int):
+    """Odd-output-row y kernel c (real, (h,)) and the rank-1 relocated
+    y-Nyquist imaginary residue a0 with Iy_odd[t, s] = a0 * (-1)^(s-t)
+    (a0 == 0 when every kept bin is +/- paired).  Mirrors the band
+    geometry of dense._r2c_chain_banks' comp = Df @ DY."""
+    j = np.arange(h)
+    sigma = np.where(j < kept_lo, j, j - h).astype(np.float64)
+    keep = (j < kept_lo) | (j >= h - kept_hi)
+    g = keep.astype(np.float64) * np.exp(1j * np.pi * sigma / h)
+    c = _odd_kernel(h, g)
+    im = np.imag(c)
+    a0 = float(im[0])
+    # the imaginary residue must be the pure Nyquist tone a0*(-1)^d for
+    # the rank-1 correction path to be exact (true for the reference u=2
+    # band); anything else means the caller must not use this route
+    if np.abs(im - a0 * (-1.0) ** np.arange(h)).max() > 1e-12:
+        raise ValueError("y imaginary residue is not rank-1")
+    return np.real(c), a0
+
+
+def x_kernels(w: int, kept_lo: int):
+    """Odd-output-column kernels (each real, (w,)) for the three x-axis
+    circulants of the u=2 band (x-Nyquist dropped, mirroring
+    dense.r2c_rows_banks' keep_nyq=False):
+
+      psi_o: alpha[:, 1::2] rows  (the main odd-column interpolation)
+      chi_o: beta[:, 1::2]        (odd-column quadrature partner)
+      chi_e: beta[:, 0::2]        (even-column quadrature partner)
+
+    alpha/beta relation: alpha[i, n] = psi(n - 2i), beta[i, n] = chi(n-2i)
+    with psi(d) = (1/w) sum_sym keep e^{i pi sigma d / w} and
+    chi(d) = (1/w) sum_sym (i sign sigma) keep e^{i pi sigma d / w}."""
+    k = np.arange(w)
+    sigma = np.where(k < kept_lo, k, k - w).astype(np.float64)
+    keep = ((k < kept_lo) | (k > w - kept_lo)).astype(np.float64)
+    g_alpha = keep * np.exp(1j * np.pi * sigma / w)
+    g_beta = 1j * np.sign(sigma) * g_alpha
+    psi_o = _odd_kernel(w, g_alpha)
+    chi_o = _odd_kernel(w, g_beta)
+    # even-offset lattice: no half-sample phase
+    chi_e = np.fft.ifft(1j * np.sign(sigma) * keep)
+    for v in (psi_o, chi_o, chi_e):
+        if np.abs(np.imag(v)).max() > 1e-12:
+            raise ValueError("x kernel not real — band not symmetric")
+    return np.real(psi_o), np.real(chi_o), np.real(chi_e)
+
+
+# ---------------------------------------------------------------------------
+# staged banks
+# ---------------------------------------------------------------------------
+
+
+def split_factors(n: int, prefer: int = 128):
+    """Pick n1 (the middle-stage contraction size) as the divisor of n
+    closest to `prefer` (ties toward the larger), n2 = n // n1.  Returns
+    None when no usable split exists (prime or near-prime n)."""
+    best = None
+    for d in range(1, int(np.sqrt(n)) + 1):
+        if n % d:
+            continue
+        for cand in (d, n // d):
+            if cand < 8 or n // cand < 4:
+                continue
+            score = (abs(cand - prefer), -cand)
+            if best is None or score < best[0]:
+                best = (score, cand)
+    if best is None:
+        return None
+    n1 = best[1]
+    return n1, n // n1
+
+
+def conv_banks(
+    kernel: np.ndarray,
+    prefix: str,
+    n1: int = None,
+    dtype: str = "float32",
+    prefer: int = 128,
+) -> dict:
+    """Bank dict for one staged circular convolution with the given
+    real kernel column: out[s] = sum_t kernel[(s-t) mod n] x[t]."""
+    n = kernel.shape[0]
+    if n1 is None:
+        split = split_factors(n, prefer)
+        if split is None:
+            raise ValueError(f"no usable Cooley-Tukey split for n={n}")
+        n1, n2 = split
+    else:
+        n2 = n // n1
+    lam = np.fft.fft(kernel.astype(np.float64))  # circulant eigenvalues
+    t2 = np.arange(n2)
+    w2f = np.exp(-2j * np.pi * np.outer(t2, t2) / n2)  # (t2, k2)
+    w2i = np.exp(2j * np.pi * np.outer(t2, t2) / n2) / n2  # (k2, t2')
+    t1 = np.arange(n1)
+    k1 = np.arange(n1)
+    w1f = np.exp(-2j * np.pi * np.outer(t1, k1) / n1)  # (t1, k1)
+    w1i = np.exp(2j * np.pi * np.outer(k1, t1) / n1) / n1  # (k1, t1')
+    # lam viewed as (k1, k2): k = k2 + n2*k1
+    lam2 = lam.reshape(n1, n2)
+    # M[k2, t1, t1'] = sum_k1 tw*(t1,k2) W1f[t1,k1] lam2[k1,k2] W1i[k1,t1'] tw(t1',k2)
+    tw = np.exp(-2j * np.pi * np.outer(t1, t2) / n)  # (t1, k2) twiddle
+    M = np.einsum("ac,ak,kc,kb,bc->cab", tw, w1f, lam2, w1i, np.conj(tw))
+
+    # REAL BLOCK banks: re/im ride as an explicit size-2 tensor dim so the
+    # whole conv is THREE einsums over real data (one per stage) with no
+    # Karatsuba adds and no complex packing of the activations — real in,
+    # real out.  The input is REAL, so the t2-spectrum is Hermitian in k2
+    # and only bins k2 in [0, n2/2] are computed (the half-spectrum pair
+    # weights fold into the inverse bank) — the spectral intermediates
+    # and the middle stage's FLOPs halve EXACTLY.
+    #   b1 (t2, 2, k2h):         [cos, sin] of the forward t2-DFT
+    #   m  (k2h, 2, t1, 2, t1'): complex M as a 2x2 real block
+    #   b3 (2, k2h, t2'):        weighted real part of the inverse k2-DFT
+    kh = n2 // 2 + 1
+    b1 = np.stack([np.real(w2f), np.imag(w2f)], axis=1)[:, :, :kh]
+    mb = np.empty((kh, 2, n1, 2, n1))
+    mr, mi = np.real(M[:kh]), np.imag(M[:kh])
+    mb[:, 0, :, 0, :] = mr
+    mb[:, 1, :, 0, :] = -mi
+    mb[:, 0, :, 1, :] = mi
+    mb[:, 1, :, 1, :] = mr
+    pair_w = np.full((kh, 1), 2.0)
+    pair_w[0, 0] = 1.0
+    if n2 % 2 == 0:
+        pair_w[n2 // 2, 0] = 1.0
+    b3 = np.stack(
+        [np.real(w2i[:kh]) * pair_w, -np.imag(w2i[:kh]) * pair_w], axis=0
+    )
+    return {
+        prefix + "b1": b1.astype(dtype),
+        prefix + "m": mb.astype(dtype),
+        prefix + "b3": b3.astype(dtype),
+    }
+
+
+def conv_apply_rows(x, banks: dict, prefix: str, precision=None, dc_add=None):
+    """Staged circular convolution over axis -2 of a REAL array
+    (..., n, L) -> (..., n, L).
+
+    dc_add: optional (..., n1, L) term injected into the DC bin's real
+    part between S2 and S3 — adds dc_add[d, L] to EVERY output row group
+    t2' (b3[0, 0, e] = 1/n2 for all e).  Used to fold the rank-1
+    y-Nyquist correction into the SMALL spectral intermediate so the i16
+    store can fuse into S3's epilogue instead of paying a full-size
+    post-add pass."""
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    b1 = banks[prefix + "b1"]
+    mb = banks[prefix + "m"]
+    b3 = banks[prefix + "b3"]
+    n2, n1 = b1.shape[0], mb.shape[2]  # mb's k2 dim is the half-spectrum
+    L = x.shape[-1]
+    lead = x.shape[:-2]
+    x = x.reshape(lead + (n2, n1, L))
+    # S1: contract t2 -> (..., 2, k2, t1, L)
+    y = jnp.einsum("ajc,...abL->...jcbL", b1, x, precision=precision)
+    # S2: per-k2 2x2-block n1 matmul -> (..., 2, k2, t1', L)
+    y = jnp.einsum("cjbkd,...jcbL->...kcdL", mb, y, precision=precision)
+    if dc_add is not None:
+        y = y.at[..., 0, 0, :, :].add(n2 * dc_add)
+    # S3: contract (re/im, k2) -> (..., t2', t1', L), real output
+    y = jnp.einsum("kce,...kcdL->...edL", b3, y, precision=precision)
+    return y.reshape(lead + (n2 * n1, L))
+
+
+def conv_apply_lanes(x, banks: dict, prefix: str, precision=None):
+    """Staged circular convolution over axis -1 of a REAL array
+    (..., n) -> (..., n)."""
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    b1 = banks[prefix + "b1"]
+    mb = banks[prefix + "m"]
+    b3 = banks[prefix + "b3"]
+    n2, n1 = b1.shape[0], mb.shape[2]  # mb's k2 dim is the half-spectrum
+    lead = x.shape[:-1]
+    x = x.reshape(lead + (n2, n1))
+    y = jnp.einsum("ajc,...ab->...jcb", b1, x, precision=precision)
+    y = jnp.einsum("cjbkd,...jcb->...kcd", mb, y, precision=precision)
+    y = jnp.einsum("kce,...kcd->...ed", b3, y, precision=precision)
+    return y.reshape(lead + (n2 * n1,))
+
+
+# ---------------------------------------------------------------------------
+# u=2 quad-parity transform on staged convolutions
+# ---------------------------------------------------------------------------
+
+
+def staged_supported(plan) -> bool:
+    """Staged route applies to u=2 r2c plans with even h and usable
+    Cooley-Tukey splits on both axes (any smooth size — no dense cap)."""
+    from . import dense
+
+    return (
+        plan.r2c
+        and plan.integer_upscale == 2
+        and dense.r2c_rows_supported(plan)
+        and plan.h % 2 == 0
+        and plan.w % 128 == 0
+        and split_factors(plan.h) is not None
+        and split_factors(plan.w) is not None
+    )
+
+
+def r2c_quad_staged_banks(plan, dtype: str = "float32") -> dict:
+    """Bank pytree for the staged u=2 quad transform (detect: "stx_b1"
+    present).  O(n*n1) bytes and O(n log n + n*n1^2) host build — replaces
+    the dense tier's O(n^2) banks and minutes of rank-1 staging.  dtype
+    "float64" serves the DOUBLE mode (any size in a few MB of banks,
+    where dense f64 banks cost ~1.7 GB at 4K->8K)."""
+    if not staged_supported(plan):
+        raise ValueError("plan not staged-executable")
+    h, w = plan.h, plan.w
+    cy, a0 = y_kernel(h, plan.kept_lo_y, plan.kept_hi_y)
+    psi_o, chi_o, chi_e = x_kernels(w, plan.kept_lo_x)
+    banks = {}
+    banks.update(conv_banks(psi_o / 255.0, "stx_", dtype=dtype))  # /255 folded
+    banks.update(conv_banks(cy, "sty_", dtype=dtype))
+    if a0 != 0.0:
+        # rank-1 relocated y-Nyquist residue: Iy = outer((-1)^t, a0(-1)^s)
+        # on the odd-row lattice; applied to the beta x-pass of the image.
+        # Y1n contracts the image rows; the chi convs produce the odd/even
+        # output-column beta rows; yc scales them into P10/P11.
+        banks["st_y1n"] = (
+            ((-1.0) ** np.arange(h))[:, None] / 255.0
+        ).astype(dtype)
+        banks["st_yc"] = np.asarray(a0, dtype)
+        # correction convs see (C, r=1, w) data — bank bytes dominate
+        # their cost, so prefer a small middle factor
+        banks.update(conv_banks(chi_o, "stbo_", dtype=dtype, prefer=16))
+        banks.update(conv_banks(chi_e, "stbe_", dtype=dtype, prefer=16))
+    return banks
+
+
+def staged_precision():
+    """Matmul precision for the staged stages: HIGHEST (true-f32 grade)
+    by default; VKRESAMPLE_STAGED_PRECISION=high selects bf16x3 for A/B
+    (scripts/staged_stage.py — accuracy gate: oracle maxdiff <= 1)."""
+    import os
+
+    v = os.environ.get("VKRESAMPLE_STAGED_PRECISION", "").lower()
+    return jax.lax.Precision.HIGH if v == "high" else jax.lax.Precision.HIGHEST
+
+
+def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
+    """Quad-parity u=2 transform on staged circulant convolutions.
+    Same contract as dense.r2c_quad: x_raw holds RAW uint8 pixel values
+    (..., C, h, w); returns the four pre-CAS parity planes (stored when a
+    codec is given).  See dense.r2c_quad for the parity algebra; only the
+    two hot matmuls are replaced by staged convolutions."""
+    w = x_raw.shape[-1]
+    h = x_raw.shape[-2]
+    acc = banks["stx_b1"].dtype  # f32, or f64 for the DOUBLE mode
+    xf = x_raw.astype(acc)
+    # P01 = x (x) psi_o: staged conv along lanes (/255 folded in)
+    P01 = conv_apply_lanes(xf, banks, "stx_", precision)
+    # P00 = x/255 - rank-1 x-Nyquist correction (exact samples)
+    signs = jnp.asarray((-1.0) ** np.arange(w), acc)
+    q = jnp.sum(xf * signs, axis=-1, keepdims=True)
+    P00 = xf * jnp.asarray(1.0 / 255.0, acc) - (signs * q) * jnp.asarray(
+        1.0 / (255.0 * w), acc
+    )
+    # rank-1 y-Nyquist correction rows (odd output rows only)
+    t2e = t2o = None
+    if "st_y1n" in banks:
+        tcorr = jnp.einsum(
+            "...hw,hr->...rw", xf, banks["st_y1n"], precision=precision
+        )
+        t2o = conv_apply_lanes(tcorr, banks, "stbo_", precision)
+        t2e = conv_apply_lanes(tcorr, banks, "stbe_", precision)
+    if store is None:
+        P00s, P01s = P00, P01
+        P00m, P01m = P00, P01
+    else:
+        P00s, P01s = store(P00), store(P01)
+        P00m, P01m = load(P00s), load(P01s)
+    # y conv over rows, one per even-row plane.  The rank-1 y-Nyquist
+    # correction Iy_odd[t, s] = yc*(-1)^(s-t) (Y1n carries (-1)^t) is
+    # injected into the DC bin of the SMALL spectral intermediate when
+    # n1 is even ((-1)^s = (-1)^(t1') is then independent of the outer
+    # row index), so the i16 store fuses into S3's epilogue instead of
+    # paying a full-size post-add pass.
+    n1 = banks["sty_m"].shape[2]
+    dc_e = dc_o = None
+    post = None
+    if t2e is not None:
+        if n1 % 2 == 0:
+            dsign = jnp.asarray((-1.0) ** np.arange(n1), acc)[:, None]
+            dc_e = banks["st_yc"] * dsign * t2e
+            dc_o = banks["st_yc"] * dsign * t2o
+        else:
+            rsign = jnp.asarray((-1.0) ** np.arange(h), acc)[:, None]
+            post = banks["st_yc"] * rsign
+    P10 = conv_apply_rows(P00m, banks, "sty_", precision, dc_add=dc_e)
+    P11 = conv_apply_rows(P01m, banks, "sty_", precision, dc_add=dc_o)
+    if post is not None:
+        P10 = P10 + post * t2e
+        P11 = P11 + post * t2o
+    if store is None:
+        return P00s, P01s, P10, P11
+    return P00s, P01s, store(P10), store(P11)

@@ -405,6 +405,12 @@ def _cas_core(c, n, s, xmin, xmax, wpe, cmin, cmax, sharpen):
     max_all = jnp.maximum(max_cross, cmax)
     minlen = 0.5 * (min_cross + min_all)
     maxlen = 0.5 * (max_cross + max_all)
+    return _cas_blend(c, n + s + wpe, minlen, maxlen, sharpen)
+
+
+def _cas_blend(c, nsum, minlen, maxlen, sharpen):
+    """Shared CAS tail: scale from the min/max window lengths, rational
+    blend, quantize.  c/nsum/minlen/maxlen are f32."""
     one = jnp.float32(1.0)
     a, b = minlen, one - minlen
     cq, d = one - maxlen, maxlen
@@ -420,7 +426,7 @@ def _cas_core(c, n, s, xmin, xmax, wpe, cmin, cmax, sharpen):
     sc = (-jnp.float32(sharpen)) * num * jax.lax.rsqrt(
         jnp.maximum(num * den, jnp.float32(1e-30))
     )
-    out = (c + sc * (n + s + wpe)) / (one + 4.0 * sc)
+    out = (c + sc * nsum) / (one + 4.0 * sc)
     return jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
@@ -699,11 +705,116 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None):
     return out
 
 
+def _quad_planes_i16(q, ts, h, sharpen, ws=0, Wh=None):
+    """i16-extremes variant of _quad_planes for int16 Q2.14 tiles: the
+    stored fixed-point code is monotone in the signal, so the whole
+    min/max tree runs on int16 (2x VPU lanes) with BIT-EXACT selections
+    (clip bound 16384 = 1.0, exact in f32); only the final window-length
+    sums widen to i32 (16384+16384 would overflow int16) before the f32
+    convert.  q[ry][rx] holds the RAW int16 tiles."""
+    rows, Wsw = q[0][0].shape
+    if Wh is None:
+        Wh = Wsw
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    gtop = (row + ts) == 0
+    gbot = (row + ts) == h - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Wsw), 1) + ws
+    gleft = col == 0
+    gright = col == Wh - 1
+
+    CLIP = jnp.int16(16384)
+    scale = jnp.float32(1.0 / 16384.0)
+    # the pre-abs max guards the one wrapping code (abs(int16 -32768)
+    # stays negative); -32767 still clips to CLIP, so results are exact
+    ci = [
+        [
+            jnp.minimum(jnp.abs(jnp.maximum(t, jnp.int16(-32767))), CLIP)
+            for t in rowq
+        ]
+        for rowq in q
+    ]
+    cf = [
+        [x.astype(jnp.int32).astype(jnp.float32) * scale for x in rowq]
+        for rowq in ci
+    ]
+
+    # west/east in BOTH domains: i16 for extremes, f32 for the sums
+    wvi = [[None, None], [None, None]]
+    evi = [[None, None], [None, None]]
+    xmin = [[None, None], [None, None]]
+    xmax = [[None, None], [None, None]]
+    wpe = [[None, None], [None, None]]
+    for ry in (0, 1):
+        ai, bi = ci[ry][0], ci[ry][1]
+        af, bf = cf[ry][0], cf[ry][1]
+        wvi[ry][0] = jnp.where(gleft, ai, _shiftL(bi))
+        evi[ry][0] = bi
+        wvi[ry][1] = ai
+        evi[ry][1] = jnp.where(gright, bi, _shiftR(ai))
+        wpe[ry][0] = jnp.where(gleft, af, _shiftL(bf)) + bf
+        wpe[ry][1] = af + jnp.where(gright, bf, _shiftR(af))
+        for rx in (0, 1):
+            xmin[ry][rx] = jnp.minimum(wvi[ry][rx], evi[ry][rx])
+            xmax[ry][rx] = jnp.maximum(wvi[ry][rx], evi[ry][rx])
+
+    out = [[None, None], [None, None]]
+    for ry in (0, 1):
+        for rx in (0, 1):
+            c_i = ci[ry][rx]
+            sib_i = ci[1 - ry][rx]
+            if ry == 0:
+                n_i = jnp.where(gtop, c_i, _yshift_up(sib_i))
+                s_i = sib_i
+                nmin = jnp.where(gtop, xmin[0][rx], _yshift_up(xmin[1][rx]))
+                nmax = jnp.where(gtop, xmax[0][rx], _yshift_up(xmax[1][rx]))
+                smin, smax = xmin[1][rx], xmax[1][rx]
+                nsum = jnp.where(
+                    gtop, cf[0][rx], _yshift_up(cf[1][rx])
+                ) + cf[1][rx]
+            else:
+                n_i = sib_i
+                s_i = jnp.where(gbot, c_i, _yshift_dn(sib_i))
+                nmin, nmax = xmin[0][rx], xmax[0][rx]
+                smin = jnp.where(gbot, xmin[1][rx], _yshift_dn(xmin[0][rx]))
+                smax = jnp.where(gbot, xmax[1][rx], _yshift_dn(xmax[0][rx]))
+                nsum = cf[0][rx] + jnp.where(
+                    gbot, cf[1][rx], _yshift_dn(cf[0][rx])
+                )
+            min_cross = jnp.minimum(
+                jnp.minimum(n_i, s_i), jnp.minimum(c_i, xmin[ry][rx])
+            )
+            max_cross = jnp.maximum(
+                jnp.maximum(n_i, s_i), jnp.maximum(c_i, xmax[ry][rx])
+            )
+            min_all = jnp.minimum(min_cross, jnp.minimum(nmin, smin))
+            max_all = jnp.maximum(max_cross, jnp.maximum(nmax, smax))
+            # widen to i32 for the sums (2*16384 overflows int16)
+            minlen = (
+                min_cross.astype(jnp.int32) + min_all.astype(jnp.int32)
+            ).astype(jnp.float32) * (0.5 * scale)
+            maxlen = (
+                max_cross.astype(jnp.int32) + max_all.astype(jnp.int32)
+            ).astype(jnp.float32) * (0.5 * scale)
+            out[ry][rx] = _cas_blend(
+                cf[ry][rx], nsum + wpe[ry][rx], minlen, maxlen, sharpen
+            )
+    return out
+
+
+def _use_i16_tree(dt) -> bool:
+    """Opt-in (env VKRESAMPLE_CAS_TREE=i16) int16 extremes tree for the
+    quad kernels; read at trace time, A/B'd by scripts/cas_tree_ab.py."""
+    import os
+
+    return dt == jnp.int16 and os.environ.get("VKRESAMPLE_CAS_TREE") == "i16"
+
+
 def _quad_kernel(
     p00_hbm, p01_hbm, p10_hbm, p11_hbm,
     o00_ref, o01_ref, o10_ref, o11_ref,
     s00, s01, s10, s11, sems,
     *, sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
+    tree_i16: bool = False,
 ):
     g = pl.program_id(0)
     rows = bt + 2 * pad
@@ -749,11 +860,15 @@ def _quad_kernel(
             f = f * jnp.float32(scale)
         return jnp.minimum(jnp.abs(f), 1.0)  # abs>=0: the 0-clamp is dead
 
-    p = [
-        [_clip(s00[slot]), _clip(s01[slot])],
-        [_clip(s10[slot]), _clip(s11[slot])],
-    ]
-    out = _quad_planes(p, ts, h, sharpen)
+    if tree_i16:
+        q = [[s00[slot], s01[slot]], [s10[slot], s11[slot]]]
+        out = _quad_planes_i16(q, ts, h, sharpen)
+    else:
+        p = [
+            [_clip(s00[slot]), _clip(s01[slot])],
+            [_clip(s10[slot]), _clip(s11[slot])],
+        ]
+        out = _quad_planes(p, ts, h, sharpen)
 
     i = g % nb
     offset = i * bt - jnp.clip(i * bt - pad, 0, h - rows)
@@ -778,7 +893,7 @@ def _quad_strip_kernel(
     o00_ref, o01_ref, o10_ref, o11_ref,
     s00, s01, s10, s11, sems,
     *, sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
-    Wh: int, Wsb: int, nsW: int,
+    Wh: int, Wsb: int, nsW: int, tree_i16: bool = False,
 ):
     """Column-strip variant for planes too wide for full-width tiles
     (Wh * band bytes would blow VMEM): 1-D grid over (C, row band, col
@@ -832,11 +947,15 @@ def _quad_strip_kernel(
             f = f * jnp.float32(scale)
         return jnp.minimum(jnp.abs(f), 1.0)  # abs>=0: the 0-clamp is dead
 
-    p = [
-        [_clip(s00[slot]), _clip(s01[slot])],
-        [_clip(s10[slot]), _clip(s11[slot])],
-    ]
-    out = _quad_planes(p, ts, h, sharpen, ws=ws, Wh=Wh)
+    if tree_i16:
+        q = [[s00[slot], s01[slot]], [s10[slot], s11[slot]]]
+        out = _quad_planes_i16(q, ts, h, sharpen, ws=ws, Wh=Wh)
+    else:
+        p = [
+            [_clip(s00[slot]), _clip(s01[slot])],
+            [_clip(s10[slot]), _clip(s11[slot])],
+        ]
+        out = _quad_planes(p, ts, h, sharpen, ws=ws, Wh=Wh)
 
     roffset = ii * bt - ts
     coffset = ss * Wsb - ws
@@ -918,7 +1037,7 @@ def cas_parity4_planes_u2(
             kern = functools.partial(
                 _quad_strip_kernel, sharpen=float(sharpen), bt=bt, h=h,
                 nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh, Wsb=Wsb,
-                nsW=nsW,
+                nsW=nsW, tree_i16=_use_i16_tree(dt),
             )
             ospec = pl.BlockSpec(
                 (1, bt, Wsb),
@@ -953,7 +1072,7 @@ def cas_parity4_planes_u2(
 
     kern = functools.partial(
         _quad_kernel, sharpen=float(sharpen), bt=bt, h=h, nb=nb, pad=pad,
-        scale=_in_scale_for(dt),
+        scale=_in_scale_for(dt), tree_i16=_use_i16_tree(dt),
     )
     ospec = pl.BlockSpec(
         (1, bt, Wh), lambda g, nb=nb: (g // nb, g % nb, 0),

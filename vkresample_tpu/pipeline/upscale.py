@@ -129,6 +129,25 @@ def _pipeline(
         and _i16_mode
         and _parity_route(plan) == "quad"
     )
+    # staged circulant bank set (big tier default; fft/staged.py): three
+    # small matmuls per axis, works with or without the i16 codec
+    # woven callers can take the quad route too: CAS emits u8 parity
+    # planes and the u16-packed column weave interleaves them as lane
+    # ARITHMETIC (ops/weave.py), not as the pathological layout relayout.
+    # Default: only where no rows route exists (big staged banks) — the
+    # rows route measured slightly faster at the flagship shape
+    # (1.86 vs 1.97 ms, scripts/woven_ab.py); VKRESAMPLE_WOVEN=quad16
+    # forces the quad weave, =rows forces rows.
+    _we = os.environ.get("VKRESAMPLE_WOVEN", "")
+    woven_quad = _we == "quad16" or (
+        _we != "rows" and banks is not None and "Ymat_ns" not in banks
+    )
+    use_staged = (
+        banks is not None
+        and "stx_b1" in banks
+        and (planes_out or woven_quad)
+        and _parity_route(plan) == "quad"
+    )
 
     # The quad (column-split) formulation is ONLY taken when the caller
     # consumes parity PLANES: weaving the columns back on device is a u8
@@ -143,6 +162,7 @@ def _pipeline(
         and engine is Engine.MXU
         and (banks is None or "Ymat_ns" not in banks)
         and not use_big_quad
+        and not use_staged
         and plan.r2c
         and plan.mxu_mode == "phases"
         and _parity_route(plan) == "quad"
@@ -167,7 +187,7 @@ def _pipeline(
         use_pallas
         and engine is Engine.MXU
         and banks is not None
-        and ("Ymat_ns" in banks or use_big_quad)
+        and ("Ymat_ns" in banks or use_big_quad or use_staged)
         and plan.r2c
     ):
         # row-split fast path: raw uint8 feeds the split-bf16 x matmul
@@ -190,8 +210,8 @@ def _pipeline(
         fmt = _parity_route(plan)
         if (
             fmt == "quad"
-            and ("alpha_odd_hi" in banks or use_big_quad)
-            and planes_out
+            and ("alpha_odd_hi" in banks or use_big_quad or use_staged)
+            and (planes_out or (woven_quad and not use_big_quad))
         ):
             # quad-parity: x matmul only computes ODD output columns (even
             # columns are exact samples + a rank-1 correction); CAS runs
@@ -201,10 +221,26 @@ def _pipeline(
             # planes_out: see the column-weave note above.
             from ..ops.cas_pallas import cas_parity4_planes_u2
 
-            Ps = dense.r2c_quad(x_raw, banks, prec, **_codec)
+            if use_staged:
+                from ..fft import staged
+
+                # staged convs need f32-grade stage matmuls regardless of
+                # the mode's matmul default (three chained stages; bf16
+                # operand rounding would cost whole u8 LSBs)
+                Ps = staged.r2c_quad_staged(
+                    x_raw, banks, staged.staged_precision(), **_codec
+                )
+            else:
+                Ps = dense.r2c_quad(x_raw, banks, prec, **_codec)
             if not _i16_mode:
                 Ps = [_store16(p) for p in Ps]
-            return cas_parity4_planes_u2(*Ps, plan.sharpen)
+            Pu8 = cas_parity4_planes_u2(*Ps, plan.sharpen)
+            if planes_out:
+                return Pu8
+            from ..ops.weave import weave_quad_u8
+
+            out = weave_quad_u8(*Pu8)
+            return out if planar_out else jnp.moveaxis(out, -3, -1)
 
         U, O = dense.r2c_rows(x_raw, banks, prec, **_codec)
         if not _i16_mode:
