@@ -705,6 +705,23 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None):
     return out
 
 
+def _imin(a, b):
+    # Mosaic has no i16 vector min/max (arith.minsi/maxsi fail to
+    # legalize on the packed 8x128x2xi16 layout); cmp+select does
+    return jnp.where(a < b, a, b)
+
+
+def _imax(a, b):
+    return jnp.where(a < b, b, a)
+
+
+def _iabs(t):
+    # |t| with the one wrapping code pinned: -32768 negates to itself in
+    # int16, so clamp to -32767 first (still clips to CLIP afterwards)
+    t = _imax(t, jnp.int16(-32767))
+    return jnp.where(t < 0, jnp.int16(0) - t, t)
+
+
 def _quad_planes_i16(q, ts, h, sharpen, ws=0, Wh=None):
     """i16-extremes variant of _quad_planes for int16 Q2.14 tiles: the
     stored fixed-point code is monotone in the signal, so the whole
@@ -728,7 +745,7 @@ def _quad_planes_i16(q, ts, h, sharpen, ws=0, Wh=None):
     # stays negative); -32767 still clips to CLIP, so results are exact
     ci = [
         [
-            jnp.minimum(jnp.abs(jnp.maximum(t, jnp.int16(-32767))), CLIP)
+            _imin(_iabs(t), CLIP)
             for t in rowq
         ]
         for rowq in q
@@ -754,8 +771,8 @@ def _quad_planes_i16(q, ts, h, sharpen, ws=0, Wh=None):
         wpe[ry][0] = jnp.where(gleft, af, _shiftL(bf)) + bf
         wpe[ry][1] = af + jnp.where(gright, bf, _shiftR(af))
         for rx in (0, 1):
-            xmin[ry][rx] = jnp.minimum(wvi[ry][rx], evi[ry][rx])
-            xmax[ry][rx] = jnp.maximum(wvi[ry][rx], evi[ry][rx])
+            xmin[ry][rx] = _imin(wvi[ry][rx], evi[ry][rx])
+            xmax[ry][rx] = _imax(wvi[ry][rx], evi[ry][rx])
 
     out = [[None, None], [None, None]]
     for ry in (0, 1):
@@ -780,14 +797,14 @@ def _quad_planes_i16(q, ts, h, sharpen, ws=0, Wh=None):
                 nsum = cf[0][rx] + jnp.where(
                     gbot, cf[1][rx], _yshift_dn(cf[0][rx])
                 )
-            min_cross = jnp.minimum(
-                jnp.minimum(n_i, s_i), jnp.minimum(c_i, xmin[ry][rx])
+            min_cross = _imin(
+                _imin(n_i, s_i), _imin(c_i, xmin[ry][rx])
             )
-            max_cross = jnp.maximum(
-                jnp.maximum(n_i, s_i), jnp.maximum(c_i, xmax[ry][rx])
+            max_cross = _imax(
+                _imax(n_i, s_i), _imax(c_i, xmax[ry][rx])
             )
-            min_all = jnp.minimum(min_cross, jnp.minimum(nmin, smin))
-            max_all = jnp.maximum(max_cross, jnp.maximum(nmax, smax))
+            min_all = _imin(min_cross, _imin(nmin, smin))
+            max_all = _imax(max_cross, _imax(nmax, smax))
             # widen to i32 for the sums (2*16384 overflows int16)
             minlen = (
                 min_cross.astype(jnp.int32) + min_all.astype(jnp.int32)
