@@ -59,3 +59,42 @@ for name, fn, bb in [
 ]:
     ms = time_device(fn, x, aux=bb, k1=3, k2=12)
     print(f"{name:20s} {ms:9.3f} ms", flush=True)
+
+
+# --- second-round arms: localize the two-y-conv interference ------------
+def arm_e(xx, bb):  # two y convs of two independent pre-stored inputs
+    xr = jnp.moveaxis(xx, -1, 0).astype(jnp.float32)
+    a = st(xr / 255.0)
+    b2 = st(xr / 254.0)
+    return (
+        st(staged.conv_apply_rows(ld(a), bb, "sty_", HI)),
+        st(staged.conv_apply_rows(ld(b2), bb, "sty_", HI)),
+    )
+
+
+def arm_g(xx, bb):  # BATCHED double y conv: one call on stacked planes
+    xr = jnp.moveaxis(xx, -1, 0).astype(jnp.float32)
+    a = st(xr / 255.0)
+    b2 = st(xr / 254.0)
+    P = jnp.stack([ld(a), ld(b2)])
+    out = staged.conv_apply_rows(P, bb, "sty_", HI)
+    return st(out[0]), st(out[1])
+
+
+def arm_h(xx, bb):  # x conv + P00, both stored, NO y convs
+    xr = jnp.moveaxis(xx, -1, 0)
+    xf = xr.astype(jnp.float32)
+    P01s = st(staged.conv_apply_lanes(xf, bb, "stx_", HI))
+    signs = jnp.asarray((-1.0) ** np.arange(w), jnp.float32)
+    q = jnp.sum(xf * signs, axis=-1, keepdims=True)
+    P00s = st(xf / 255.0 - (signs * q) / (255.0 * w))
+    return P00s, P01s
+
+
+for name, fn, bb in [
+    ("E 2x y(indep)", arm_e, banks),
+    ("G y batched", arm_g, banks),
+    ("H xconv+P00", arm_h, banks),
+]:
+    ms = time_device(fn, x, aux=bb, k1=3, k2=12)
+    print(f"{name:20s} {ms:9.3f} ms", flush=True)

@@ -325,3 +325,52 @@ def test_phases_quad_route_matches_oracle():
     want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
     got = _weave4(outs, want.shape)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_quad_parity_xla_route(monkeypatch):
+    """VKRESAMPLE_QUAD_CAS=xla evaluates the same quad stencil as full
+    XLA ops (no Pallas) — bit-identical to the kernel in f32 and i16."""
+    from vkresample_tpu.ops.cas import to_i16_storage
+    from vkresample_tpu.ops.cas_pallas import cas_parity4_planes_u2
+
+    Ps, want = _quad_setup(64, 128, 47)
+    for conv in (lambda p: p, to_i16_storage):
+        planes = [conv(p) for p in Ps]
+        base = cas_parity4_planes_u2(*planes, 0.2, block_rows=16, interpret=True)
+        monkeypatch.setenv("VKRESAMPLE_QUAD_CAS", "xla")
+        got = cas_parity4_planes_u2(*planes, 0.2)
+        monkeypatch.delenv("VKRESAMPLE_QUAD_CAS")
+        for a, b in zip(base, got):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        woven = _weave4(got, want.shape)
+        assert np.abs(woven.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_quad_strip_env_knobs(monkeypatch):
+    """VKRESAMPLE_QUAD_BT/WSB override the strip band geometry; results
+    stay identical to the full-width kernel."""
+    import dataclasses
+
+    from vkresample_tpu.ops.cas import to_i16_storage
+    from vkresample_tpu.ops.cas_pallas import cas_parity4_planes_u2
+    import vkresample_tpu.core.tuning as tuning
+
+    rng = np.random.default_rng(48)
+    planes = [
+        to_i16_storage(
+            jnp.asarray(rng.random((2, 64, 1024), np.float32) * 1.2 - 0.1)
+        )
+        for _ in range(4)
+    ]
+    full = cas_parity4_planes_u2(*planes, 0.2, block_rows=16, interpret=True)
+    orig = tuning.current
+    try:
+        t = orig()
+        tuning.current = lambda: dataclasses.replace(t, quad_wmax=256)
+        monkeypatch.setenv("VKRESAMPLE_QUAD_BT", "16")
+        monkeypatch.setenv("VKRESAMPLE_QUAD_WSB", "512")
+        strips = cas_parity4_planes_u2(*planes, 0.2, block_rows=16, interpret=True)
+    finally:
+        tuning.current = orig
+    for a, b in zip(full, strips):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

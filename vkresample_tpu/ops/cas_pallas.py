@@ -996,11 +996,41 @@ def cas_parity4_planes_u2(
     split by output row parity, columns by output column parity (see
     dense.r2c_quad) — to four uint8 planes of the same shape.  Accepts
     f32 or int16 Q2.14 inputs."""
+    import os
+
     lead = P00.shape[:-2]
     planes = [x.reshape((-1,) + x.shape[-2:]) for x in (P00, P01, P10, P11)]
     C, h, Wh = planes[0].shape
     dt = planes[0].dtype
     pad = _pad_for(dt)
+    if os.environ.get("VKRESAMPLE_QUAD_CAS") == "xla":
+        # full-array XLA evaluation of the same quad stencil (A/B knob:
+        # lets XLA's own fusion/tiling compete with the Pallas band
+        # kernels — scripts/big_cas_ab.py)
+        from . import cas as cas_ops
+
+        f = [
+            cas_ops.from_i16_storage(x) if x.dtype == jnp.int16
+            else x.astype(jnp.float32)
+            for x in planes
+        ]
+        p = [
+            [jnp.minimum(jnp.abs(f[0]), 1.0), jnp.minimum(jnp.abs(f[1]), 1.0)],
+            [jnp.minimum(jnp.abs(f[2]), 1.0), jnp.minimum(jnp.abs(f[3]), 1.0)],
+        ]
+
+        def _one(c):
+            out = _quad_planes(
+                [[p[0][0][c], p[0][1][c]], [p[1][0][c], p[1][1][c]]],
+                0, h, sharpen,
+            )
+            return out
+
+        outs = jax.vmap(_one)(jnp.arange(C))
+        return tuple(
+            outs[ry][rx].reshape(lead + (h, Wh))
+            for ry, rx in ((0, 0), (0, 1), (1, 0), (1, 1))
+        )
     if block_rows is None:
         from ..core.tuning import current
 
@@ -1044,9 +1074,16 @@ def cas_parity4_planes_u2(
     if Wh > wmax:
         # wide planes: column strips (full-width tiles would blow VMEM).
         # ~24 live f32 row-tiles peak in _quad_planes: keep strips narrow
-        # and bands short.
-        Wsb = _fit_block(current().quad_wsb, Wh, _CHALO)
-        bt = _fit_block(min(bt, 32), h, pad)
+        # and bands short.  The band cost is halo amplification
+        # ((bt+2*pad)/bt x (Wsb+2*_CHALO)/Wsb reads+compute per output
+        # element), so the env knobs let scripts/big_cas_ab.py sweep the
+        # (bt, Wsb) trade within the VMEM cap.
+        import os
+
+        wsb_req = int(os.environ.get("VKRESAMPLE_QUAD_WSB", "0"))
+        bt_req = int(os.environ.get("VKRESAMPLE_QUAD_BT", "0"))
+        Wsb = _fit_block(wsb_req or current().quad_wsb, Wh, _CHALO)
+        bt = _fit_block(bt_req or min(bt, 32), h, pad)
         if Wsb >= _CHALO and Wh >= Wsb + 2 * _CHALO and bt >= pad:
             nb = h // bt
             rows = bt + 2 * pad
