@@ -5,6 +5,7 @@ small matmuls (fft/staged.py); these tests pin its algebra to the dense
 tier's O(n^2) matrices (which are themselves oracle-pinned)."""
 import jax
 import numpy as np
+import pytest
 from jax import numpy as jnp
 
 from vkresample_tpu.core.config import Engine, Precision
@@ -196,3 +197,32 @@ def test_staged_quad_matches_dense_quad_f32():
     Ps = staged.r2c_quad_staged(jnp.asarray(img), sbanks, HIGHEST)
     for a, b in zip(Pd, Ps):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
+
+
+@pytest.mark.parametrize(
+    "variant", ["batchy", "f32y", "barrier", "batchy,f32y"]
+)
+def test_staged_quad_variants_match_baseline(monkeypatch, variant):
+    """The composition variants (VKRESAMPLE_STAGED_VARIANT) are algebraic
+    re-groupings of the same transform: batchy/barrier are exact; f32y
+    skips the i16 dequant (deviation bounded by the codec step)."""
+    plan = UpscalePlan(
+        h=96, w=384, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (96, 384, 3), np.uint8)
+    banks = {
+        k: jnp.asarray(v) for k, v in staged.r2c_quad_staged_banks(plan).items()
+    }
+    assert "st_y1n" in banks  # corrections active: dc_add path exercised
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+    base = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
+    monkeypatch.setenv("VKRESAMPLE_STAGED_VARIANT", variant)
+    got = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
+    tol = 2 if "f32y" in variant else 0  # i16 codec step on Q2.14
+    for a, b in zip(base, got):
+        d = np.abs(
+            np.asarray(a, np.int32) - np.asarray(b, np.int32)
+        ).max()
+        assert d <= tol, (variant, d)

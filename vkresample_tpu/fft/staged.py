@@ -305,12 +305,32 @@ def staged_precision():
     return jax.lax.Precision.HIGH if v == "high" else jax.lax.Precision.HIGHEST
 
 
+def _quad_variant():
+    """Composition variant for the staged quad transform (trace-time env;
+    A/B'd by scripts/staged_fix_ab.py against the ~10 ms composition gap
+    the staged_gap.py bisect localized to the second y conv):
+      ""        — two independent y convs (baseline)
+      "batchy"  — ONE y conv over the two planes stacked on a leading dim
+      "f32y"    — y convs read the un-quantized f32 planes (skip the
+                  dequant roundtrip; stores still feed the CAS planes)
+      "barrier" — optimization_barrier between the stored planes and the
+                  y convs (pins fusion boundaries)
+    Variants combine comma-separated (e.g. "batchy,f32y")."""
+    import os
+
+    return set(
+        v for v in os.environ.get("VKRESAMPLE_STAGED_VARIANT", "").split(",")
+        if v
+    )
+
+
 def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
     """Quad-parity u=2 transform on staged circulant convolutions.
     Same contract as dense.r2c_quad: x_raw holds RAW uint8 pixel values
     (..., C, h, w); returns the four pre-CAS parity planes (stored when a
     codec is given).  See dense.r2c_quad for the parity algebra; only the
     two hot matmuls are replaced by staged convolutions."""
+    variant = _quad_variant()
     w = x_raw.shape[-1]
     h = x_raw.shape[-2]
     acc = banks["stx_b1"].dtype  # f32, or f64 for the DOUBLE mode
@@ -336,7 +356,12 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
         P00m, P01m = P00, P01
     else:
         P00s, P01s = store(P00), store(P01)
-        P00m, P01m = load(P00s), load(P01s)
+        if "barrier" in variant:
+            P00s, P01s = jax.lax.optimization_barrier((P00s, P01s))
+        if "f32y" in variant:
+            P00m, P01m = P00, P01
+        else:
+            P00m, P01m = load(P00s), load(P01s)
     # y conv over rows, one per even-row plane.  The rank-1 y-Nyquist
     # correction Iy_odd[t, s] = yc*(-1)^(s-t) (Y1n carries (-1)^t) is
     # injected into the DC bin of the SMALL spectral intermediate when
@@ -354,8 +379,19 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
         else:
             rsign = jnp.asarray((-1.0) ** np.arange(h), acc)[:, None]
             post = banks["st_yc"] * rsign
-    P10 = conv_apply_rows(P00m, banks, "sty_", precision, dc_add=dc_e)
-    P11 = conv_apply_rows(P01m, banks, "sty_", precision, dc_add=dc_o)
+    if "batchy" in variant:
+        Pst = jnp.stack([P00m, P01m])
+        dc = None
+        if dc_e is not None:
+            dc = jnp.stack(
+                [jnp.broadcast_to(dc_e, P00m.shape[:-2] + dc_e.shape[-2:]),
+                 jnp.broadcast_to(dc_o, P01m.shape[:-2] + dc_o.shape[-2:])]
+            )
+        Pyt = conv_apply_rows(Pst, banks, "sty_", precision, dc_add=dc)
+        P10, P11 = Pyt[0], Pyt[1]
+    else:
+        P10 = conv_apply_rows(P00m, banks, "sty_", precision, dc_add=dc_e)
+        P11 = conv_apply_rows(P01m, banks, "sty_", precision, dc_add=dc_o)
     if post is not None:
         P10 = P10 + post * t2e
         P11 = P11 + post * t2o
