@@ -101,7 +101,7 @@ def test_plan_time_kernel_spectrum_reuse():
     rng = np.random.default_rng(7)
     x = rng.random((2, 16, 32)).astype(np.float32)
     k = gaussian_kernel(16, 32, 1.5)
-    spec = kernel_spectrum(k)
+    spec = kernel_spectrum(k, engine="mxu")  # auto prefers xla (perf A/B)
     assert spec[0] == "mxu"
     a = np.asarray(fft_convolve2d(jnp.asarray(x), spec))
     b = np.asarray(fft_convolve2d(jnp.asarray(x), k))

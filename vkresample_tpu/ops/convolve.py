@@ -46,7 +46,17 @@ def _pair_mul(A: CPair, B: CPair) -> CPair:
 
 def _resolve_engine(engine: str, h: int, w: int) -> str:
     if engine == "auto":
-        return "mxu" if _engine_ok(h, w) else "xla"
+        # perf routing, not capability: the standalone-conv A/B
+        # (scripts/conv_bench.py, v5e, same-process) measured the XLA
+        # native FFT 1.2-1.6x faster than the in-house mixed-radix
+        # engine (1.30 vs 2.11 ms at 1024x2048, 27.0 vs 32.7 at
+        # 4096x4096), so auto prefers it; engine="mxu" keeps the
+        # in-house path (required for non-XLA-native layouts and the
+        # engine-parity surface), and non-7-smooth sizes must use xla.
+        import os
+
+        pref = os.environ.get("VKRESAMPLE_CONV_ENGINE", "xla")
+        return pref if pref == "xla" or _engine_ok(h, w) else "xla"
     if engine == "mxu" and not _engine_ok(h, w):
         raise ValueError(
             f"{h}x{w} does not factor over the engine radix set (<= "
