@@ -114,10 +114,20 @@ def x_kernels(w: int, kept_lo: int):
 # ---------------------------------------------------------------------------
 
 
-def split_factors(n: int, prefer: int = 128):
+def split_factors(n: int, prefer: int = None):
     """Pick n1 (the middle-stage contraction size) as the divisor of n
     closest to `prefer` (ties toward the larger), n2 = n // n1.  Returns
-    None when no usable split exists (prime or near-prime n)."""
+    None when no usable split exists (prime or near-prime n).
+
+    Default prefer is sqrt(n) — the BALANCED split.  The on-chip sweep
+    (scripts/staged_split_ab.py, 4096/8192 at v5e) measured it 12-23%
+    faster than the earlier n1=128 preference: S1/S3 contract only
+    K = n2 / 2*(n2/2+1), so a large n1 starves the 128-deep MXU on two
+    of the three stages while also RAISING total FLOPs (S2 is
+    n1-linear); sqrt(n) balances K across stages (y: 5.94 vs 7.68 ms,
+    x: 5.32 vs 6.07 at the 8K->16K geometry)."""
+    if prefer is None:
+        prefer = max(8, int(round(float(np.sqrt(n)))))
     best = None
     for d in range(1, int(np.sqrt(n)) + 1):
         if n % d:
