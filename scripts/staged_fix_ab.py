@@ -41,7 +41,7 @@ def transform(xx, bb):
 
 pipe = functools.partial(_pipeline, plan=plan, engine=Engine.MXU, planes_out=True)
 
-for variant in ("", "batchy", "f32y", "barrier", "batchy,f32y", "f32y,barrier"):
+for variant in ("", "qbar", "qint", "barrier", "qint,f32y", "qint,barrier"):
     os.environ["VKRESAMPLE_STAGED_VARIANT"] = variant
     name = variant or "baseline"
     try:

@@ -200,7 +200,7 @@ def test_staged_quad_matches_dense_quad_f32():
 
 
 @pytest.mark.parametrize(
-    "variant", ["batchy", "f32y", "barrier", "batchy,f32y"]
+    "variant", ["batchy", "f32y", "barrier", "batchy,f32y", "qbar", "qint"]
 )
 def test_staged_quad_variants_match_baseline(monkeypatch, variant):
     """The composition variants (VKRESAMPLE_STAGED_VARIANT) are algebraic

@@ -325,6 +325,12 @@ def _quad_variant():
                   dequant roundtrip; stores still feed the CAS planes)
       "barrier" — optimization_barrier between the stored planes and the
                   y convs (pins fusion boundaries)
+      "qbar"    — optimization_barrier around ONLY the x-Nyquist colsum q
+                  (the gap3 bisect pinned the non-additivity to the
+                  x conv + q-reduction pair in one program)
+      "qint"    — compute q exactly in int32 from the RAW u8 image
+                  (decouples the reduction from the f32 xf operand the
+                  x conv consumes; 8192*255 < 2^31, no rounding)
     Variants combine comma-separated (e.g. "batchy,f32y")."""
     import os
 
@@ -349,7 +355,17 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
     P01 = conv_apply_lanes(xf, banks, "stx_", precision)
     # P00 = x/255 - rank-1 x-Nyquist correction (exact samples)
     signs = jnp.asarray((-1.0) ** np.arange(w), acc)
-    q = jnp.sum(xf * signs, axis=-1, keepdims=True)
+    if "qint" in variant and x_raw.dtype == jnp.uint8:
+        isign = jnp.asarray(
+            np.where(np.arange(w) % 2 == 0, 1, -1).astype(np.int32)
+        )
+        q = jnp.sum(
+            x_raw.astype(jnp.int32) * isign, axis=-1, keepdims=True
+        ).astype(acc)
+    else:
+        q = jnp.sum(xf * signs, axis=-1, keepdims=True)
+    if "qbar" in variant:
+        q = jax.lax.optimization_barrier(q)
     P00 = xf * jnp.asarray(1.0 / 255.0, acc) - (signs * q) * jnp.asarray(
         1.0 / (255.0 * w), acc
     )
