@@ -375,6 +375,10 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
         tcorr = jnp.einsum(
             "...hw,hr->...rw", xf, banks["st_y1n"], precision=precision
         )
+        if "qbar" in variant:
+            # same decoupling as q: tcorr is the other full-image
+            # reduction sharing xf with the x conv
+            tcorr = jax.lax.optimization_barrier(tcorr)
         t2o = conv_apply_lanes(tcorr, banks, "stbo_", precision)
         t2e = conv_apply_lanes(tcorr, banks, "stbe_", precision)
     if store is None:
