@@ -328,9 +328,9 @@ def _quad_variant():
       "qbar"    — optimization_barrier around ONLY the x-Nyquist colsum q
                   (the gap3 bisect pinned the non-additivity to the
                   x conv + q-reduction pair in one program)
-      "qint"    — compute q exactly in int32 from the RAW u8 image
-                  (decouples the reduction from the f32 xf operand the
-                  x conv consumes; 8192*255 < 2^31, no rounding)
+      "qint"    — no-op (the int32 q is the DEFAULT since the fix2 A/B:
+                  pipeline 46.3 -> 35.5 ms at 8K->16K); kept for scripts
+      "qf32"    — restore the f32 colsum q (the de-additivizing form)
     Variants combine comma-separated (e.g. "batchy,f32y")."""
     import os
 
@@ -353,9 +353,15 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
     xf = x_raw.astype(acc)
     # P01 = x (x) psi_o: staged conv along lanes (/255 folded in)
     P01 = conv_apply_lanes(xf, banks, "stx_", precision)
-    # P00 = x/255 - rank-1 x-Nyquist correction (exact samples)
+    # P00 = x/255 - rank-1 x-Nyquist correction (exact samples).  The
+    # colsum q runs in int32 on the RAW u8 image (exact: w*255 << 2^31):
+    # an f32 colsum of xf de-additivizes the composed program by ~10 ms
+    # at 8K->16K — XLA entangles the full-image f32 reduction with the
+    # x conv's consumption of the same xf operand (scripts/staged_gap3.py
+    # bisect + staged_fix_ab.py: pipeline 46.3 -> 35.5).  "qf32" restores
+    # the old form for A/B.
     signs = jnp.asarray((-1.0) ** np.arange(w), acc)
-    if "qint" in variant and x_raw.dtype == jnp.uint8:
+    if x_raw.dtype == jnp.uint8 and "qf32" not in variant:
         isign = jnp.asarray(
             np.where(np.arange(w) % 2 == 0, 1, -1).astype(np.int32)
         )
