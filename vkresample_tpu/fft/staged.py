@@ -306,13 +306,20 @@ def r2c_quad_staged_banks(plan, dtype: str = "float32") -> dict:
 
 
 def staged_precision():
-    """Matmul precision for the staged stages: HIGHEST (true-f32 grade)
-    by default; VKRESAMPLE_STAGED_PRECISION=high selects bf16x3 for A/B
-    (scripts/staged_stage.py — accuracy gate: oracle maxdiff <= 1)."""
+    """Matmul precision for the staged stages: HIGH (bf16x3) by default —
+    the on-chip gate at 8K->16K holds oracle maxdiff 1 at both HIGH and
+    HIGHEST while HIGH is ~5% faster e2e (34.5 vs 36.2 ms,
+    scripts/staged_prec_gate.py; the i16 storage codec dominates the
+    error budget, bf16x3's ~1e-6 relative never surfaces at u8 scale).
+    VKRESAMPLE_STAGED_PRECISION=highest restores the 6-pass form."""
     import os
 
     v = os.environ.get("VKRESAMPLE_STAGED_PRECISION", "").lower()
-    return jax.lax.Precision.HIGH if v == "high" else jax.lax.Precision.HIGHEST
+    return (
+        jax.lax.Precision.HIGHEST
+        if v == "highest"
+        else jax.lax.Precision.HIGH
+    )
 
 
 def _quad_variant():
