@@ -29,12 +29,10 @@ planes = tuple(
 
 base = None
 for name, env in [
-    ("bt32 wsb2048 (default)", {}),
-    ("bt64 wsb2048", {"VKRESAMPLE_QUAD_BT": "64"}),
-    ("bt64 wsb1024", {"VKRESAMPLE_QUAD_BT": "64", "VKRESAMPLE_QUAD_WSB": "1024"}),
-    ("bt128 wsb512", {"VKRESAMPLE_QUAD_BT": "128", "VKRESAMPLE_QUAD_WSB": "512"}),
-    ("bt48? wsb4096", {"VKRESAMPLE_QUAD_BT": "32", "VKRESAMPLE_QUAD_WSB": "4096"}),
-    ("xla full-array", {"VKRESAMPLE_QUAD_CAS": "xla"}),
+    ("bt64 wsb2048 (default)", {}),
+    ("bt128 wsb2048", {"VKRESAMPLE_QUAD_BT": "128"}),
+    ("bt128 wsb1024", {"VKRESAMPLE_QUAD_BT": "128", "VKRESAMPLE_QUAD_WSB": "1024"}),
+    ("bt256 wsb1024", {"VKRESAMPLE_QUAD_BT": "256", "VKRESAMPLE_QUAD_WSB": "1024"}),
 ]:
     def run(x, aux):
         return cas_parity4_planes_u2(x, *aux, 0.2)
