@@ -41,3 +41,4 @@ for pname in ("highest", "high"):
     ms = time_device(pipe, x, aux=banks, k1=2, k2=8, reps=2)
     print(f"[{pname:7s}] pipeline {ms:8.3f} ms  oracle maxdiff {md}", flush=True)
 os.environ.pop("VKRESAMPLE_STAGED_PRECISION", None)
+os.environ.pop("VKRESAMPLE_STAGED_INTERMEDIATE", None)

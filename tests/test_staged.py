@@ -227,3 +227,31 @@ def test_staged_quad_variants_match_baseline(monkeypatch, variant):
             np.asarray(a, np.int32) - np.asarray(b, np.int32)
         ).max()
         assert d <= tol, (variant, d)
+
+
+def test_staged_bf16_intermediates_runs_and_bounds(monkeypatch):
+    """bf16 spectral intermediates (VKRESAMPLE_STAGED_INTERMEDIATE=bf16):
+    REJECTED for default use — measured ~158 Q2.14 units (~2.5 u8 LSB)
+    at 96x384, backend-independent (random-walk of 2^-9 roundings over
+    K~128 contractions).  The knob stays for bandwidth experiments where
+    tolerance is looser; this test pins the deviation band."""
+    plan = UpscalePlan(
+        h=96, w=384, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (96, 384, 3), np.uint8)
+    banks = {
+        k: jnp.asarray(v) for k, v in staged.r2c_quad_staged_banks(plan).items()
+    }
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+    base = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
+    monkeypatch.setenv("VKRESAMPLE_STAGED_INTERMEDIATE", "bf16")
+    got = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
+    ds = [
+        np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32)).max()
+        for a, b in zip(base, got)
+    ]
+    # P00 bypasses the convs (samples + rank-1) and stays exact; the
+    # conv-produced planes deviate, but boundedly
+    assert 0 < max(ds) <= 512, ds

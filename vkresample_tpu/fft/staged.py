@@ -207,6 +207,23 @@ def conv_banks(
     }
 
 
+def _compact_intermediates(b1) -> bool:
+    """Opt-in (VKRESAMPLE_STAGED_INTERMEDIATE=bf16) bf16 spectral
+    intermediates + single-pass bf16 stage matmuls with f32 accumulation:
+    at the big geometries the convs are ~60-70% HBM-bound, so halving
+    the inter-stage bytes is the remaining traffic lever.  REJECTED for
+    default use: measured ~2.5 u8 LSB deviation (158 Q2.14 units at
+    96x384, tests/test_staged.py) — the random walk of 2^-9 operand
+    roundings over K~128 contractions is ~1%, inherent to single-pass
+    bf16 at these sizes.  Kept for looser-tolerance bandwidth work."""
+    import os
+
+    return (
+        os.environ.get("VKRESAMPLE_STAGED_INTERMEDIATE") == "bf16"
+        and b1.dtype == jnp.float32
+    )
+
+
 def conv_apply_rows(x, banks: dict, prefix: str, precision=None, dc_add=None):
     """Staged circular convolution over axis -2 of a REAL array
     (..., n, L) -> (..., n, L).
@@ -222,18 +239,28 @@ def conv_apply_rows(x, banks: dict, prefix: str, precision=None, dc_add=None):
     b1 = banks[prefix + "b1"]
     mb = banks[prefix + "m"]
     b3 = banks[prefix + "b3"]
+    kw = {}
+    if _compact_intermediates(b1):
+        cb = jnp.bfloat16
+        b1, mb, b3 = b1.astype(cb), mb.astype(cb), b3.astype(cb)
+        x = x.astype(cb)
+        kw = dict(preferred_element_type=jnp.float32)
     n2, n1 = b1.shape[0], mb.shape[2]  # mb's k2 dim is the half-spectrum
     L = x.shape[-1]
     lead = x.shape[:-2]
     x = x.reshape(lead + (n2, n1, L))
     # S1: contract t2 -> (..., 2, k2, t1, L)
-    y = jnp.einsum("ajc,...abL->...jcbL", b1, x, precision=precision)
+    y = jnp.einsum("ajc,...abL->...jcbL", b1, x, precision=precision, **kw)
+    if kw:
+        y = y.astype(jnp.bfloat16)  # fused into the dot epilogue
     # S2: per-k2 2x2-block n1 matmul -> (..., 2, k2, t1', L)
-    y = jnp.einsum("cjbkd,...jcbL->...kcdL", mb, y, precision=precision)
+    y = jnp.einsum("cjbkd,...jcbL->...kcdL", mb, y, precision=precision, **kw)
     if dc_add is not None:
         y = y.at[..., 0, 0, :, :].add(n2 * dc_add)
+    if kw:
+        y = y.astype(jnp.bfloat16)
     # S3: contract (re/im, k2) -> (..., t2', t1', L), real output
-    y = jnp.einsum("kce,...kcdL->...edL", b3, y, precision=precision)
+    y = jnp.einsum("kce,...kcdL->...edL", b3, y, precision=precision, **kw)
     return y.reshape(lead + (n2 * n1, L))
 
 
@@ -245,12 +272,22 @@ def conv_apply_lanes(x, banks: dict, prefix: str, precision=None):
     b1 = banks[prefix + "b1"]
     mb = banks[prefix + "m"]
     b3 = banks[prefix + "b3"]
+    kw = {}
+    if _compact_intermediates(b1):
+        cb = jnp.bfloat16
+        b1, mb, b3 = b1.astype(cb), mb.astype(cb), b3.astype(cb)
+        x = x.astype(cb)
+        kw = dict(preferred_element_type=jnp.float32)
     n2, n1 = b1.shape[0], mb.shape[2]  # mb's k2 dim is the half-spectrum
     lead = x.shape[:-1]
     x = x.reshape(lead + (n2, n1))
-    y = jnp.einsum("ajc,...ab->...jcb", b1, x, precision=precision)
-    y = jnp.einsum("cjbkd,...jcb->...kcd", mb, y, precision=precision)
-    y = jnp.einsum("kce,...kcd->...ed", b3, y, precision=precision)
+    y = jnp.einsum("ajc,...ab->...jcb", b1, x, precision=precision, **kw)
+    if kw:
+        y = y.astype(jnp.bfloat16)
+    y = jnp.einsum("cjbkd,...jcb->...kcd", mb, y, precision=precision, **kw)
+    if kw:
+        y = y.astype(jnp.bfloat16)
+    y = jnp.einsum("kce,...kcd->...ed", b3, y, precision=precision, **kw)
     return y.reshape(lead + (n2 * n1,))
 
 
