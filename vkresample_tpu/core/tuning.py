@@ -21,8 +21,10 @@ class DeviceTuning:
     parity_block: int = 64  # per-parity CAS band height (1.62 ms on v5e)
     quad_block: int = 64  # quad-parity CAS band height (1.57 ms on v5e)
     quad_wmax: int = 4096  # widest full-width quad tile; wider -> col strips
-    quad_wsb: int = 2048  # quad column-strip width (15.4 vs 16.4 ms at
-    # 8K->16K for 1024; 512 is 21 ms — scripts/big_stage.py)
+    quad_wsb: int = 1024  # quad column-strip width (with bt=128: 10.7 ms
+    # at 8K->16K planes vs 11.6 for bt64/wsb2048, 16.4 for the round-2
+    # bt32/wsb2048 — scripts/big_cas_ab.py; wider strips at bt>=128 blow
+    # VMEM, narrower raise the column-halo share)
 
 
 _TABLE = {

@@ -1083,11 +1083,11 @@ def cas_parity4_planes_u2(
         wsb_req = int(os.environ.get("VKRESAMPLE_QUAD_WSB", "0"))
         bt_req = int(os.environ.get("VKRESAMPLE_QUAD_BT", "0"))
         Wsb = _fit_block(wsb_req or current().quad_wsb, Wh, _CHALO)
-        # bt=64 (rows=96): halo amplification 1.69x vs 2.25x at bt=32 —
-        # 11.6 vs 16.4 ms at the 8K->16K plane geometry, bit-identical,
-        # and the (bt+2*pad) x (Wsb+256) i16 tiles still fit VMEM
-        # (scripts/big_cas_ab.py sweep; XLA full-array measured 78 ms)
-        bt = _fit_block(bt_req or min(bt, 64), h, pad)
+        # bt=128 with wsb=1024 (rows=160): halo amplification 1.56x vs
+        # 2.25x at the round-2 bt32/wsb2048 — 10.7 vs 16.4 ms at the
+        # 8K->16K plane geometry, bit-identical (scripts/big_cas_ab.py;
+        # bt128/wsb2048 and bt256 blow VMEM, XLA full-array is 78 ms)
+        bt = _fit_block(bt_req or min(bt * 2, 128), h, pad)
         if Wsb >= _CHALO and Wh >= Wsb + 2 * _CHALO and bt >= pad:
             nb = h // bt
             rows = bt + 2 * pad
