@@ -127,7 +127,10 @@ def split_factors(n: int, prefer: int = None):
     n1-linear); sqrt(n) balances K across stages (y: 5.94 vs 7.68 ms,
     x: 5.32 vs 6.07 at the 8K->16K geometry)."""
     if prefer is None:
-        prefer = max(8, int(round(float(np.sqrt(n)))))
+        # sqrt(n) capped at 64: n1=64 measured best at every big size
+        # (4096: 5.94 vs 6.04@32; 8192: 5.32 vs 6.07@128; 16384 lanes:
+        # 6.57 vs 6.70@128 — scripts/staged_split_ab.py, split16k_ab.py)
+        prefer = max(8, min(64, int(round(float(np.sqrt(n))))))
     best = None
     for d in range(1, int(np.sqrt(n)) + 1):
         if n % d:
