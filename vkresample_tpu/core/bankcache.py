@@ -27,7 +27,8 @@ from typing import Callable, Dict
 import numpy as np
 
 # bump when any bank builder's MATH changes (contents for the same key)
-CACHE_VERSION = 1
+# v2: staged split preference capped at n1=64 (changes staged bank shapes)
+CACHE_VERSION = 2
 
 # cache only geometries where host staging is actually noticeable; small
 # banks rebuild in well under a second and aren't worth the disk churn
