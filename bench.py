@@ -139,6 +139,25 @@ def main() -> int:
         )
         _measure("woven_half_ms", plan, False)
 
+    if "--big" in sys.argv[1:]:
+        # staged big tier (opt-in: ~2-3 min extra compile): the 8K->16K
+        # frame that headlines the round-3 staged circulant work
+        bplan = UpscalePlan(
+            h=4096, w=8192, upscale=2.0, precision=Precision.HALF,
+            sharpen=0.2, engine=Engine.AUTO,
+        )
+        beng = bplan.resolve_engine()
+        bbanks = make_device_banks(bplan, beng, planes=True)
+        bx = jax.device_put(
+            rng.integers(0, 256, size=(4096, 8192, 3), dtype=np.uint8)
+        )
+        bfn = functools.partial(
+            _pipeline, plan=bplan, engine=beng, planes_out=True
+        )
+        result["big_8k_to_16k_ms"] = round(
+            time_device(bfn, bx, aux=bbanks, k1=2, k2=8), 4
+        )
+
     print(json.dumps(result))
     return 0
 
