@@ -27,8 +27,9 @@ from typing import Callable, Dict
 import numpy as np
 
 # bump when any bank builder's MATH changes (contents for the same key)
-# v2: staged split preference capped at n1=64 (changes staged bank shapes)
-CACHE_VERSION = 2
+# v3: staged conv_banks actually inherits the balanced n1<=64 split
+#     default (v2 intended this but conv_banks' own prefer=128 won)
+CACHE_VERSION = 3
 
 # cache only geometries where host staging is actually noticeable; small
 # banks rebuild in well under a second and aren't worth the disk churn

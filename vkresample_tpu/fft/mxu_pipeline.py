@@ -55,11 +55,11 @@ def make_dense_banks(
 
     Beyond DENSE_MAX, eligible u=2 plans get the STAGED circulant bank
     set (detect: "stx_b1" present — fft/staged.py: three small matmuls
-    per axis, O(n*n1) bank bytes, any composite size) — ONLY when the
-    caller consumes parity planes (planes=True; woven callers run the
-    phases fallback that ignores banks).  VKRESAMPLE_BIG=int8 falls back
-    to the round-2 int8 dense quad tier (O(n^2) banks, capped at
-    DENSE_INT8_MAX) for A/B."""
+    per axis, O(n*n1) bank bytes, any composite size) for BOTH plane
+    consumers (planes=True, the PNG path) and woven callers (the quad
+    planes + u16-packed column weave, ops/weave.py).  VKRESAMPLE_BIG=
+    int8 falls back to the round-2 int8 dense quad tier (O(n^2) banks,
+    planes-only, capped at DENSE_INT8_MAX) for A/B."""
     import functools
     import os
 
@@ -67,11 +67,16 @@ def make_dense_banks(
     from ..core.config import Precision
     from . import dense, staged
 
-    def _cached(tag, build, *args):
+    def _cached(tag, build, *args, built_dtype=None):
         # big-geometry bank staging is minutes of host numpy; the disk
         # cache (core/bankcache.py) makes the second CLI run at the same
-        # geometry skip it (round-2 verdict item 8)
-        return get_or_build(tag, plan, dtype, functools.partial(build, *args))
+        # geometry skip it (round-2 verdict item 8).  built_dtype keys
+        # entries by the dtype the builder ACTUALLY produces (the staged
+        # builders ignore the caller dtype), so one bank set never caches
+        # under several keys.
+        return get_or_build(
+            tag, plan, built_dtype or dtype, functools.partial(build, *args)
+        )
 
     if (
         plan.precision is Precision.DOUBLE
@@ -85,7 +90,8 @@ def make_dense_banks(
         # (consumed by the woven upscale_precas_mxu path — the DOUBLE
         # pipeline stays on XLA CAS)
         return _cached(
-            "staged64", staged.r2c_quad_staged_banks, plan, "float64"
+            "staged64", staged.r2c_quad_staged_banks, plan, "float64",
+            built_dtype="float64",
         )
     if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
         quad_geom = (
@@ -105,7 +111,10 @@ def make_dense_banks(
             # staged banks serve BOTH consumers: parity planes (PNG path)
             # and woven output (library API — quad planes + the u16-packed
             # column weave, ops/weave.py)
-            return _cached("staged", staged.r2c_quad_staged_banks, plan)
+            return _cached(
+                "staged", staged.r2c_quad_staged_banks, plan,
+                built_dtype="float32",
+            )
         if (
             planes
             and quad_geom
@@ -140,7 +149,7 @@ def upscale_precas_mxu(
         # consumes the planes directly (planes_out)
         import jax as _jax
 
-        from . import dense, staged
+        from . import staged
 
         Ps = staged.r2c_quad_staged(
             x * 255.0, banks, _jax.lax.Precision.HIGHEST

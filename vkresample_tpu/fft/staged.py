@@ -152,7 +152,7 @@ def conv_banks(
     prefix: str,
     n1: int = None,
     dtype: str = "float32",
-    prefer: int = 128,
+    prefer: int = None,
 ) -> dict:
     """Bank dict for one staged circular convolution with the given
     real kernel column: out[s] = sum_t kernel[(s-t) mod n] x[t]."""

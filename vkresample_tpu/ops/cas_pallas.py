@@ -1080,8 +1080,16 @@ def cas_parity4_planes_u2(
         # (bt, Wsb) trade within the VMEM cap.
         import os
 
-        wsb_req = int(os.environ.get("VKRESAMPLE_QUAD_WSB", "0"))
-        bt_req = int(os.environ.get("VKRESAMPLE_QUAD_BT", "0"))
+        def _env_int(name):
+            # malformed values fall back to the tuned defaults instead of
+            # crashing the pipeline trace
+            try:
+                return int(os.environ.get(name, "0"))
+            except ValueError:
+                return 0
+
+        wsb_req = _env_int("VKRESAMPLE_QUAD_WSB")
+        bt_req = _env_int("VKRESAMPLE_QUAD_BT")
         Wsb = _fit_block(wsb_req or current().quad_wsb, Wh, _CHALO)
         # bt=128 with wsb=1024 (rows=160): halo amplification 1.56x vs
         # 2.25x at the round-2 bt32/wsb2048 — 10.7 vs 16.4 ms at the
