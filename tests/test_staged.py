@@ -255,3 +255,35 @@ def test_staged_bf16_intermediates_runs_and_bounds(monkeypatch):
     # P00 bypasses the convs (samples + rank-1) and stays exact; the
     # conv-produced planes deviate, but boundedly
     assert 0 < max(ds) <= 512, ds
+
+
+def test_staged_quad_odd_n1_post_path():
+    """h=882 splits as n1=21 (ODD), forcing the post-multiply y-Nyquist
+    correction branch (pow2 sizes always take the even-n1 DC-bin
+    injection) — plus odd-n2 Hermitian pair weights in the x conv."""
+    plan = UpscalePlan(
+        h=882, w=384, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    assert staged.staged_supported(plan)
+    assert staged.split_factors(882)[0] % 2 == 1
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (882, 384, 3), np.uint8)
+    banks = {
+        k: jnp.asarray(v) for k, v in staged.r2c_quad_staged_banks(plan).items()
+    }
+    assert "st_y1n" in banks  # correction active, so the post path runs
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+    Ps = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
+    got = np.zeros((3, 1764, 768))
+    got[:, 0::2, 0::2] = np.asarray(Ps[0], np.float64) / 16384.0
+    got[:, 0::2, 1::2] = np.asarray(Ps[1], np.float64) / 16384.0
+    got[:, 1::2, 0::2] = np.asarray(Ps[2], np.float64) / 16384.0
+    got[:, 1::2, 1::2] = np.asarray(Ps[3], np.float64) / 16384.0
+    u2 = float(np.float32(plan.upscale)) ** 2
+    want = np.empty((3, 1764, 768))
+    for ch in range(3):
+        F = np.fft.rfft2(img[:, :, ch].astype(np.float64) / 255.0)
+        G = oracle.assemble_big_spectrum(F, plan)
+        want[ch] = u2 * np.fft.irfft2(G, s=(plan.H, plan.W))
+    assert np.abs(got - want).max() < 2e-3
