@@ -257,6 +257,90 @@ def test_staged_bf16_intermediates_runs_and_bounds(monkeypatch):
     assert 0 < max(ds) <= 512, ds
 
 
+def _weave_grid(Ps, u, h, w, scale):
+    got = np.zeros((3, u * h, u * w))
+    for i, (ry, rx) in enumerate(
+        [(a, b) for a in range(u) for b in range(u)]
+    ):
+        got[:, ry::u, rx::u] = np.asarray(Ps[i], np.float64) * scale
+    return got
+
+
+def _precas_oracle(img, plan):
+    u2 = float(np.float32(plan.upscale)) ** 2
+    want = np.empty((3, plan.H, plan.W))
+    for ch in range(3):
+        F = np.fft.rfft2(img[:, :, ch].astype(np.float64) / 255.0)
+        G = oracle.assemble_big_spectrum(F, plan)
+        want[ch] = u2 * np.fft.irfft2(G, s=(plan.H, plan.W))
+    return want
+
+
+@pytest.mark.parametrize("h,w,u", [(64, 128, 3), (32, 128, 4)])
+def test_grid_staged_matches_oracle(h, w, u):
+    """u-generic grid transform (u^2 phase planes) vs the oracle, with
+    the i16 storage codec active (the production half-mode form)."""
+    plan = UpscalePlan(
+        h=h, w=w, upscale=float(u), precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    assert staged.grid_supported(plan)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    banks = {
+        k: jnp.asarray(v)
+        for k, v in staged.r2c_grid_staged_banks(plan).items()
+    }
+    assert staged.grid_u(banks) == u
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+    Ps = staged.r2c_grid_staged(x_raw, banks, HIGHEST, **codec)
+    assert len(Ps) == u * u
+    got = _weave_grid(Ps, u, h, w, 1.0 / 16384.0)
+    assert np.abs(got - _precas_oracle(img, plan)).max() < 2e-3
+
+
+def test_grid_staged_u2_matches_quad():
+    """The u=2 member of the grid family reproduces the tuned quad route
+    exactly (same kernels, same correction algebra)."""
+    plan = UpscalePlan(
+        h=32, w=128, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (3, 32, 128), np.uint8)
+    qb = {
+        k: jnp.asarray(v) for k, v in staged.r2c_quad_staged_banks(plan).items()
+    }
+    gb = {
+        k: jnp.asarray(v) for k, v in staged.r2c_grid_staged_banks(plan).items()
+    }
+    Pq = staged.r2c_quad_staged(jnp.asarray(img), qb, HIGHEST)
+    Pg = staged.r2c_grid_staged(jnp.asarray(img), gb, HIGHEST)
+    for a, b in zip(Pq, Pg):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
+
+
+def test_grid_staged_odd_n1_post_path():
+    """h=882 (n1=21, odd) exercises the post-multiply correction branch
+    of the grid transform at u=3."""
+    plan = UpscalePlan(
+        h=882, w=128, upscale=3.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    assert staged.grid_supported(plan)
+    assert staged.split_factors(882)[0] % 2 == 1
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (882, 128, 3), np.uint8)
+    banks = {
+        k: jnp.asarray(v)
+        for k, v in staged.r2c_grid_staged_banks(plan).items()
+    }
+    assert "sg_y1n" in banks
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    Ps = staged.r2c_grid_staged(x_raw, banks, HIGHEST)
+    got = _weave_grid(Ps, 3, 882, 128, 1.0)
+    assert np.abs(got - _precas_oracle(img, plan)).max() < 2e-3
+
+
 def test_staged_quad_odd_n1_post_path():
     """h=882 splits as n1=21 (ODD), forcing the post-multiply y-Nyquist
     correction branch (pow2 sizes always take the even-n1 DC-bin

@@ -109,6 +109,57 @@ def x_kernels(w: int, kept_lo: int):
     return np.real(psi_o), np.real(chi_o), np.real(chi_e)
 
 
+def phase_y_kernel(h: int, kept_lo: int, kept_hi: int, ry: int, u: int):
+    """Per-phase y kernel for integer factor u: the composed y roundtrip
+    restricted to output rows u*t + ry is circulant with
+
+      c_ry(d) = (1/h) sum_j keep(j) e^{2 pi i sigma(j) (d + ry/u) / h}
+
+    (the section-4 phase twiddle ty_ry[j] = e^{2 pi i sigma(j) ry / H},
+    docs/MATH.md, folded into the roundtrip; sigma(j) == j mod h makes the
+    d-dependence a plain ifft).  Returns (real kernel (h,), a0) where the
+    imaginary residue is the pure relocated-Nyquist tone a0 * (-1)^d
+    (a0 = 0 at ry = 0: the sample rows are the identity).  y_kernel is
+    the (ry=1, u=2) specialization."""
+    j = np.arange(h)
+    sigma = np.where(j < kept_lo, j, j - h).astype(np.float64)
+    keep = (j < kept_lo) | (j >= h - kept_hi)
+    g = keep.astype(np.float64) * np.exp(
+        2j * np.pi * sigma * ry / (u * h)
+    )
+    c = np.fft.ifft(g)
+    im = np.imag(c)
+    a0 = float(im[0])
+    if np.abs(im - a0 * (-1.0) ** np.arange(h)).max() > 1e-12:
+        raise ValueError("y imaginary residue is not rank-1")
+    return np.real(c), a0
+
+
+def phase_x_kernels(w: int, kept_lo: int, rx: int, u: int):
+    """Per-phase x kernels for integer factor u: output columns u*s + rx.
+
+      psi_rx(d) = (1/w) sum_sym keep e^{2 pi i sigma (d + rx/u) / w}
+      chi_rx(d) = same with i*sign(sigma) weights (the quadrature partner
+                  that couples to the y-Nyquist imaginary residue — see
+                  dense.py's `out = Ry (img alpha) + Iy (img beta)`)
+
+    The x band is symmetric with the Nyquist dropped, so both kernels are
+    exactly real at every offset; psi_0 = delta - (1/w)(-1)^d (the exact
+    sample-column identity + rank-1 x-Nyquist correction).  x_kernels is
+    the u=2 specialization (psi_1, chi_1, chi_0)."""
+    k = np.arange(w)
+    sigma = np.where(k < kept_lo, k, k - w).astype(np.float64)
+    keep = ((k < kept_lo) | (k > w - kept_lo)).astype(np.float64)
+    g_alpha = keep * np.exp(2j * np.pi * sigma * rx / (u * w))
+    g_beta = 1j * np.sign(sigma) * g_alpha
+    psi = np.fft.ifft(g_alpha)
+    chi = np.fft.ifft(g_beta)
+    for v in (psi, chi):
+        if np.abs(np.imag(v)).max() > 1e-12:
+            raise ValueError("x kernel not real — band not symmetric")
+    return np.real(psi), np.real(chi)
+
+
 # ---------------------------------------------------------------------------
 # staged banks
 # ---------------------------------------------------------------------------
@@ -481,3 +532,150 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
     if store is None:
         return P00s, P01s, P10, P11
     return P00s, P01s, store(P10), store(P11)
+
+
+# ---------------------------------------------------------------------------
+# u-generic grid-parity transform (u >= 2): u^2 phase planes
+# ---------------------------------------------------------------------------
+#
+# The quad route above is the u=2 member of a family: for ANY integer
+# factor u the composed zero-band upscale restricted to output lattice
+# (u*t + ry, u*s + rx) is a pair of real circular convolutions per phase
+# (phase_y_kernel / phase_x_kernels — the fractional offsets ry/u, rx/u
+# ride inside the kernels), with the same two exactness gifts:
+#   - ry = 0 is the identity y roundtrip (all y bins kept on integer-u
+#     plans), so the u x-pass planes are computed once and reused by
+#     every y phase;
+#   - rx = 0 is exact samples + the rank-1 x-Nyquist correction.
+# The relocated y-Nyquist leaves a rank-1 imaginary residue a0_ry*(-1)^d
+# at EVERY phase offset, handled by the same Y1n colsum + chi convs + DC
+# bin injection as the quad route.  This is the any-size >8K engine for
+# u >= 3 frames, which previously fell to the ~3x slower phases route
+# (reference bar: any-size multi-upload FFTs, vkFFT.h:4733-4771).
+
+
+def grid_supported(plan) -> bool:
+    """u-generic staged route: integer u >= 2 r2c plans with usable
+    Cooley-Tukey splits (any smooth size — no dense cap)."""
+    from . import dense
+
+    return (
+        plan.r2c
+        and plan.integer_upscale is not None
+        and plan.integer_upscale >= 2
+        and dense.r2c_rows_supported(plan)
+        and plan.h % 2 == 0
+        and plan.w % 128 == 0
+        and split_factors(plan.h) is not None
+        and split_factors(plan.w) is not None
+    )
+
+
+def grid_u(banks: dict):
+    """Integer factor of a grid bank set (None when not a grid set) —
+    inferred from the static bank keys at trace time."""
+    if "sgx1_b1" not in banks:
+        return None
+    u = 2
+    while f"sgx{u}_b1" in banks:
+        u += 1
+    return u
+
+
+def r2c_grid_staged_banks(plan, dtype: str = "float32") -> dict:
+    """Bank pytree for the u-generic staged grid transform (detect:
+    "sgx1_b1" present / grid_u).  O(u * n * n1) bytes total."""
+    if not grid_supported(plan):
+        raise ValueError("plan not grid-staged-executable")
+    u = plan.integer_upscale
+    h, w = plan.h, plan.w
+    banks = {}
+    a0s = {}
+    for ry in range(1, u):
+        cy, a0 = phase_y_kernel(h, plan.kept_lo_y, plan.kept_hi_y, ry, u)
+        banks.update(conv_banks(cy, f"sgy{ry}_", dtype=dtype))
+        a0s[ry] = a0
+    for rx in range(1, u):
+        psi, _ = phase_x_kernels(w, plan.kept_lo_x, rx, u)
+        banks.update(conv_banks(psi / 255.0, f"sgx{rx}_", dtype=dtype))
+    if any(a0 != 0.0 for a0 in a0s.values()):
+        banks["sg_y1n"] = (
+            ((-1.0) ** np.arange(h))[:, None] / 255.0
+        ).astype(dtype)
+        for ry in range(1, u):
+            banks[f"sg_yc{ry}"] = np.asarray(a0s[ry], dtype)
+        for rx in range(u):
+            _, chi = phase_x_kernels(w, plan.kept_lo_x, rx, u)
+            # correction convs see (C, r=1, w) data — bank bytes dominate
+            banks.update(conv_banks(chi, f"sgb{rx}_", dtype=dtype, prefer=16))
+    return banks
+
+
+def r2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
+    """u-generic grid-parity transform on staged circulant convolutions.
+    x_raw holds RAW uint8 pixel values (..., C, h, w); returns the u^2
+    pre-CAS phase planes row-major (P[0][0], P[0][1], ..., P[u-1][u-1]),
+    each (..., C, h, w) (stored when a codec is given).  Same storage
+    contract as r2c_quad_staged / dense.r2c_quad."""
+    u = grid_u(banks)
+    variant = _quad_variant()
+    w = x_raw.shape[-1]
+    h = x_raw.shape[-2]
+    acc = banks["sgx1_b1"].dtype
+    xf = x_raw.astype(acc)
+    # P[0][0] = exact samples - rank-1 x-Nyquist correction; the colsum q
+    # runs in int32 on the RAW u8 image (see r2c_quad_staged: the f32
+    # colsum de-additivizes the composed program)
+    signs = jnp.asarray((-1.0) ** np.arange(w), acc)
+    if x_raw.dtype == jnp.uint8 and "qf32" not in variant:
+        isign = jnp.asarray(
+            np.where(np.arange(w) % 2 == 0, 1, -1).astype(np.int32)
+        )
+        q = jnp.sum(
+            x_raw.astype(jnp.int32) * isign, axis=-1, keepdims=True
+        ).astype(acc)
+    else:
+        q = jnp.sum(xf * signs, axis=-1, keepdims=True)
+    P0 = [
+        xf * jnp.asarray(1.0 / 255.0, acc)
+        - (signs * q) * jnp.asarray(1.0 / (255.0 * w), acc)
+    ]
+    for rx in range(1, u):
+        P0.append(conv_apply_lanes(xf, banks, f"sgx{rx}_", precision))
+    # rank-1 y-Nyquist correction: one colsum, one chi conv per x phase
+    tc = None
+    if "sg_y1n" in banks:
+        tcorr = jnp.einsum(
+            "...hw,hr->...rw", xf, banks["sg_y1n"], precision=precision
+        )
+        tc = [
+            conv_apply_lanes(tcorr, banks, f"sgb{rx}_", precision)
+            for rx in range(u)
+        ]
+    if store is None:
+        P0s, P0m = P0, P0
+    else:
+        P0s = [store(p) for p in P0]
+        P0m = [load(p) for p in P0s]
+    planes = list(P0s)
+    rsign = jnp.asarray((-1.0) ** np.arange(h), acc)[:, None]
+    for ry in range(1, u):
+        n1 = banks[f"sgy{ry}_m"].shape[2]
+        dsign = jnp.asarray((-1.0) ** np.arange(n1), acc)[:, None]
+        for rx in range(u):
+            dc = post = None
+            if tc is not None:
+                if n1 % 2 == 0:
+                    # (-1)^(t1'+n1*t2') = (-1)^t1' for even n1: inject the
+                    # correction into the DC bin of the small spectral
+                    # intermediate (see r2c_quad_staged)
+                    dc = banks[f"sg_yc{ry}"] * dsign * tc[rx]
+                else:
+                    post = banks[f"sg_yc{ry}"] * rsign
+            P = conv_apply_rows(
+                P0m[rx], banks, f"sgy{ry}_", precision, dc_add=dc
+            )
+            if post is not None:
+                P = P + post * tc[rx]
+            planes.append(P if store is None else store(P))
+    return tuple(planes)
