@@ -374,3 +374,102 @@ def test_quad_strip_env_knobs(monkeypatch):
         tuning.current = orig
     for a, b in zip(full, strips):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# u-generic grid-parity CAS (u >= 3)
+# ---------------------------------------------------------------------------
+
+
+def _weave_u(outs, u, want_shape):
+    got = np.zeros(want_shape, np.uint8)
+    for i, (ry, rx) in enumerate(
+        [(a, b) for a in range(u) for b in range(u)]
+    ):
+        got[:, ry::u, rx::u] = np.asarray(outs[i])
+    return got
+
+
+def _grid_setup(h, w, u, seed):
+    """Staged grid transform planes (i16 codec) + oracle for one image."""
+    import jax
+
+    from vkresample_tpu.core.config import Engine, Precision
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.fft import staged
+    from vkresample_tpu.ops.cas import from_i16_storage, to_i16_storage
+
+    plan = UpscalePlan(
+        h=h, w=w, upscale=float(u), precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    banks = {
+        k: jnp.asarray(v)
+        for k, v in staged.r2c_grid_staged_banks(plan).items()
+    }
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    Ps = staged.r2c_grid_staged(
+        x_raw, banks, jax.lax.Precision.HIGHEST,
+        store=to_i16_storage, load=from_i16_storage,
+    )
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    return Ps, want
+
+
+def test_grid_parity_planes_u3_matches_oracle():
+    """Full e2e u=3: staged grid transform -> grid CAS kernel vs oracle."""
+    from vkresample_tpu.ops.cas_pallas import cas_parity_grid_planes
+
+    Ps, want = _grid_setup(64, 128, 3, 51)
+    outs = cas_parity_grid_planes(Ps, 3, 0.2, interpret=True)
+    got = _weave_u(outs, 3, want.shape)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_grid_parity_planes_u4_strips():
+    """u=4 wide planes route through column strips; result matches the
+    XLA full-array evaluation within the rsqrt rounding LSB."""
+    from vkresample_tpu.ops import cas as cas_ops
+    from vkresample_tpu.ops.cas_pallas import cas_parity_grid_planes
+
+    u = 4
+    rng = np.random.default_rng(52)
+    v = rng.standard_normal((2, u * 32, u * 1536)).astype(np.float32) * 0.6
+    planes = [
+        cas_ops.to_i16_storage(jnp.asarray(v[:, ry::u, rx::u]))
+        for ry in range(u)
+        for rx in range(u)
+    ]
+    outs = cas_parity_grid_planes(planes, u, 0.2, interpret=True)
+    want = np.asarray(
+        cas_ops.quantize_u8(
+            cas_ops.cas_sharpen(
+                jnp.stack(
+                    [cas_ops.from_i16_storage(p) for p in planes], axis=1
+                )
+                .reshape(2, u, u, 32, 1536)
+                .transpose(0, 3, 1, 4, 2)
+                .reshape(2, u * 32, u * 1536),
+                0.2,
+            )
+        )
+    )
+    got = _weave_u(outs, u, want.shape)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_grid_parity_xla_fallback_matches(monkeypatch):
+    """VKRESAMPLE_GRID_CAS=xla (weave + full-array CAS) agrees with the
+    grid kernel within the rsqrt LSB."""
+    from vkresample_tpu.ops.cas_pallas import cas_parity_grid_planes
+
+    Ps, want = _grid_setup(64, 128, 3, 53)
+    base = cas_parity_grid_planes(Ps, 3, 0.2, interpret=True)
+    monkeypatch.setenv("VKRESAMPLE_GRID_CAS", "xla")
+    alt = cas_parity_grid_planes(Ps, 3, 0.2, interpret=True)
+    for a, b in zip(base, alt):
+        assert (
+            np.abs(np.asarray(a, int) - np.asarray(b, int)).max() <= 1
+        )

@@ -1160,6 +1160,286 @@ def cas_parity4_planes_u2(
 
 
 # ---------------------------------------------------------------------------
+# u-generic grid-parity fused CAS (u >= 2): u^2 phase planes
+# ---------------------------------------------------------------------------
+#
+# The quad stencil algebra generalizes: for u^2 phase planes P[ry][rx]
+# (output pixel (u*t + ry, u*s + rx) lives at plane (ry, rx) index (t, s)),
+# every 3x3 CAS neighbor is a SIBLING plane at the same index or a one-step
+# row/column shift of one:
+#   west  of (ry, rx): plane (ry, rx-1) same s       (rx > 0)
+#                      plane (ry, u-1) shifted left  (rx == 0; gleft clamps)
+#   north of (ry, rx): plane (ry-1, rx) same t       (ry > 0)
+#                      plane (u-1, rx) shifted up    (ry == 0; gtop clamps)
+# Interior phases (0 < r < u-1) need no shifts or edge clamps at all —
+# only the boundary phases touch the image border.  u=2 is the fully-
+# boundary special case (_quad_planes).
+
+
+def _grid_planes(p, u, ts, h, sharpen, ws=0, Wh=None):
+    """p[ry][rx]: clipped f32 tiles covering global rows [ts, ts+rows) and
+    global columns [ws, ws+Wsw) of the u x u phase planes (each h x Wh
+    globally).  Returns the u x u uint8 output tiles; valid wherever the
+    row/col halo is inside the tile."""
+    rows, Wsw = p[0][0].shape
+    if Wh is None:
+        Wh = Wsw
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    gtop = (row + ts) == 0
+    gbot = (row + ts) == h - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Wsw), 1) + ws
+    gleft = col == 0
+    gright = col == Wh - 1
+
+    xmin = [[None] * u for _ in range(u)]
+    xmax = [[None] * u for _ in range(u)]
+    wpe = [[None] * u for _ in range(u)]
+    for ry in range(u):
+        for rx in range(u):
+            if rx > 0:
+                wv = p[ry][rx - 1]
+            else:
+                wv = jnp.where(gleft, p[ry][0], _shiftL(p[ry][u - 1]))
+            if rx < u - 1:
+                ev = p[ry][rx + 1]
+            else:
+                ev = jnp.where(gright, p[ry][u - 1], _shiftR(p[ry][0]))
+            xmin[ry][rx] = jnp.minimum(wv, ev)
+            xmax[ry][rx] = jnp.maximum(wv, ev)
+            wpe[ry][rx] = wv + ev
+
+    out = [[None] * u for _ in range(u)]
+    for ry in range(u):
+        for rx in range(u):
+            c = p[ry][rx]
+            if ry > 0:
+                n = p[ry - 1][rx]
+                nmin, nmax = xmin[ry - 1][rx], xmax[ry - 1][rx]
+            else:
+                n = jnp.where(gtop, c, _yshift_up(p[u - 1][rx]))
+                nmin = jnp.where(
+                    gtop, xmin[0][rx], _yshift_up(xmin[u - 1][rx])
+                )
+                nmax = jnp.where(
+                    gtop, xmax[0][rx], _yshift_up(xmax[u - 1][rx])
+                )
+            if ry < u - 1:
+                s = p[ry + 1][rx]
+                smin, smax = xmin[ry + 1][rx], xmax[ry + 1][rx]
+            else:
+                s = jnp.where(gbot, c, _yshift_dn(p[0][rx]))
+                smin = jnp.where(gbot, xmin[u - 1][rx], _yshift_dn(xmin[0][rx]))
+                smax = jnp.where(gbot, xmax[u - 1][rx], _yshift_dn(xmax[0][rx]))
+            out[ry][rx] = _cas_core(
+                c, n, s, xmin[ry][rx], xmax[ry][rx], wpe[ry][rx],
+                jnp.minimum(nmin, smin), jnp.maximum(nmax, smax), sharpen,
+            )
+    return out
+
+
+def _grid_strip_kernel(
+    *refs,
+    u: int, sharpen: float, bt: int, h: int, nb: int, pad: int,
+    scale: float, Wh: int, Wsb: int, nsW: int,
+):
+    """Strip kernel over (C, row band, col strip) for u^2 phase planes:
+    refs = n inputs (HBM) + n outputs (VMEM blocks) + n scratch + 1 sem,
+    n = u^2.  nsW == 1 runs full-width tiles (no column halo)."""
+    n = u * u
+    ins = refs[:n]
+    outs = refs[n : 2 * n]
+    scr = refs[2 * n : 3 * n]
+    sems = refs[3 * n]
+    g = pl.program_id(0)
+    rows = bt + 2 * pad
+    strips = nsW > 1
+    Wsw = Wsb + 2 * _CHALO if strips else Wh
+
+    def window(gg):
+        cc = gg // (nb * nsW)
+        rem = gg % (nb * nsW)
+        ii = rem // nsW
+        ss = rem % nsW
+        ts = pl.multiple_of(jnp.clip(ii * bt - pad, 0, h - rows), pad)
+        if strips:
+            ws = pl.multiple_of(
+                jnp.clip(ss * Wsb - _CHALO, 0, Wh - Wsw), _CHALO
+            )
+        else:
+            ws = 0
+        return cc, ii, ss, ts, ws
+
+    def dmas(gg, slot):
+        cc, _, _, ts, ws = window(gg)
+        if strips:
+            srcs = [
+                ins[j].at[cc, pl.ds(ts, rows), pl.ds(ws, Wsw)]
+                for j in range(n)
+            ]
+        else:
+            srcs = [ins[j].at[cc, pl.ds(ts, rows), :] for j in range(n)]
+        return [
+            pltpu.make_async_copy(srcs[j], scr[j].at[slot], sems.at[slot, j])
+            for j in range(n)
+        ]
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        for dma in dmas(g + 1, jax.lax.rem(g + 1, 2)):
+            dma.start()
+
+    for dma in dmas(g, slot):
+        dma.wait()
+
+    _, ii, ss, ts, ws = window(g)
+
+    def _clip(t):
+        f = _to_f32(t)
+        if scale != 1.0:
+            f = f * jnp.float32(scale)
+        return jnp.minimum(jnp.abs(f), 1.0)
+
+    p = [
+        [_clip(scr[ry * u + rx][slot]) for rx in range(u)]
+        for ry in range(u)
+    ]
+    out = _grid_planes(p, u, ts, h, sharpen, ws=ws, Wh=Wh)
+
+    roffset = ii * bt - ts
+    coffset = ss * Wsb - ws
+    for ro in (0, pad, 2 * pad):
+        cos = (0, _CHALO, 2 * _CHALO) if strips else (0,)
+        for co in cos:
+            @pl.when(jnp.logical_and(roffset == ro, coffset == co))
+            def _(ro=ro, co=co):
+                for j in range(n):
+                    outs[j][0] = out[j // u][j % u][
+                        ro : ro + bt, co : co + Wsb
+                    ]
+
+
+def cas_parity_grid_planes(
+    planes, u: int, sharpen: float, interpret: bool = False,
+):
+    """u-generic grid-parity fused CAS: u^2 pre-CAS phase planes (row-major
+    (ry, rx), each (..., h, w)) to u^2 uint8 planes of the same shape.
+    Accepts f32 or int16 Q2.14 inputs.  The u=2 quad kernel remains the
+    tuned specialization; this serves u >= 3."""
+    import os
+
+    n = u * u
+    if len(planes) != n:
+        raise ValueError(f"expected {n} planes for u={u}, got {len(planes)}")
+    lead = planes[0].shape[:-2]
+    ps = [x.reshape((-1,) + x.shape[-2:]) for x in planes]
+    C, h, Wp = ps[0].shape
+    dt = ps[0].dtype
+    pad = _pad_for(dt)
+
+    def _weave():
+        # weave on device + full-array CAS: the correctness path for CPU
+        # tests / degenerate geometries (the stack+reshape weave is the
+        # known-pathological layout on TPU — the Pallas path avoids it)
+        from . import cas as cas_ops
+
+        f = [
+            cas_ops.from_i16_storage(x) if x.dtype == jnp.int16
+            else x.astype(jnp.float32)
+            for x in ps
+        ]
+        g = jnp.stack(f, axis=1).reshape(C, u, u, h, Wp)
+        g = jnp.transpose(g, (0, 3, 1, 4, 2))  # (C, h, ry, Wp, rx)
+        return g.reshape(C, u * h, u * Wp)
+
+    def _split(out):
+        o = out.reshape(C, h, u, Wp, u)
+        return tuple(
+            o[:, :, ry, :, rx].reshape(lead + (h, Wp))
+            for ry in range(u)
+            for rx in range(u)
+        )
+
+    from ..core.tuning import current
+
+    def _env_int(name):
+        try:
+            return int(os.environ.get(name, "0"))
+        except ValueError:
+            return 0
+
+    # VMEM working set ~ (2 double-buffered scratch + ~4 live f32 temps)
+    # per plane per row: pick (bt, Wsb) so u^2 planes fit the ~12 MB
+    # budget; quad-tuned defaults scale down by (2/u)^2
+    bt_req = _env_int("VKRESAMPLE_GRID_BT") or max(
+        pad, _fit_block((current().quad_block * 4) // n, h, pad)
+    )
+    wsb_req = _env_int("VKRESAMPLE_GRID_WSB") or current().quad_wsb
+
+    usable = (
+        not os.environ.get("VKRESAMPLE_GRID_CAS") == "xla"
+        and Wp % 128 == 0
+        and dt in (jnp.float32, jnp.int16)
+        and all(x.dtype == dt and x.shape == ps[0].shape for x in ps)
+    )
+    if usable:
+        bt = _fit_block(bt_req, h, pad)
+        if Wp > wsb_req + 2 * _CHALO:
+            Wsb = _fit_block(wsb_req, Wp, _CHALO)
+            nsW = Wp // Wsb if Wsb else 0
+            Wsw = Wsb + 2 * _CHALO
+        else:
+            Wsb, nsW, Wsw = Wp, 1, Wp
+        # working-set estimate: n scratch tiles double-buffered at input
+        # width plus ~4n live f32 tiles in _grid_planes
+        rows = bt + 2 * pad
+        est = n * rows * Wsw * (2 * dt.itemsize + 4 * 4)
+        while bt > pad and est > 12 * 2**20:
+            bt = _fit_block(bt - pad, h, pad)
+            rows = bt + 2 * pad
+            est = n * rows * Wsw * (2 * dt.itemsize + 4 * 4)
+        if bt < pad or h < bt + 2 * pad or (nsW > 1 and Wsb < _CHALO):
+            usable = False
+    if not usable:
+        out = cas_quantize_pallas(_weave(), sharpen, interpret=interpret)
+        return _split(out)
+
+    nb = h // bt
+    kern = functools.partial(
+        _grid_strip_kernel, u=u, sharpen=float(sharpen), bt=bt, h=h,
+        nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wp, Wsb=Wsb, nsW=nsW,
+    )
+    ospec = pl.BlockSpec(
+        (1, bt, Wsb),
+        lambda g, nb=nb, nsW=nsW: (
+            g // (nb * nsW),
+            (g % (nb * nsW)) // nsW,
+            g % nsW,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((C, h, Wp), jnp.uint8) for _ in range(n)
+        ),
+        grid=(C * nb * nsW,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,
+        out_specs=(ospec,) * n,
+        scratch_shapes=[pltpu.VMEM((2, bt + 2 * pad, Wsw), dt)] * n
+        + [pltpu.SemaphoreType.DMA((2, n))],
+        interpret=interpret,
+    )(*ps)
+    return tuple(x.reshape(lead + (h, Wp)) for x in outs)
+
+
+# ---------------------------------------------------------------------------
 # block-pipelined CAS (automatic Mosaic prefetch, no manual DMA)
 # ---------------------------------------------------------------------------
 #
