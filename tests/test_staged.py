@@ -371,3 +371,56 @@ def test_staged_quad_odd_n1_post_path():
         G = oracle.assemble_big_spectrum(F, plan)
         want[ch] = u2 * np.fft.irfft2(G, s=(plan.H, plan.W))
     assert np.abs(got - want).max() < 2e-3
+
+
+def test_pipeline_grid_banks_route(monkeypatch):
+    """u=3 big-tier routing e2e: make_dense_banks returns grid banks,
+    planes_format reports 'grid', _pipeline's u^2 plane output matches
+    the oracle, the woven caller agrees with the planes weave, and the
+    upscale_precas_mxu fallback handles grid banks."""
+    import functools
+
+    from vkresample_tpu.fft import mxu_pipeline
+    from vkresample_tpu.io.png import weave_grid_host
+    from vkresample_tpu.pipeline import upscale as up
+
+    # h=32 is the smallest height with a Cooley-Tukey split (16 has
+    # none), and it keeps the grid CAS on its degenerate-geometry XLA
+    # fallback (h < bt + 2*pad; CPU cannot run compiled pallas_call —
+    # the kernel math is covered in test_cas_pallas with interpret=True)
+    plan = UpscalePlan(
+        h=32, w=128, upscale=3.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    monkeypatch.setattr(mxu_pipeline, "DENSE_MAX", 64)
+    assert mxu_pipeline.big_grid_selected(plan)
+    monkeypatch.setattr(up, "_use_pallas_cas", lambda p: True)
+    assert up.planes_format(plan) == "grid"
+    banks = mxu_pipeline.make_dense_banks(plan, "float32", planes=True)
+    assert banks is not None and "sgx1_b1" in banks
+    assert staged.grid_u(banks) == 3
+    banks = jax.device_put({k: jnp.asarray(v) for k, v in banks.items()})
+    img = np.random.default_rng(13).integers(0, 256, (32, 128, 3), np.uint8)
+    outs = jax.jit(
+        functools.partial(
+            up._pipeline, plan=plan, engine=Engine.MXU,
+            planar_out=True, planes_out=True,
+        )
+    )(jnp.asarray(img), banks)
+    assert len(outs) == 9
+    got = weave_grid_host([np.asarray(p) for p in outs], 3)
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # woven caller (library API): same pixels via the device u8 weave
+    wov = np.asarray(
+        jax.jit(
+            functools.partial(
+                up._pipeline, plan=plan, engine=Engine.MXU,
+                planar_out=True, planes_out=False,
+            )
+        )(jnp.asarray(img), banks)
+    )
+    np.testing.assert_array_equal(wov, got)
+    # woven fallback path (non-Pallas callers, -validate, CPU tests)
+    x = jnp.moveaxis(jnp.asarray(img, jnp.float32) / 255.0, -1, -3)
+    v = mxu_pipeline.upscale_precas_mxu(x, plan, banks)
+    assert np.abs(np.asarray(v, np.float64) - _precas_oracle(img, plan)).max() < 2e-3

@@ -256,6 +256,18 @@ def run_single(cfg, extras) -> int:
         from .io.png import write_png_planar_parity4
 
         write_png_planar_parity4(out_path, ps)
+    elif fmt == "grid":
+        u = plan.integer_upscale
+        ps = [np.asarray(p) for p in out]  # u^2 x (3, H/u, W/u)
+        if extras.get("validate"):
+            from .io.png import weave_grid_host
+
+            rc = _validate(
+                img, np.moveaxis(weave_grid_host(ps, u), 0, -1), plan
+            )
+        from .io.png import write_png_planar_grid
+
+        write_png_planar_grid(out_path, ps, u)
     elif fmt == "rows":
         e_np, d_np = (np.asarray(p) for p in out)  # each (3, H/2, W)
         if extras.get("validate"):
@@ -349,6 +361,11 @@ def run_batched(cfg, extras) -> int:
                 if fmt == "quad":
                     ps = [np.asarray(p)[:n_prev] for p in res_prev]
                     pool.encode_batch_planar_parity4(paths_prev, ps)
+                elif fmt == "grid":
+                    ps = [np.asarray(p)[:n_prev] for p in res_prev]
+                    pool.encode_batch_planar_grid(
+                        paths_prev, ps, plan.integer_upscale
+                    )
                 elif fmt == "rows":
                     e_np = np.asarray(res_prev[0])[:n_prev]
                     d_np = np.asarray(res_prev[1])[:n_prev]

@@ -46,6 +46,30 @@ DENSE_MAX = 8192
 DENSE_INT8_MAX = 16384
 
 
+def big_grid_selected(plan) -> bool:
+    """True when make_dense_banks will return the u-generic GRID staged
+    bank set: big-tier (>DENSE_MAX) integer u >= 3 r2c plans.  The u >= 3
+    analog of the u=2 staged quad tier — without it these frames fall to
+    the ~3x slower phases route (the reference handles any size at full
+    speed via multi-upload FFTs, vkFFT.h:4733-4771)."""
+    import os
+
+    from ..core.config import Precision
+    from . import staged
+
+    return (
+        max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX
+        and plan.r2c
+        and plan.precision is not Precision.DOUBLE
+        and plan.integer_upscale is not None
+        and plan.integer_upscale >= 3
+        and not os.environ.get("VKRESAMPLE_NO_PARITY")
+        and os.environ.get("VKRESAMPLE_HALF_STORAGE") != "bf16"
+        and os.environ.get("VKRESAMPLE_BIG", "staged") == "staged"
+        and staged.grid_supported(plan)
+    )
+
+
 def make_dense_banks(
     plan: UpscalePlan, dtype: str = "float32", planes: bool = False
 ):
@@ -94,6 +118,13 @@ def make_dense_banks(
             built_dtype="float64",
         )
     if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
+        if big_grid_selected(plan):
+            # u >= 3 big tier: u-generic grid staged banks (detect:
+            # "sgx1_b1" present — fft/staged.py r2c_grid_staged)
+            return _cached(
+                "grid", staged.r2c_grid_staged_banks, plan,
+                built_dtype="float32",
+            )
         quad_geom = (
             plan.r2c
             and plan.integer_upscale == 2
@@ -143,23 +174,29 @@ def upscale_precas_mxu(
     """
     from . import dense
 
-    if banks is not None and "stx_b1" in banks:
-        # staged circulant banks (big tier): compute the quad parity
+    if banks is not None and ("stx_b1" in banks or "sgx1_b1" in banks):
+        # staged circulant banks (big tier): compute the parity/phase
         # planes and weave — the correctness/woven path; the perf path
         # consumes the planes directly (planes_out)
         import jax as _jax
 
         from . import staged
 
-        Ps = staged.r2c_quad_staged(
-            x * 255.0, banks, _jax.lax.Precision.HIGHEST
-        )
-        top = jnp.stack([Ps[0], Ps[1]], axis=-1)
-        top = top.reshape(top.shape[:-2] + (2 * top.shape[-2],))
-        bot = jnp.stack([Ps[2], Ps[3]], axis=-1)
-        bot = bot.reshape(bot.shape[:-2] + (2 * bot.shape[-2],))
-        out = jnp.stack([top, bot], axis=-2)
-        return out.reshape(out.shape[:-3] + (2 * top.shape[-2], top.shape[-1]))
+        if "stx_b1" in banks:
+            Ps = staged.r2c_quad_staged(
+                x * 255.0, banks, _jax.lax.Precision.HIGHEST
+            )
+            u = 2
+        else:
+            Ps = staged.r2c_grid_staged(
+                x * 255.0, banks, _jax.lax.Precision.HIGHEST
+            )
+            u = staged.grid_u(banks)
+        h, w = Ps[0].shape[-2], Ps[0].shape[-1]
+        lead = Ps[0].shape[:-2]
+        g = jnp.stack(Ps, axis=-3).reshape(lead + (u, u, h, w))
+        g = jnp.moveaxis(jnp.moveaxis(g, -4, -2), -4, -1)  # (..., h, u, w, u)
+        return g.reshape(lead + (u * h, u * w))
     if max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX:
         prec = plan.precision.matmul_precision
         if banks is None:

@@ -146,6 +146,26 @@ def _load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.vkr_png_encode_planar_grid.restype = ctypes.c_int
+        lib.vkr_png_encode_planar_grid.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.vkr_pool_encode_batch_planar_grid.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
         _lib = lib
         return _lib
 
@@ -264,6 +284,44 @@ def write_png_planar_parity4(
         return
     img = weave4_host(*ps)
     write_png(path, np.moveaxis(img, 0, -1), compression_level)
+
+
+def write_png_planar_grid(
+    path: str, planes, u: int, compression_level: int = 6
+) -> None:
+    """Encode from u-generic GRID-PARITY planes: u*u row-major (ry, rx)
+    stacks, each (3, H/u, W/u) uint8 (output pixel (u*t+ry, u*s+rx) at
+    plane (ry, rx) index (t, s)) — the u>=3 staged pipeline's native
+    layout; both interleaves happen inside the encoder's row loop."""
+    ps = [np.ascontiguousarray(p, np.uint8) for p in planes]
+    if len(ps) != u * u or any(
+        p.shape != ps[0].shape or p.ndim != 3 or p.shape[0] != 3 for p in ps
+    ):
+        raise ValueError(f"expected {u * u} matching (3, h, w) planes")
+    lib = _load_native()
+    _, hs, wss = ps[0].shape
+    if lib is not None:
+        ptrs = (ctypes.POINTER(ctypes.c_ubyte) * (u * u))(
+            *[p.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)) for p in ps]
+        )
+        rc = lib.vkr_png_encode_planar_grid(
+            path.encode(), ptrs, u, u * wss, u * hs, compression_level
+        )
+        if rc != 0:
+            raise OSError(f"PNG encode failed ({rc}): {path}")
+        return
+    img = weave_grid_host(ps, u)
+    write_png(path, np.moveaxis(img, 0, -1), compression_level)
+
+
+def weave_grid_host(planes, u: int) -> np.ndarray:
+    """Host assembly of u*u grid-parity planes into (..., 3, H, W) uint8."""
+    ps = [np.asarray(p, np.uint8) for p in planes]
+    c, hs, wss = ps[0].shape[-3:]
+    out = np.empty(ps[0].shape[:-3] + (c, u * hs, u * wss), np.uint8)
+    for i, p in enumerate(ps):
+        out[..., i // u :: u, i % u :: u] = p
+    return out
 
 
 def weave4_host(p00, p01, p10, p11) -> np.ndarray:
@@ -490,4 +548,42 @@ class PngPool:
                     raise OSError(f"PNG encode failed ({st}): {paths[i]}")
             return
         img = weave4_host(*ps)  # (N, 3, H, W)
+        self.encode_batch(paths, np.moveaxis(img, 1, -1), compression_level)
+
+    def encode_batch_planar_grid(
+        self, paths: Sequence[str], planes, u: int,
+        compression_level: int = 6,
+    ) -> None:
+        """Encode u-generic GRID-PARITY frames: u*u arrays (N, 3, H/u, W/u)
+        uint8, row-major (ry, rx); both interleaves happen per row in the
+        encoder."""
+        ps = [np.ascontiguousarray(p, np.uint8) for p in planes]
+        n, c, hs, wss = ps[0].shape
+        assert c == 3 and len(paths) == n and len(ps) == u * u
+        assert all(p.shape == ps[0].shape for p in ps)
+        if self._lib is not None:
+            c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+            status = (ctypes.c_int * n)()
+            ptrs = (ctypes.POINTER(ctypes.c_ubyte) * (u * u))(
+                *[
+                    p.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+                    for p in ps
+                ]
+            )
+            self._lib.vkr_pool_encode_batch_planar_grid(
+                self._pool,
+                c_paths,
+                n,
+                ptrs,
+                u,
+                u * wss,
+                u * hs,
+                compression_level,
+                status,
+            )
+            for i, st in enumerate(status):
+                if st != 0:
+                    raise OSError(f"PNG encode failed ({st}): {paths[i]}")
+            return
+        img = weave_grid_host(ps, u)  # (N, 3, H, W)
         self.encode_batch(paths, np.moveaxis(img, 1, -1), compression_level)

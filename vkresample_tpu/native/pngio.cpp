@@ -328,6 +328,68 @@ int vkr_png_encode_planar_parity4(const char* path, const unsigned char* p00,
 }
 
 // ---------------------------------------------------------------------
+// grid-parity encode (u >= 2 generic): u*u plane stacks, row-major
+// p[ry][rx], each (3, H/u, W/u) uint8 — output pixel (u*t+ry, u*s+rx)
+// lives at plane (ry, rx) index (t, s).  The u^2-phase analog of the
+// quad encoder above; the u-generic staged pipeline's native layout.
+// ---------------------------------------------------------------------
+int vkr_png_encode_planar_grid(const char* path,
+                               const unsigned char* const* planes, int u,
+                               int width, int height,
+                               int compression_level) {
+  if (u < 2 || height % u || width % u) return -4;
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return -1;
+
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return -2;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(fp);
+    return -2;
+  }
+  std::vector<unsigned char> row((size_t)width * 3);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return -3;
+  }
+
+  png_init_io(png, fp);
+  png_set_compression_level(png, compression_level);
+  png_set_filter(png, 0, PNG_FILTER_SUB);
+  png_set_IHDR(png, info, width, height, 8, PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+
+  const int ws = width / u;
+  const size_t plane = (size_t)(height / u) * ws;
+  for (int y = 0; y < height; y++) {
+    const unsigned char* const* prow = planes + (size_t)(y % u) * u;
+    const size_t off = (size_t)(y / u) * ws;
+    for (int x = 0; x < ws; x++) {
+      for (int rx = 0; rx < u; rx++) {
+        const unsigned char* src = prow[rx] + off + x;
+        for (int c = 0; c < 3; c++)
+          row[3 * ((size_t)u * x + rx) + c] = src[c * plane];
+      }
+    }
+    png_write_row(png, row.data());
+  }
+  png_write_end(png, info);
+
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
+// ---------------------------------------------------------------------
 // worker pool: parallel decode/encode of file batches.
 // Replaces the reference's one-OS-thread-per-worker design
 // (VkResample.cpp:1958-1969) with a reusable pool.
@@ -493,6 +555,30 @@ void vkr_pool_encode_batch_planar_parity4(
       status[i] = vkr_png_encode_planar_parity4(
           paths[i], p00 + o, p01 + o, p10 + o, p11 + o, w, h,
           compression_level);
+    });
+  }
+  p->wait_idle();
+}
+
+// Encode a batch from u*u contiguous grid-parity buffers (row-major
+// (ry, rx)), each (n, 3, h/u, w/u).
+void vkr_pool_encode_batch_planar_grid(void* pool, const char** paths,
+                                       int n,
+                                       const unsigned char* const* planes,
+                                       int u, int w, int h,
+                                       int compression_level, int* status) {
+  Pool* p = static_cast<Pool*>(pool);
+  const int nplanes = u * u;
+  const size_t frame = (size_t)(w / u) * (h / u) * 3;
+  // copy the pointer table: the ctypes caller's array may not outlive
+  // the submit loop
+  std::vector<const unsigned char*> base(planes, planes + nplanes);
+  for (int i = 0; i < n; i++) {
+    p->submit([=] {
+      std::vector<const unsigned char*> ps(nplanes);
+      for (int j = 0; j < nplanes; j++) ps[j] = base[j] + (size_t)i * frame;
+      status[i] = vkr_png_encode_planar_grid(paths[i], ps.data(), u, w, h,
+                                             compression_level);
     });
   }
   p->wait_idle();

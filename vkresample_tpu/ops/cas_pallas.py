@@ -1407,7 +1407,13 @@ def cas_parity_grid_planes(
         if bt < pad or h < bt + 2 * pad or (nsW > 1 and Wsb < _CHALO):
             usable = False
     if not usable:
-        out = cas_quantize_pallas(_weave(), sharpen, interpret=interpret)
+        # degenerate geometry / opted-out: evaluate the XLA CAS on the
+        # woven image (same pattern as the quad kernel's fallback — must
+        # NOT route through cas_quantize_pallas, whose own gate could
+        # re-enter a compiled pallas_call on CPU test geometries)
+        from . import cas as cas_ops
+
+        out = cas_ops.quantize_u8(cas_ops.cas_sharpen(_weave(), sharpen))
         return _split(out)
 
     nb = h // bt

@@ -37,3 +37,31 @@ def weave_quad_u8(P00, P01, P10, P11) -> jnp.ndarray:
     """Four uint8 quad-parity planes (..., h, w), p[row parity][col
     parity], -> woven (..., 2h, 2w) uint8."""
     return weave_rows_u8(weave_cols_u8(P00, P01), weave_cols_u8(P10, P11))
+
+
+def _weave_cols_n_u8(cols):
+    """Column interleave of n uint8 planes: out[..., i::n] = cols[i].
+    Power-of-two n rides the recursive u16 lane-pack (interleave of the
+    even-indexed weave with the odd-indexed weave); other n fall back to
+    the stack+reshape layout op."""
+    n = len(cols)
+    if n == 1:
+        return cols[0]
+    if n % 2 == 0:
+        return weave_cols_u8(
+            _weave_cols_n_u8(cols[0::2]), _weave_cols_n_u8(cols[1::2])
+        )
+    out = jnp.stack(cols, axis=-1)
+    return out.reshape(out.shape[:-2] + (n * out.shape[-2],))
+
+
+def weave_grid_u8(planes, u: int) -> jnp.ndarray:
+    """u*u uint8 grid-parity planes (row-major (ry, rx), each (..., h, w))
+    -> woven (..., u*h, u*w) uint8.  Row interleave is a cheap sublane
+    stack; columns take _weave_cols_n_u8."""
+    rows = [
+        _weave_cols_n_u8(list(planes[ry * u : (ry + 1) * u]))
+        for ry in range(u)
+    ]
+    out = jnp.stack(rows, axis=-2)
+    return out.reshape(out.shape[:-3] + (u * out.shape[-3], out.shape[-1]))

@@ -187,6 +187,39 @@ def _pipeline(
         use_pallas
         and engine is Engine.MXU
         and banks is not None
+        and "sgx1_b1" in banks
+        and plan.r2c
+    ):
+        # u >= 3 big tier: u-generic grid staged transform -> u^2 phase
+        # planes -> fused grid CAS (the u=2 quad route's generalization).
+        # planes_out feeds the PNG encoder's row-loop weave; woven callers
+        # get the device u8 weave (lane-pack for power-of-two u).
+        from ..fft import staged
+        from ..ops.cas_pallas import cas_parity_grid_planes
+        from ..ops.weave import weave_grid_u8
+
+        x_raw = jnp.moveaxis(img_u8, -1, -3)  # (..., C, h, w)
+        _codec = (
+            dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+            if _i16_mode
+            else {}
+        )
+        u = staged.grid_u(banks)
+        Ps = staged.r2c_grid_staged(
+            x_raw, banks, staged.staged_precision(), **_codec
+        )
+        if not _i16_mode:
+            Ps = [_store16(p) for p in Ps]
+        Pu8 = cas_parity_grid_planes(Ps, u, plan.sharpen)
+        if planes_out:
+            return Pu8
+        out = weave_grid_u8(Pu8, u)
+        return out if planar_out else jnp.moveaxis(out, -3, -1)
+
+    if (
+        use_pallas
+        and engine is Engine.MXU
+        and banks is not None
         and ("Ymat_ns" in banks or use_big_quad or use_staged)
         and plan.r2c
     ):
@@ -325,14 +358,18 @@ def parity_planes_supported(plan: UpscalePlan) -> bool:
     device output is uint8 parity planes that the PNG encoder weaves for
     free (see planes_format for which layout)."""
     from ..fft import dense
-    from ..fft.mxu_pipeline import DENSE_MAX
+    from ..fft.mxu_pipeline import DENSE_MAX, big_grid_selected
 
     if not (
         _use_pallas_cas(plan)
         and plan.resolve_engine() is Engine.MXU
         and plan.r2c
-        and _parity_route(plan) is not None
     ):
+        return False
+    if big_grid_selected(plan):
+        # u >= 3 big tier: u^2 grid-parity planes
+        return True
+    if _parity_route(plan) is None:
         return False
     if (
         dense.r2c_rows_supported(plan)
@@ -347,9 +384,14 @@ def parity_planes_supported(plan: UpscalePlan) -> bool:
 def planes_format(plan: UpscalePlan):
     """Device output layout of the planes_out pipeline: 'quad' = four
     (C, H/2, W/2) planes p[row parity][col parity]; 'rows' = (E, D)
-    (C, H/2, W) planes; None = woven output only."""
+    (C, H/2, W) planes; 'grid' = u^2 (C, H/u, W/u) planes row-major
+    (ry, rx) (u >= 3 big tier); None = woven output only."""
     if not parity_planes_supported(plan):
         return None
+    from ..fft.mxu_pipeline import big_grid_selected
+
+    if big_grid_selected(plan):
+        return "grid"
     return _parity_route(plan)
 
 
