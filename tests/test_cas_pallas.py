@@ -376,6 +376,44 @@ def test_quad_strip_env_knobs(monkeypatch):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_quad_strip_slots_variant(monkeypatch):
+    """VKRESAMPLE_QUAD_STRIP=slots routes the column strips through the
+    slot-resident kernel (row halos read from neighbor bands' slots, no
+    padded DMA windows) — bit-identical to the full-width kernel in i16
+    and f32, including the image top/bottom clamp rows."""
+    import dataclasses
+
+    from vkresample_tpu.ops.cas import to_i16_storage
+    from vkresample_tpu.ops.cas_pallas import cas_parity4_planes_u2
+    import vkresample_tpu.core.tuning as tuning
+
+    rng = np.random.default_rng(49)
+    base = [
+        jnp.asarray(rng.random((2, 64, 1024), np.float32) * 1.2 - 0.1)
+        for _ in range(4)
+    ]
+    orig = tuning.current
+    for conv in (to_i16_storage, lambda p: p):
+        planes = [conv(p) for p in base]
+        full = cas_parity4_planes_u2(*planes, 0.2, block_rows=16, interpret=True)
+        try:
+            t = orig()
+            tuning.current = lambda: dataclasses.replace(t, quad_wmax=256)
+            monkeypatch.setenv("VKRESAMPLE_QUAD_BT", "16")
+            monkeypatch.setenv("VKRESAMPLE_QUAD_WSB", "512")
+            monkeypatch.setenv("VKRESAMPLE_QUAD_STRIP", "slots")
+            strips = cas_parity4_planes_u2(
+                *planes, 0.2, block_rows=16, interpret=True
+            )
+        finally:
+            tuning.current = orig
+            monkeypatch.delenv("VKRESAMPLE_QUAD_BT")
+            monkeypatch.delenv("VKRESAMPLE_QUAD_WSB")
+            monkeypatch.delenv("VKRESAMPLE_QUAD_STRIP")
+        for a, b in zip(full, strips):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 # ---------------------------------------------------------------------------
 # u-generic grid-parity CAS (u >= 3)
 # ---------------------------------------------------------------------------

@@ -988,6 +988,119 @@ def _quad_strip_kernel(
                     ref[0] = out[ry][rx][ro : ro + bt, co : co + Wsb]
 
 
+def _quad_strip_slots_kernel(
+    p00_hbm, p01_hbm, p10_hbm, p11_hbm,
+    o00_ref, o01_ref, o10_ref, o11_ref,
+    s00, s01, s10, s11, sems,
+    *, sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
+    Wh: int, Wsb: int, nsW: int, tree_i16: bool = False,
+):
+    """Slot-resident column-strip variant: bands are DMA'd WITHOUT row
+    halos (exactly bt rows each) into a 4-deep rotating buffer, and the
+    one-row halos come from the neighbor bands' still-resident slots.
+    The grid sweeps bands vertically within each column strip (ii
+    fastest), so vertical neighbors occupy adjacent slots; 4 slots cover
+    the {prev, current, next, inflight} working set.  This removes the
+    2*pad-row-per-side DMA+compute overhead the aligned-halo scheme pays
+    (DMA slices need pad-row alignment, so a 1-row halo costs pad=16
+    rows at i16): band amplification (bt+2*pad)/bt -> (bt+2)/bt.
+    Strip-edge slots hold garbage rows (previous strip / uninitialized),
+    but those rows coincide exactly with the image top/bottom, where
+    _quad_planes' gtop/gbot clamp masks discard them."""
+    g = pl.program_id(0)
+    Wsw = Wsb + 2 * _CHALO
+    ins = (p00_hbm, p01_hbm, p10_hbm, p11_hbm)
+    scr = (s00, s01, s10, s11)
+
+    def window(gg):
+        cc = gg // (nb * nsW)
+        ss = (gg % (nb * nsW)) // nb
+        ii = gg % nb
+        ws = pl.multiple_of(jnp.clip(ss * Wsb - _CHALO, 0, Wh - Wsw), _CHALO)
+        return cc, ii, ss, ws
+
+    def dmas(gg, slot):
+        cc, ii, _, ws = window(gg)
+        ts = pl.multiple_of(ii * bt, pad)
+        return [
+            pltpu.make_async_copy(
+                ins[j].at[cc, pl.ds(ts, bt), pl.ds(ws, Wsw)],
+                scr[j].at[slot],
+                sems.at[slot, j],
+            )
+            for j in range(4)
+        ]
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+        for dma in dmas(1, 1):  # nb >= 2 gates this variant: band 1 exists
+            dma.start()
+        for dma in dmas(0, 0):
+            dma.wait()
+
+    @pl.when(g + 2 < pl.num_programs(0))
+    def _():
+        for dma in dmas(g + 2, jax.lax.rem(g + 2, 4)):
+            dma.start()
+
+    @pl.when(jnp.logical_and(g > 0, g + 1 < pl.num_programs(0)))
+    def _():
+        for dma in dmas(g + 1, jax.lax.rem(g + 1, 4)):
+            dma.wait()
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(1, 1):
+            dma.wait()
+
+    _, ii, ss, ws = window(g)
+    sp = jax.lax.rem(g + 3, 4)  # prev band's slot ((g-1) % 4)
+    sc = jax.lax.rem(g, 4)
+    sn = jax.lax.rem(g + 1, 4)
+
+    def _tile(sref):
+        # (bt+2, Wsw): one halo row from each vertical neighbor's slot
+        return jnp.concatenate(
+            [
+                sref[sp, pl.ds(bt - 1, 1), :],
+                sref[sc],
+                sref[sn, pl.ds(0, 1), :],
+            ],
+            axis=0,
+        )
+
+    def _clip(t):
+        f = _to_f32(t)
+        if scale != 1.0:
+            f = f * jnp.float32(scale)
+        return jnp.minimum(jnp.abs(f), 1.0)  # abs>=0: the 0-clamp is dead
+
+    ts = ii * bt - 1  # global plane row of tile row 0 (only feeds the
+    # gtop/gbot iota masks; -1 at the top band never matches)
+    if tree_i16:
+        q = [[_tile(s00), _tile(s01)], [_tile(s10), _tile(s11)]]
+        out = _quad_planes_i16(q, ts, h, sharpen, ws=ws, Wh=Wh)
+    else:
+        p = [
+            [_clip(_tile(s00)), _clip(_tile(s01))],
+            [_clip(_tile(s10)), _clip(_tile(s11))],
+        ]
+        out = _quad_planes(p, ts, h, sharpen, ws=ws, Wh=Wh)
+
+    coffset = ss * Wsb - ws
+    refs = (o00_ref, o01_ref, o10_ref, o11_ref)
+
+    for co in (0, _CHALO, 2 * _CHALO):
+        @pl.when(coffset == co)
+        def _(co=co):
+            for ref, (ry, rx) in zip(
+                refs, ((0, 0), (0, 1), (1, 0), (1, 1))
+            ):
+                ref[0] = out[ry][rx][1 : 1 + bt, co : co + Wsb]
+
+
 def cas_parity4_planes_u2(
     P00, P01, P10, P11, sharpen: float, block_rows: int = None,
     interpret: bool = False,
@@ -1100,20 +1213,49 @@ def cas_parity4_planes_u2(
             nb = h // bt
             rows = bt + 2 * pad
             nsW = Wh // Wsb
-            kern = functools.partial(
-                _quad_strip_kernel, sharpen=float(sharpen), bt=bt, h=h,
-                nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh, Wsb=Wsb,
-                nsW=nsW, tree_i16=_use_i16_tree(dt),
+            slots = (
+                os.environ.get("VKRESAMPLE_QUAD_STRIP", "halo") == "slots"
+                and nb >= 2
             )
-            ospec = pl.BlockSpec(
-                (1, bt, Wsb),
-                lambda g, nb=nb, nsW=nsW: (
-                    g // (nb * nsW),
-                    (g % (nb * nsW)) // nsW,
-                    g % nsW,
-                ),
-                memory_space=pltpu.VMEM,
-            )
+            if slots:
+                # slot-resident bands: row halos come from neighbor
+                # slots instead of re-DMA'd pad-aligned windows; the
+                # grid sweeps bands vertically within each column strip
+                kern = functools.partial(
+                    _quad_strip_slots_kernel, sharpen=float(sharpen),
+                    bt=bt, h=h, nb=nb, pad=pad, scale=_in_scale_for(dt),
+                    Wh=Wh, Wsb=Wsb, nsW=nsW, tree_i16=_use_i16_tree(dt),
+                )
+                ospec = pl.BlockSpec(
+                    (1, bt, Wsb),
+                    lambda g, nb=nb, nsW=nsW: (
+                        g // (nb * nsW),
+                        g % nb,
+                        (g % (nb * nsW)) // nb,
+                    ),
+                    memory_space=pltpu.VMEM,
+                )
+                scratch = [
+                    pltpu.VMEM((4, bt, Wsb + 2 * _CHALO), dt)
+                ] * 4 + [pltpu.SemaphoreType.DMA((4, 4))]
+            else:
+                kern = functools.partial(
+                    _quad_strip_kernel, sharpen=float(sharpen), bt=bt,
+                    h=h, nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh,
+                    Wsb=Wsb, nsW=nsW, tree_i16=_use_i16_tree(dt),
+                )
+                ospec = pl.BlockSpec(
+                    (1, bt, Wsb),
+                    lambda g, nb=nb, nsW=nsW: (
+                        g // (nb * nsW),
+                        (g % (nb * nsW)) // nsW,
+                        g % nsW,
+                    ),
+                    memory_space=pltpu.VMEM,
+                )
+                scratch = [
+                    pltpu.VMEM((2, rows, Wsb + 2 * _CHALO), dt)
+                ] * 4 + [pltpu.SemaphoreType.DMA((2, 4))]
             outs = pl.pallas_call(
                 kern,
                 out_shape=tuple(
@@ -1123,10 +1265,7 @@ def cas_parity4_planes_u2(
                 grid=(C * nb * nsW,),
                 in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
                 out_specs=(ospec, ospec, ospec, ospec),
-                scratch_shapes=[
-                    pltpu.VMEM((2, rows, Wsb + 2 * _CHALO), dt)
-                ] * 4
-                + [pltpu.SemaphoreType.DMA((2, 4))],
+                scratch_shapes=scratch,
                 interpret=interpret,
             )(*planes)
             return tuple(x.reshape(lead + (h, Wh)) for x in outs)
