@@ -28,8 +28,8 @@ planes = tuple(
 
 base = None
 for name, env in [
-    ("halo  bt128 wsb1024 (default)", {}),
-    ("slots bt128 wsb1024", {"VKRESAMPLE_QUAD_STRIP": "slots"}),
+    ("halo  bt128 wsb1024", {"VKRESAMPLE_QUAD_STRIP": "halo"}),
+    ("slots bt128 wsb1024 (default)", {}),
     ("slots bt64  wsb1024", {"VKRESAMPLE_QUAD_STRIP": "slots",
                              "VKRESAMPLE_QUAD_BT": "64"}),
     ("slots bt64  wsb2048", {"VKRESAMPLE_QUAD_STRIP": "slots",

@@ -369,6 +369,8 @@ def test_quad_strip_env_knobs(monkeypatch):
         tuning.current = lambda: dataclasses.replace(t, quad_wmax=256)
         monkeypatch.setenv("VKRESAMPLE_QUAD_BT", "16")
         monkeypatch.setenv("VKRESAMPLE_QUAD_WSB", "512")
+        # pin the aligned-halo kernel (slots is the default)
+        monkeypatch.setenv("VKRESAMPLE_QUAD_STRIP", "halo")
         strips = cas_parity4_planes_u2(*planes, 0.2, block_rows=16, interpret=True)
     finally:
         tuning.current = orig
@@ -377,10 +379,10 @@ def test_quad_strip_env_knobs(monkeypatch):
 
 
 def test_quad_strip_slots_variant(monkeypatch):
-    """VKRESAMPLE_QUAD_STRIP=slots routes the column strips through the
-    slot-resident kernel (row halos read from neighbor bands' slots, no
-    padded DMA windows) — bit-identical to the full-width kernel in i16
-    and f32, including the image top/bottom clamp rows."""
+    """VKRESAMPLE_QUAD_STRIP=slots (the default) routes the column strips
+    through the slot-resident kernel (row halos read from neighbor bands'
+    slots, no padded DMA windows) — bit-identical to the full-width
+    kernel in i16 and f32, including the image top/bottom clamp rows."""
     import dataclasses
 
     from vkresample_tpu.ops.cas import to_i16_storage
@@ -496,6 +498,32 @@ def test_grid_parity_planes_u4_strips():
     )
     got = _weave_u(outs, u, want.shape)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_grid_strip_slots_variant(monkeypatch):
+    """VKRESAMPLE_GRID_STRIP=slots routes the u-generic grid CAS through
+    the slot-resident kernel — bit-identical to the aligned-halo grid
+    kernel, in both the strip (u=4 wide) and full-width (u=3 narrow)
+    regimes, including the image top/bottom clamp rows."""
+    from vkresample_tpu.ops import cas as cas_ops
+    from vkresample_tpu.ops.cas_pallas import cas_parity_grid_planes
+
+    rng = np.random.default_rng(54)
+    for u, hh, ww in ((4, 32, 1536), (3, 64, 128)):
+        v = rng.standard_normal((2, u * hh, u * ww)).astype(np.float32) * 0.6
+        planes = [
+            cas_ops.to_i16_storage(jnp.asarray(v[:, ry::u, rx::u]))
+            for ry in range(u)
+            for rx in range(u)
+        ]
+        base = cas_parity_grid_planes(planes, u, 0.2, interpret=True)
+        monkeypatch.setenv("VKRESAMPLE_GRID_STRIP", "slots")
+        try:
+            slots = cas_parity_grid_planes(planes, u, 0.2, interpret=True)
+        finally:
+            monkeypatch.delenv("VKRESAMPLE_GRID_STRIP")
+        for a, b in zip(base, slots):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_grid_parity_xla_fallback_matches(monkeypatch):

@@ -246,15 +246,17 @@ def test_staged_bf16_intermediates_runs_and_bounds(monkeypatch):
     x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
     codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
     base = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
-    monkeypatch.setenv("VKRESAMPLE_STAGED_INTERMEDIATE", "bf16")
-    got = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
-    ds = [
-        np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32)).max()
-        for a, b in zip(base, got)
-    ]
-    # P00 bypasses the convs (samples + rank-1) and stays exact; the
-    # conv-produced planes deviate, but boundedly
-    assert 0 < max(ds) <= 512, ds
+    for mode in ("bf16", "bf16store"):
+        monkeypatch.setenv("VKRESAMPLE_STAGED_INTERMEDIATE", mode)
+        got = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
+        ds = [
+            np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32)).max()
+            for a, b in zip(base, got)
+        ]
+        # P00 bypasses the convs (samples + rank-1) and stays exact; the
+        # conv-produced planes deviate, but boundedly (storage-only
+        # rounding is smaller: ~140 vs ~160 Q2.14 units at this size)
+        assert 0 < max(ds) <= 512, (mode, ds)
 
 
 def _weave_grid(Ps, u, h, w, scale):

@@ -261,21 +261,35 @@ def conv_banks(
     }
 
 
-def _compact_intermediates(b1) -> bool:
-    """Opt-in (VKRESAMPLE_STAGED_INTERMEDIATE=bf16) bf16 spectral
-    intermediates + single-pass bf16 stage matmuls with f32 accumulation:
-    at the big geometries the convs are ~60-70% HBM-bound, so halving
-    the inter-stage bytes is the remaining traffic lever.  REJECTED for
-    default use: measured ~2.5 u8 LSB deviation (158 Q2.14 units at
-    96x384, tests/test_staged.py) — the random walk of 2^-9 operand
-    roundings over K~128 contractions is ~1%, inherent to single-pass
-    bf16 at these sizes.  Kept for looser-tolerance bandwidth work."""
+def _intermediate_mode(b1):
+    """VKRESAMPLE_STAGED_INTERMEDIATE knob for the inter-stage spectral
+    buffers (the convs are ~60-70% HBM-bound at big geometries, so
+    halving the inter-stage bytes is the remaining traffic lever):
+
+    'bf16'      — bf16 intermediates AND single-pass bf16 stage matmuls
+                  with f32 accumulation.  REJECTED for default use:
+                  measured ~2.5 u8 LSB deviation (158 Q2.14 units at
+                  96x384, tests/test_staged.py) — the random walk of
+                  2^-9 operand roundings over K~128 contractions is ~1%,
+                  inherent to single-pass bf16 at these sizes.
+    'bf16store' — bf16 ONLY for the materialized intermediates; the
+                  stage matmuls keep the caller's precision (HIGH =
+                  bf16x3) on the upcast values.  Error is two storage
+                  roundings per element instead of a K-step random walk.
+                  ALSO REJECTED for default use: measured ~2.2-2.4 u8
+                  LSB (140 Q2.14 units at 96x384, 154 at 256x1024) vs
+                  full f32 — the spectral intermediates' dynamic range
+                  (DC-heavy bins feed every output element through the
+                  inverse stages) makes even pure storage rounding at
+                  2^-9 relative overshoot the 1-LSB gate.  Both modes
+                  stay for looser-tolerance bandwidth work.
+    """
     import os
 
-    return (
-        os.environ.get("VKRESAMPLE_STAGED_INTERMEDIATE") == "bf16"
-        and b1.dtype == jnp.float32
-    )
+    v = os.environ.get("VKRESAMPLE_STAGED_INTERMEDIATE")
+    if v in ("bf16", "bf16store") and b1.dtype == jnp.float32:
+        return v
+    return None
 
 
 def conv_apply_rows(x, banks: dict, prefix: str, precision=None, dc_add=None):
@@ -294,25 +308,34 @@ def conv_apply_rows(x, banks: dict, prefix: str, precision=None, dc_add=None):
     mb = banks[prefix + "m"]
     b3 = banks[prefix + "b3"]
     kw = {}
-    if _compact_intermediates(b1):
+    mode = _intermediate_mode(b1)
+    if mode == "bf16":
         cb = jnp.bfloat16
         b1, mb, b3 = b1.astype(cb), mb.astype(cb), b3.astype(cb)
         x = x.astype(cb)
         kw = dict(preferred_element_type=jnp.float32)
+
+    def _store(y):
+        # bf16 materialization between stages (converts fuse into the
+        # producer/consumer dots, so the HBM buffer itself is bf16)
+        if mode == "bf16":
+            return y.astype(jnp.bfloat16)
+        if mode == "bf16store":
+            return y.astype(jnp.bfloat16).astype(jnp.float32)
+        return y
+
     n2, n1 = b1.shape[0], mb.shape[2]  # mb's k2 dim is the half-spectrum
     L = x.shape[-1]
     lead = x.shape[:-2]
     x = x.reshape(lead + (n2, n1, L))
     # S1: contract t2 -> (..., 2, k2, t1, L)
     y = jnp.einsum("ajc,...abL->...jcbL", b1, x, precision=precision, **kw)
-    if kw:
-        y = y.astype(jnp.bfloat16)  # fused into the dot epilogue
+    y = _store(y)
     # S2: per-k2 2x2-block n1 matmul -> (..., 2, k2, t1', L)
     y = jnp.einsum("cjbkd,...jcbL->...kcdL", mb, y, precision=precision, **kw)
     if dc_add is not None:
         y = y.at[..., 0, 0, :, :].add(n2 * dc_add)
-    if kw:
-        y = y.astype(jnp.bfloat16)
+    y = _store(y)
     # S3: contract (re/im, k2) -> (..., t2', t1', L), real output
     y = jnp.einsum("kce,...kcdL->...edL", b3, y, precision=precision, **kw)
     return y.reshape(lead + (n2 * n1, L))
@@ -327,20 +350,27 @@ def conv_apply_lanes(x, banks: dict, prefix: str, precision=None):
     mb = banks[prefix + "m"]
     b3 = banks[prefix + "b3"]
     kw = {}
-    if _compact_intermediates(b1):
+    mode = _intermediate_mode(b1)
+    if mode == "bf16":
         cb = jnp.bfloat16
         b1, mb, b3 = b1.astype(cb), mb.astype(cb), b3.astype(cb)
         x = x.astype(cb)
         kw = dict(preferred_element_type=jnp.float32)
+
+    def _store(y):
+        if mode == "bf16":
+            return y.astype(jnp.bfloat16)
+        if mode == "bf16store":
+            return y.astype(jnp.bfloat16).astype(jnp.float32)
+        return y
+
     n2, n1 = b1.shape[0], mb.shape[2]  # mb's k2 dim is the half-spectrum
     lead = x.shape[:-1]
     x = x.reshape(lead + (n2, n1))
     y = jnp.einsum("ajc,...ab->...jcb", b1, x, precision=precision, **kw)
-    if kw:
-        y = y.astype(jnp.bfloat16)
+    y = _store(y)
     y = jnp.einsum("cjbkd,...jcb->...kcd", mb, y, precision=precision, **kw)
-    if kw:
-        y = y.astype(jnp.bfloat16)
+    y = _store(y)
     y = jnp.einsum("kce,...kcd->...ed", b3, y, precision=precision, **kw)
     return y.reshape(lead + (n2 * n1,))
 

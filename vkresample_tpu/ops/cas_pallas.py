@@ -1213,8 +1213,13 @@ def cas_parity4_planes_u2(
             nb = h // bt
             rows = bt + 2 * pad
             nsW = Wh // Wsb
+            # slot-resident is the default: bit-identical to the halo
+            # kernel (on-chip maxdiff 0) and ~5% faster at the big-tier
+            # production config (9.26 vs 9.75 ms, scripts/slots_ab.py);
+            # VKRESAMPLE_QUAD_STRIP=halo keeps the padded-window kernel
+            # for A/B
             slots = (
-                os.environ.get("VKRESAMPLE_QUAD_STRIP", "halo") == "slots"
+                os.environ.get("VKRESAMPLE_QUAD_STRIP", "slots") == "slots"
                 and nb >= 2
             )
             if slots:
@@ -1464,6 +1469,121 @@ def _grid_strip_kernel(
                     ]
 
 
+def _grid_strip_slots_kernel(
+    *refs,
+    u: int, sharpen: float, bt: int, h: int, nb: int, pad: int,
+    scale: float, Wh: int, Wsb: int, nsW: int,
+):
+    """Slot-resident variant of the grid strip kernel (same scheme as
+    `_quad_strip_slots_kernel`): bands are DMA'd WITHOUT row halos
+    (exactly bt rows each) into a 4-deep rotating buffer per plane, and
+    the one-row vertical halos come from the neighbor bands'
+    still-resident slots.  The grid sweeps bands vertically within each
+    column strip (ii fastest) so vertical neighbors occupy adjacent
+    slots; strip-edge slots hold garbage rows that coincide exactly with
+    the image top/bottom, where `_grid_planes`' gtop/gbot clamp masks
+    discard them.  The u^2-plane grid pays worse halo amplification than
+    the quad kernel (bt shrinks as n grows to fit VMEM), so removing the
+    2*pad-per-side windows matters more here."""
+    n = u * u
+    ins = refs[:n]
+    outs = refs[n : 2 * n]
+    scr = refs[2 * n : 3 * n]
+    sems = refs[3 * n]
+    g = pl.program_id(0)
+    strips = nsW > 1
+    Wsw = Wsb + 2 * _CHALO if strips else Wh
+
+    def window(gg):
+        cc = gg // (nb * nsW)
+        ss = (gg % (nb * nsW)) // nb
+        ii = gg % nb
+        if strips:
+            ws = pl.multiple_of(
+                jnp.clip(ss * Wsb - _CHALO, 0, Wh - Wsw), _CHALO
+            )
+        else:
+            ws = 0
+        return cc, ii, ss, ws
+
+    def dmas(gg, slot):
+        cc, ii, _, ws = window(gg)
+        ts = pl.multiple_of(ii * bt, pad)
+        if strips:
+            srcs = [
+                ins[j].at[cc, pl.ds(ts, bt), pl.ds(ws, Wsw)]
+                for j in range(n)
+            ]
+        else:
+            srcs = [ins[j].at[cc, pl.ds(ts, bt), :] for j in range(n)]
+        return [
+            pltpu.make_async_copy(srcs[j], scr[j].at[slot], sems.at[slot, j])
+            for j in range(n)
+        ]
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+        for dma in dmas(1, 1):  # nb >= 2 gates this variant: band 1 exists
+            dma.start()
+        for dma in dmas(0, 0):
+            dma.wait()
+
+    @pl.when(g + 2 < pl.num_programs(0))
+    def _():
+        for dma in dmas(g + 2, jax.lax.rem(g + 2, 4)):
+            dma.start()
+
+    @pl.when(jnp.logical_and(g > 0, g + 1 < pl.num_programs(0)))
+    def _():
+        for dma in dmas(g + 1, jax.lax.rem(g + 1, 4)):
+            dma.wait()
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(1, 1):
+            dma.wait()
+
+    _, ii, ss, ws = window(g)
+    sp = jax.lax.rem(g + 3, 4)  # prev band's slot ((g-1) % 4)
+    sc = jax.lax.rem(g, 4)
+    sn = jax.lax.rem(g + 1, 4)
+
+    def _tile(sref):
+        # (bt+2, Wsw): one halo row from each vertical neighbor's slot
+        return jnp.concatenate(
+            [
+                sref[sp, pl.ds(bt - 1, 1), :],
+                sref[sc],
+                sref[sn, pl.ds(0, 1), :],
+            ],
+            axis=0,
+        )
+
+    def _clip(t):
+        f = _to_f32(t)
+        if scale != 1.0:
+            f = f * jnp.float32(scale)
+        return jnp.minimum(jnp.abs(f), 1.0)
+
+    ts = ii * bt - 1  # global plane row of tile row 0 (only feeds the
+    # gtop/gbot iota masks; -1 at the top band never matches)
+    p = [
+        [_clip(_tile(scr[ry * u + rx])) for rx in range(u)]
+        for ry in range(u)
+    ]
+    out = _grid_planes(p, u, ts, h, sharpen, ws=ws, Wh=Wh)
+
+    coffset = ss * Wsb - ws
+    cos = (0, _CHALO, 2 * _CHALO) if strips else (0,)
+    for co in cos:
+        @pl.when(coffset == co)
+        def _(co=co):
+            for j in range(n):
+                outs[j][0] = out[j // u][j % u][1 : 1 + bt, co : co + Wsb]
+
+
 def cas_parity_grid_planes(
     planes, u: int, sharpen: float, interpret: bool = False,
 ):
@@ -1556,19 +1676,51 @@ def cas_parity_grid_planes(
         return _split(out)
 
     nb = h // bt
-    kern = functools.partial(
-        _grid_strip_kernel, u=u, sharpen=float(sharpen), bt=bt, h=h,
-        nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wp, Wsb=Wsb, nsW=nsW,
+    # default pending on-chip A/B (the quad slots kernel measured
+    # bit-exact and ~5% faster; the grid geometry should gain more —
+    # flip to "slots" once scripts/grid_slots_ab.py confirms)
+    slots = (
+        os.environ.get("VKRESAMPLE_GRID_STRIP", "halo") == "slots"
+        and nb >= 2
     )
-    ospec = pl.BlockSpec(
-        (1, bt, Wsb),
-        lambda g, nb=nb, nsW=nsW: (
-            g // (nb * nsW),
-            (g % (nb * nsW)) // nsW,
-            g % nsW,
-        ),
-        memory_space=pltpu.VMEM,
-    )
+    if slots:
+        # slot-resident bands (see _grid_strip_slots_kernel): the grid
+        # sweeps bands vertically within each column strip
+        kern = functools.partial(
+            _grid_strip_slots_kernel, u=u, sharpen=float(sharpen), bt=bt,
+            h=h, nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wp, Wsb=Wsb,
+            nsW=nsW,
+        )
+        ospec = pl.BlockSpec(
+            (1, bt, Wsb),
+            lambda g, nb=nb, nsW=nsW: (
+                g // (nb * nsW),
+                g % nb,
+                (g % (nb * nsW)) // nb,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        scratch = [pltpu.VMEM((4, bt, Wsw), dt)] * n + [
+            pltpu.SemaphoreType.DMA((4, n))
+        ]
+    else:
+        kern = functools.partial(
+            _grid_strip_kernel, u=u, sharpen=float(sharpen), bt=bt, h=h,
+            nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wp, Wsb=Wsb,
+            nsW=nsW,
+        )
+        ospec = pl.BlockSpec(
+            (1, bt, Wsb),
+            lambda g, nb=nb, nsW=nsW: (
+                g // (nb * nsW),
+                (g % (nb * nsW)) // nsW,
+                g % nsW,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        scratch = [pltpu.VMEM((2, bt + 2 * pad, Wsw), dt)] * n + [
+            pltpu.SemaphoreType.DMA((2, n))
+        ]
     outs = pl.pallas_call(
         kern,
         out_shape=tuple(
@@ -1577,8 +1729,7 @@ def cas_parity_grid_planes(
         grid=(C * nb * nsW,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,
         out_specs=(ospec,) * n,
-        scratch_shapes=[pltpu.VMEM((2, bt + 2 * pad, Wsw), dt)] * n
-        + [pltpu.SemaphoreType.DMA((2, n))],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*ps)
     return tuple(x.reshape(lead + (h, Wp)) for x in outs)
