@@ -1676,11 +1676,13 @@ def cas_parity_grid_planes(
         return _split(out)
 
     nb = h // bt
-    # default pending on-chip A/B (the quad slots kernel measured
-    # bit-exact and ~5% faster; the grid geometry should gain more —
-    # flip to "slots" once scripts/grid_slots_ab.py confirms)
+    # slot-resident is the default: on-chip bit-exact vs the halo kernel
+    # and 28% faster at the big u=3 geometry (9.47 vs 13.20 ms,
+    # scripts/grid_slots_ab.py — the u^2-plane VMEM budget shrinks bt,
+    # so the halo scheme's 2*pad rows-per-side cost more here than at
+    # u=2); VKRESAMPLE_GRID_STRIP=halo keeps the padded-window kernel
     slots = (
-        os.environ.get("VKRESAMPLE_GRID_STRIP", "halo") == "slots"
+        os.environ.get("VKRESAMPLE_GRID_STRIP", "slots") == "slots"
         and nb >= 2
     )
     if slots:
