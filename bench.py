@@ -158,6 +158,26 @@ def main() -> int:
             time_device(bfn, bx, aux=bbanks, k1=2, k2=8), 4
         )
 
+    if "--grid" in sys.argv[1:]:
+        # u=3 big grid tier (opt-in): 2048x4096 -> 6144x12288 3x half on
+        # the u-generic staged grid route (round-3; the pre-grid phases
+        # route measured ~6.6 s on this frame)
+        gplan = UpscalePlan(
+            h=2048, w=4096, upscale=3.0, precision=Precision.HALF,
+            sharpen=0.2, engine=Engine.AUTO,
+        )
+        geng = gplan.resolve_engine()
+        gbanks = make_device_banks(gplan, geng, planes=True)
+        gx = jax.device_put(
+            rng.integers(0, 256, size=(2048, 4096, 3), dtype=np.uint8)
+        )
+        gfn = functools.partial(
+            _pipeline, plan=gplan, engine=geng, planes_out=True
+        )
+        result["grid_u3_to_12288_ms"] = round(
+            time_device(gfn, gx, aux=gbanks, k1=2, k2=8), 4
+        )
+
     print(json.dumps(result))
     return 0
 

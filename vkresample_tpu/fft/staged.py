@@ -254,10 +254,17 @@ def conv_banks(
     b3 = np.stack(
         [np.real(w2i[:kh]) * pair_w, -np.imag(w2i[:kh]) * pair_w], axis=0
     )
+    # static per-stage magnitude bounds for the experimental i16
+    # intermediate codec: |S1| <= g1 * max|x| (worst-case L1 row norm of
+    # the S1 contraction), |S2| <= g1 * g2 * max|x|.  Tiny (2,) array so
+    # the bounds ride the banks dict through jit as scalars.
+    g1 = float(np.abs(b1).sum(axis=0).max())
+    g2 = float(np.abs(mb).sum(axis=(1, 2)).max())
     return {
         prefix + "b1": b1.astype(dtype),
         prefix + "m": mb.astype(dtype),
         prefix + "b3": b3.astype(dtype),
+        prefix + "qb": np.asarray([g1, g1 * g2], dtype),
     }
 
 
@@ -281,18 +288,39 @@ def _intermediate_mode(b1):
                   full f32 — the spectral intermediates' dynamic range
                   (DC-heavy bins feed every output element through the
                   inverse stages) makes even pure storage rounding at
-                  2^-9 relative overshoot the 1-LSB gate.  Both modes
-                  stay for looser-tolerance bandwidth work.
+                  2^-9 relative overshoot the 1-LSB gate.
+    'i16'       — int16 intermediates at a flat static scale
+                  (|S1|,|S2| <= n2 * max|x|, headroom via
+                  VKRESAMPLE_STAGED_I16_HEADROOM, default 512 per-unit
+                  input): ABSOLUTE resolution n2*headroom*2^-15, so the
+                  error does not follow the DC bins' magnitude the way
+                  bf16's relative rounding does — est ~0.1-0.3 u8 LSB
+                  through the sqrt(2*kh) inverse walk.  Experimental:
+                  bandwidth lever for the ~60-70% HBM-bound big convs.
+
+    All modes stay for looser-tolerance bandwidth work.
     """
     import os
 
     v = os.environ.get("VKRESAMPLE_STAGED_INTERMEDIATE")
-    if v in ("bf16", "bf16store") and b1.dtype == jnp.float32:
+    if v in ("bf16", "bf16store", "i16") and b1.dtype == jnp.float32:
         return v
     return None
 
 
-def conv_apply_rows(x, banks: dict, prefix: str, precision=None, dc_add=None):
+def _i16_store(y, bound):
+    """Quantize a spectral intermediate to int16 at the static worst-case
+    magnitude `bound` (a traced scalar from the banks' `qb` entries ×
+    the call site's input max) and dequantize — the materialized
+    inter-stage buffer becomes i16, the consumer sees f32."""
+    s = 32767.0 / bound.astype(jnp.float32)
+    q = jnp.clip(jnp.round(y * s), -32767.0, 32767.0).astype(jnp.int16)
+    return q.astype(jnp.float32) / s
+
+
+def conv_apply_rows(
+    x, banks: dict, prefix: str, precision=None, dc_add=None, in_max=None
+):
     """Staged circular convolution over axis -2 of a REAL array
     (..., n, L) -> (..., n, L).
 
@@ -314,14 +342,17 @@ def conv_apply_rows(x, banks: dict, prefix: str, precision=None, dc_add=None):
         b1, mb, b3 = b1.astype(cb), mb.astype(cb), b3.astype(cb)
         x = x.astype(cb)
         kw = dict(preferred_element_type=jnp.float32)
+    qb = banks.get(prefix + "qb") if in_max is not None else None
 
-    def _store(y):
-        # bf16 materialization between stages (converts fuse into the
-        # producer/consumer dots, so the HBM buffer itself is bf16)
+    def _store(y, stage):
+        # narrow materialization between stages (converts fuse into the
+        # producer/consumer dots, so the HBM buffer itself is narrow)
         if mode == "bf16":
             return y.astype(jnp.bfloat16)
         if mode == "bf16store":
             return y.astype(jnp.bfloat16).astype(jnp.float32)
+        if mode == "i16" and qb is not None:
+            return _i16_store(y, qb[stage] * jnp.float32(in_max))
         return y
 
     n2, n1 = b1.shape[0], mb.shape[2]  # mb's k2 dim is the half-spectrum
@@ -330,18 +361,18 @@ def conv_apply_rows(x, banks: dict, prefix: str, precision=None, dc_add=None):
     x = x.reshape(lead + (n2, n1, L))
     # S1: contract t2 -> (..., 2, k2, t1, L)
     y = jnp.einsum("ajc,...abL->...jcbL", b1, x, precision=precision, **kw)
-    y = _store(y)
+    y = _store(y, 0)
     # S2: per-k2 2x2-block n1 matmul -> (..., 2, k2, t1', L)
     y = jnp.einsum("cjbkd,...jcbL->...kcdL", mb, y, precision=precision, **kw)
     if dc_add is not None:
         y = y.at[..., 0, 0, :, :].add(n2 * dc_add)
-    y = _store(y)
+    y = _store(y, 1)
     # S3: contract (re/im, k2) -> (..., t2', t1', L), real output
     y = jnp.einsum("kce,...kcdL->...edL", b3, y, precision=precision, **kw)
     return y.reshape(lead + (n2 * n1, L))
 
 
-def conv_apply_lanes(x, banks: dict, prefix: str, precision=None):
+def conv_apply_lanes(x, banks: dict, prefix: str, precision=None, in_max=None):
     """Staged circular convolution over axis -1 of a REAL array
     (..., n) -> (..., n)."""
     if precision is None:
@@ -356,21 +387,24 @@ def conv_apply_lanes(x, banks: dict, prefix: str, precision=None):
         b1, mb, b3 = b1.astype(cb), mb.astype(cb), b3.astype(cb)
         x = x.astype(cb)
         kw = dict(preferred_element_type=jnp.float32)
+    qb = banks.get(prefix + "qb") if in_max is not None else None
 
-    def _store(y):
+    def _store(y, stage):
         if mode == "bf16":
             return y.astype(jnp.bfloat16)
         if mode == "bf16store":
             return y.astype(jnp.bfloat16).astype(jnp.float32)
+        if mode == "i16" and qb is not None:
+            return _i16_store(y, qb[stage] * jnp.float32(in_max))
         return y
 
     n2, n1 = b1.shape[0], mb.shape[2]  # mb's k2 dim is the half-spectrum
     lead = x.shape[:-1]
     x = x.reshape(lead + (n2, n1))
     y = jnp.einsum("ajc,...ab->...jcb", b1, x, precision=precision, **kw)
-    y = _store(y)
+    y = _store(y, 0)
     y = jnp.einsum("cjbkd,...jcb->...kcd", mb, y, precision=precision, **kw)
-    y = _store(y)
+    y = _store(y, 1)
     y = jnp.einsum("kce,...kcd->...ed", b3, y, precision=precision, **kw)
     return y.reshape(lead + (n2 * n1,))
 
@@ -479,8 +513,10 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
     h = x_raw.shape[-2]
     acc = banks["stx_b1"].dtype  # f32, or f64 for the DOUBLE mode
     xf = x_raw.astype(acc)
-    # P01 = x (x) psi_o: staged conv along lanes (/255 folded in)
-    P01 = conv_apply_lanes(xf, banks, "stx_", precision)
+    # P01 = x (x) psi_o: staged conv along lanes (/255 folded in).
+    # in_max feeds only the experimental i16 intermediate codec: the
+    # lanes input is RAW u8 (<= 255).
+    P01 = conv_apply_lanes(xf, banks, "stx_", precision, in_max=255.0)
     # P00 = x/255 - rank-1 x-Nyquist correction (exact samples).  The
     # colsum q runs in int32 on the RAW u8 image (exact: w*255 << 2^31):
     # an f32 colsum of xf de-additivizes the composed program by ~10 ms
@@ -551,11 +587,19 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
                 [jnp.broadcast_to(dc_e, P00m.shape[:-2] + dc_e.shape[-2:]),
                  jnp.broadcast_to(dc_o, P01m.shape[:-2] + dc_o.shape[-2:])]
             )
-        Pyt = conv_apply_rows(Pst, banks, "sty_", precision, dc_add=dc)
+        # in_max 2.0: the y conv consumes normalized [0,1] planes plus
+        # Gibbs overshoot (~1.1 typical; the i16 store clips beyond)
+        Pyt = conv_apply_rows(
+            Pst, banks, "sty_", precision, dc_add=dc, in_max=2.0
+        )
         P10, P11 = Pyt[0], Pyt[1]
     else:
-        P10 = conv_apply_rows(P00m, banks, "sty_", precision, dc_add=dc_e)
-        P11 = conv_apply_rows(P01m, banks, "sty_", precision, dc_add=dc_o)
+        P10 = conv_apply_rows(
+            P00m, banks, "sty_", precision, dc_add=dc_e, in_max=2.0
+        )
+        P11 = conv_apply_rows(
+            P01m, banks, "sty_", precision, dc_add=dc_o, in_max=2.0
+        )
     if post is not None:
         P10 = P10 + post * t2e
         P11 = P11 + post * t2o
