@@ -246,7 +246,9 @@ def test_staged_bf16_intermediates_runs_and_bounds(monkeypatch):
     x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
     codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
     base = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
-    for mode in ("bf16", "bf16store"):
+    for mode, lo, hi in (
+        ("bf16", 32, 512), ("bf16store", 32, 512), ("i16", 1, 64)
+    ):
         monkeypatch.setenv("VKRESAMPLE_STAGED_INTERMEDIATE", mode)
         got = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
         ds = [
@@ -254,9 +256,10 @@ def test_staged_bf16_intermediates_runs_and_bounds(monkeypatch):
             for a, b in zip(base, got)
         ]
         # P00 bypasses the convs (samples + rank-1) and stays exact; the
-        # conv-produced planes deviate, but boundedly (storage-only
-        # rounding is smaller: ~140 vs ~160 Q2.14 units at this size)
-        assert 0 < max(ds) <= 512, (mode, ds)
+        # conv-produced planes deviate, but boundedly (the i16 codec's
+        # absolute L1-bound scaling is ~7x tighter than bf16's relative
+        # rounding at this size: ~21 vs ~147 Q2.14 units)
+        assert lo <= max(ds) <= hi, (mode, ds)
 
 
 def _weave_grid(Ps, u, h, w, scale):

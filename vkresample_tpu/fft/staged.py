@@ -289,14 +289,17 @@ def _intermediate_mode(b1):
                   (DC-heavy bins feed every output element through the
                   inverse stages) makes even pure storage rounding at
                   2^-9 relative overshoot the 1-LSB gate.
-    'i16'       — int16 intermediates at a flat static scale
-                  (|S1|,|S2| <= n2 * max|x|, headroom via
-                  VKRESAMPLE_STAGED_I16_HEADROOM, default 512 per-unit
-                  input): ABSOLUTE resolution n2*headroom*2^-15, so the
-                  error does not follow the DC bins' magnitude the way
-                  bf16's relative rounding does — est ~0.1-0.3 u8 LSB
-                  through the sqrt(2*kh) inverse walk.  Experimental:
-                  bandwidth lever for the ~60-70% HBM-bound big convs.
+    'i16'       — int16 intermediates at static per-stage L1-norm
+                  bounds (the banks' `qb` entries × the call site's
+                  input max): ABSOLUTE resolution, so the error does
+                  not follow the DC bins' magnitude the way bf16's
+                  relative rounding does — measured 0.33-0.55 u8 LSB on
+                  CPU at small sizes.  REJECTED on speed: on-chip at
+                  8K→16K the transform is ~5% SLOWER (24.8 vs 23.7 ms)
+                  and the composed pipeline ~45% slower (33.4 vs 23.0)
+                  — the round/clip/cast traffic and the broken fusion
+                  cost far more than the halved inter-stage bytes
+                  (scripts/i16mid_ab.py).
 
     All modes stay for looser-tolerance bandwidth work.
     """

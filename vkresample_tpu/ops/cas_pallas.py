@@ -1006,9 +1006,11 @@ def _quad_strip_slots_kernel(
     rows at i16): band amplification (bt+2*pad)/bt -> (bt+2)/bt.
     Strip-edge slots hold garbage rows (previous strip / uninitialized),
     but those rows coincide exactly with the image top/bottom, where
-    _quad_planes' gtop/gbot clamp masks discard them."""
+    _quad_planes' gtop/gbot clamp masks discard them.  nsW == 1 runs
+    full-width tiles (no column halo) — the flagship regime."""
     g = pl.program_id(0)
-    Wsw = Wsb + 2 * _CHALO
+    strips = nsW > 1
+    Wsw = Wsb + 2 * _CHALO if strips else Wh
     ins = (p00_hbm, p01_hbm, p10_hbm, p11_hbm)
     scr = (s00, s01, s10, s11)
 
@@ -1016,18 +1018,26 @@ def _quad_strip_slots_kernel(
         cc = gg // (nb * nsW)
         ss = (gg % (nb * nsW)) // nb
         ii = gg % nb
-        ws = pl.multiple_of(jnp.clip(ss * Wsb - _CHALO, 0, Wh - Wsw), _CHALO)
+        if strips:
+            ws = pl.multiple_of(
+                jnp.clip(ss * Wsb - _CHALO, 0, Wh - Wsw), _CHALO
+            )
+        else:
+            ws = 0
         return cc, ii, ss, ws
 
     def dmas(gg, slot):
         cc, ii, _, ws = window(gg)
         ts = pl.multiple_of(ii * bt, pad)
+        if strips:
+            srcs = [
+                ins[j].at[cc, pl.ds(ts, bt), pl.ds(ws, Wsw)]
+                for j in range(4)
+            ]
+        else:
+            srcs = [ins[j].at[cc, pl.ds(ts, bt), :] for j in range(4)]
         return [
-            pltpu.make_async_copy(
-                ins[j].at[cc, pl.ds(ts, bt), pl.ds(ws, Wsw)],
-                scr[j].at[slot],
-                sems.at[slot, j],
-            )
+            pltpu.make_async_copy(srcs[j], scr[j].at[slot], sems.at[slot, j])
             for j in range(4)
         ]
 
@@ -1092,7 +1102,7 @@ def _quad_strip_slots_kernel(
     coffset = ss * Wsb - ws
     refs = (o00_ref, o01_ref, o10_ref, o11_ref)
 
-    for co in (0, _CHALO, 2 * _CHALO):
+    for co in (0, _CHALO, 2 * _CHALO) if strips else (0,):
         @pl.when(coffset == co)
         def _(co=co):
             for ref, (ry, rx) in zip(
@@ -1279,6 +1289,37 @@ def cas_parity4_planes_u2(
             *(p.reshape(lead + (h, Wh)) for p in planes),
             sharpen, block_rows=1, interpret=interpret,
         )
+
+    if (
+        os.environ.get("VKRESAMPLE_QUAD_STRIP", "slots") == "slots"
+        and nb >= 2
+    ):
+        # full-width slot-resident bands (nsW=1): the flagship-regime
+        # version of the same scheme — the halo kernel DMAs and computes
+        # (bt + 2*pad) rows per bt-row band (1.5x at bt=64/pad=16)
+        kern = functools.partial(
+            _quad_strip_slots_kernel, sharpen=float(sharpen), bt=bt, h=h,
+            nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh, Wsb=Wh,
+            nsW=1, tree_i16=_use_i16_tree(dt),
+        )
+        ospec = pl.BlockSpec(
+            (1, bt, Wh), lambda g, nb=nb: (g // nb, g % nb, 0),
+            memory_space=pltpu.VMEM,
+        )
+        outs = pl.pallas_call(
+            kern,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((C, h, Wh), jnp.uint8)
+                for _ in range(4)
+            ),
+            grid=(C * nb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=(ospec, ospec, ospec, ospec),
+            scratch_shapes=[pltpu.VMEM((4, bt, Wh), dt)] * 4
+            + [pltpu.SemaphoreType.DMA((4, 4))],
+            interpret=interpret,
+        )(*planes)
+        return tuple(x.reshape(lead + (h, Wh)) for x in outs)
 
     kern = functools.partial(
         _quad_kernel, sharpen=float(sharpen), bt=bt, h=h, nb=nb, pad=pad,
