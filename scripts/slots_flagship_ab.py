@@ -40,9 +40,10 @@ pipe = functools.partial(_pipeline, plan=plan, engine=Engine.MXU, planes_out=Tru
 base = None
 for name, env in [
     ("halo  bt64 (old default)", {"VKRESAMPLE_QUAD_STRIP": "halo"}),
-    ("slots bt64", {}),
-    ("slots bt32", {"VKRESAMPLE_QUAD_BLOCK": "32"}),
-    ("slots bt128", {"VKRESAMPLE_QUAD_BLOCK": "128"}),
+    ("slots default (bt=32)", {}),
+    ("slots bt16", {"VKRESAMPLE_QUAD_BLOCK": "16"}),
+    ("slots bt48", {"VKRESAMPLE_QUAD_BLOCK": "48"}),
+    ("slots bt64", {"VKRESAMPLE_QUAD_BLOCK": "64"}),
 ]:
     def run(xx, aux):
         return cas_parity4_planes_u2(xx, *aux, 0.2)

@@ -68,6 +68,26 @@ def test_rows_fused_kernel_matches_oracle():
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, (u, h, w)
 
 
+def test_rows_slots_variant_matches_halo(monkeypatch):
+    """The slot-resident rows kernel (default) is bit-identical to the
+    aligned-halo one for u=2 and u=3, including image top/bottom rows
+    (masked clamp vs window-clip clamp — same border math)."""
+    from vkresample_tpu.ops.cas_pallas import cas_quantize_rows_u
+
+    rng = np.random.default_rng(55)
+    for u, h, w in [(2, 64, 128), (3, 48, 128)]:
+        U = jnp.asarray(rng.random((2, h, w), np.float32) * 1.2 - 0.1)
+        O = jnp.asarray(
+            rng.random((2, h * (u - 1), w), np.float32) * 1.2 - 0.1
+        )
+        monkeypatch.setenv("VKRESAMPLE_ROWS_KERNEL", "halo")
+        halo = cas_quantize_rows_u(U, O, u, 0.2, block_rows=16, interpret=True)
+        monkeypatch.setenv("VKRESAMPLE_ROWS_KERNEL", "slots")
+        slots = cas_quantize_rows_u(U, O, u, 0.2, block_rows=16, interpret=True)
+        monkeypatch.delenv("VKRESAMPLE_ROWS_KERNEL")
+        np.testing.assert_array_equal(np.asarray(halo), np.asarray(slots))
+
+
 def test_parity_fused_kernel_matches_oracle():
     import jax
 

@@ -83,12 +83,22 @@ def _in_scale_for(dtype) -> float:
     return (1.0 / 16384.0) if dtype == jnp.int16 else 1.0
 
 
-def _cas_band(band: jnp.ndarray, sharpen: float, scale: float = 1.0) -> jnp.ndarray:
+def _cas_band(
+    band: jnp.ndarray, sharpen: float, scale: float = 1.0, ts=None,
+    Himg: int = None,
+) -> jnp.ndarray:
     """(R, W) float -> (R, W) 0..255 f32 CAS output; rows [1, R-1) valid.
 
     Temporary count is kept low (VMEM pressure): x-extremes are folded
     before taking y-shifts, so corner mins/maxes derive from two arrays
     instead of eight.
+
+    Without ts, the image top/bottom clamp comes from the caller's
+    window clipping (edge bands re-cover in-range rows, so the
+    _yshift edge duplication IS the border clamp).  With (ts, Himg)
+    given — slot-resident callers whose edge-band halo rows hold
+    garbage — row r is global image row ts + r and the y-shifts are
+    masked at the true image border instead.
     """
     W = band.shape[1]
     f = _to_f32(band)
@@ -103,17 +113,22 @@ def _cas_band(band: jnp.ndarray, sharpen: float, scale: float = 1.0) -> jnp.ndar
     wpe = west + east  # for the cross sum later
     del west, east
 
-    n = _yshift_up(ln)
-    s = _yshift_dn(ln)
+    if ts is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, (band.shape[0], 1), 0)
+        gtop = (row + ts) == 0
+        gbot = (row + ts) == Himg - 1
+        up = lambda a: jnp.where(gtop, a, _yshift_up(a))
+        dn = lambda a: jnp.where(gbot, a, _yshift_dn(a))
+    else:
+        up, dn = _yshift_up, _yshift_dn
+
+    n = up(ln)
+    s = dn(ln)
     min_cross = jnp.minimum(jnp.minimum(n, s), jnp.minimum(ln, xmin))
     max_cross = jnp.maximum(jnp.maximum(n, s), jnp.maximum(ln, xmax))
     # corners = y-shifts of the x-extremes
-    min_all = jnp.minimum(
-        min_cross, jnp.minimum(_yshift_up(xmin), _yshift_dn(xmin))
-    )
-    max_all = jnp.maximum(
-        max_cross, jnp.maximum(_yshift_up(xmax), _yshift_dn(xmax))
-    )
+    min_all = jnp.minimum(min_cross, jnp.minimum(up(xmin), dn(xmin)))
+    max_all = jnp.maximum(max_cross, jnp.maximum(up(xmax), dn(xmax)))
     c = ln
 
     minlen = 0.5 * (min_cross + min_all)
@@ -280,6 +295,87 @@ def _rows_kernel(
     _store(2 * _PAD)
 
 
+def _rows_slots_kernel(
+    u_hbm, o_hbm, out_ref, scu, sco, sems, *, sharpen: float, bt: int,
+    h: int, u: int, nb: int
+):
+    """Slot-resident variant of _rows_kernel: U/O bands are DMA'd WITHOUT
+    row halos (exactly bt / bt*(u-1) rows) into 4-deep rotating buffers;
+    the one-row woven halos come from the neighbor bands' still-resident
+    slots (north = prev band's last O row, south = next band's first U
+    row).  Band-edge garbage coincides with the image top/bottom, where
+    _cas_band's (ts, Himg) masks clamp."""
+    g = pl.program_id(0)
+    i = g % nb
+
+    def dmas(gg, slot):
+        cc = gg // nb
+        ii = gg % nb
+        ts = pl.multiple_of(ii * bt, _PAD)
+        to = pl.multiple_of(ts * (u - 1), _PAD)
+        return [
+            pltpu.make_async_copy(
+                u_hbm.at[cc, pl.ds(ts, bt), :], scu.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                o_hbm.at[cc, pl.ds(to, bt * (u - 1)), :], sco.at[slot],
+                sems.at[slot, 1],
+            ),
+        ]
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+        for dma in dmas(1, 1):  # nb >= 2 gates this variant
+            dma.start()
+        for dma in dmas(0, 0):
+            dma.wait()
+
+    @pl.when(g + 2 < pl.num_programs(0))
+    def _():
+        for dma in dmas(g + 2, jax.lax.rem(g + 2, 4)):
+            dma.start()
+
+    @pl.when(jnp.logical_and(g > 0, g + 1 < pl.num_programs(0)))
+    def _():
+        for dma in dmas(g + 1, jax.lax.rem(g + 1, 4)):
+            dma.wait()
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(1, 1):
+            dma.wait()
+
+    sp = jax.lax.rem(g + 3, 4)  # prev band's slot ((g-1) % 4)
+    sc = jax.lax.rem(g, 4)
+    sn = jax.lax.rem(g + 1, 4)
+
+    W = scu.shape[-1]
+    # y-weave: (bt, u, W) -> (bt*u, W)  [sublane interleave], then one
+    # woven halo row from each vertical neighbor's slot
+    ut = scu[sc]  # (bt, W)
+    ot = sco[sc].reshape(bt, u - 1, W)
+    band = jnp.concatenate(
+        [
+            sco[sp, pl.ds(bt * (u - 1) - 1, 1), :],
+            jnp.concatenate([ut[:, None, :], ot], axis=1).reshape(
+                bt * u, W
+            ),
+            scu[sn, pl.ds(0, 1), :],
+        ],
+        axis=0,
+    )
+
+    ts = i * bt * u - 1  # global woven row of band row 0 (-1 at the top
+    # band never matches the gtop mask)
+    out = _cas_band(band, sharpen, ts=ts, Himg=u * h)
+    out_ref[0] = (
+        out[1 : 1 + bt * u, :].astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
 def cas_quantize_rows_u(
     U, O, u: int, sharpen: float, block_rows: int = None, interpret: bool = False
 ):
@@ -308,9 +404,33 @@ def cas_quantize_rows_u(
 
     nb = h // bt
     rows = bt + 2 * _PAD
-    kern = functools.partial(
-        _rows_kernel, sharpen=float(sharpen), bt=bt, h=h, u=u, nb=nb
-    )
+    import os
+
+    if (
+        os.environ.get("VKRESAMPLE_ROWS_KERNEL", "slots") == "slots"
+        and nb >= 2
+    ):
+        # slot-resident bands (same scheme as the quad/grid slots
+        # kernels): exact-height U/O DMAs, woven halos from neighbor
+        # slots, image edges clamped by _cas_band's (ts, Himg) masks
+        kern = functools.partial(
+            _rows_slots_kernel, sharpen=float(sharpen), bt=bt, h=h, u=u,
+            nb=nb,
+        )
+        scratch = [
+            pltpu.VMEM((4, bt, W), jnp.float32),
+            pltpu.VMEM((4, bt * (u - 1), W), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 2)),
+        ]
+    else:
+        kern = functools.partial(
+            _rows_kernel, sharpen=float(sharpen), bt=bt, h=h, u=u, nb=nb
+        )
+        scratch = [
+            pltpu.VMEM((2, rows, W), jnp.float32),
+            pltpu.VMEM((2, rows * (u - 1), W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
@@ -321,11 +441,7 @@ def cas_quantize_rows_u(
             lambda g, nb=nb: (g // nb, g % nb, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, rows, W), jnp.float32),
-            pltpu.VMEM((2, rows * (u - 1), W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(U, O).reshape(lead + (H, W))
 
@@ -1154,7 +1270,8 @@ def cas_parity4_planes_u2(
             outs[ry][rx].reshape(lead + (h, Wh))
             for ry, rx in ((0, 0), (0, 1), (1, 0), (1, 1))
         )
-    if block_rows is None:
+    default_block = block_rows is None
+    if default_block:
         from ..core.tuning import current
 
         block_rows = current().quad_block
@@ -1217,8 +1334,11 @@ def cas_parity4_planes_u2(
         # bt=128 with wsb=1024 (rows=160): halo amplification 1.56x vs
         # 2.25x at the round-2 bt32/wsb2048 — 10.7 vs 16.4 ms at the
         # 8K->16K plane geometry, bit-identical (scripts/big_cas_ab.py;
-        # bt128/wsb2048 and bt256 blow VMEM, XLA full-array is 78 ms)
-        bt = _fit_block(bt_req or min(bt * 2, 128), h, pad)
+        # bt128/wsb2048 and bt256 blow VMEM, XLA full-array is 78 ms).
+        # The strip default derives from the tuned quad_block, not the
+        # (possibly slots-halved) full-width bt.
+        strip_default = min(current().quad_block * 2, 128)
+        bt = _fit_block(bt_req or strip_default, h, pad)
         if Wsb >= _CHALO and Wh >= Wsb + 2 * _CHALO and bt >= pad:
             nb = h // bt
             rows = bt + 2 * pad
@@ -1296,7 +1416,22 @@ def cas_parity4_planes_u2(
     ):
         # full-width slot-resident bands (nsW=1): the flagship-regime
         # version of the same scheme — the halo kernel DMAs and computes
-        # (bt + 2*pad) rows per bt-row band (1.5x at bt=64/pad=16)
+        # (bt + 2*pad) rows per bt-row band (1.5x at bt=64/pad=16).
+        # Freed from the halo tax, shorter bands win (deeper DMA/compute
+        # overlap): flagship CAS 0.29 (bt=32) vs 0.51 (bt=64) vs 0.72
+        # (halo bt=64), pipeline 1.262 vs 1.459, bit-exact
+        # (scripts/slots_flagship_ab.py; bt=128 blows VMEM).
+        # VKRESAMPLE_QUAD_FW_BT overrides for A/B.
+        try:
+            fw_bt = int(os.environ.get("VKRESAMPLE_QUAD_FW_BT", "0"))
+        except ValueError:
+            fw_bt = 0
+        if fw_bt:
+            bt = _fit_block(fw_bt, h, pad)
+            nb = h // bt
+        elif default_block and bt > pad:
+            bt = _fit_block(max(pad, bt // 2), h, pad)
+            nb = h // bt
         kern = functools.partial(
             _quad_strip_slots_kernel, sharpen=float(sharpen), bt=bt, h=h,
             nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh, Wsb=Wh,
