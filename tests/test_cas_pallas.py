@@ -68,6 +68,24 @@ def test_rows_fused_kernel_matches_oracle():
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, (u, h, w)
 
 
+def test_cas_slots_variant_matches_halo(monkeypatch):
+    """The slot-resident full-array kernel (default) is bit-identical to
+    the aligned-halo one, in f32 and i16, including image edge bands."""
+    from vkresample_tpu.ops.cas import to_i16_storage
+    from vkresample_tpu.ops.cas_pallas import cas_quantize_pallas
+
+    rng = np.random.default_rng(56)
+    base = jnp.asarray(rng.random((2, 96, 128), np.float32) * 1.2 - 0.1)
+    for conv in (lambda v: v, to_i16_storage):
+        v = conv(base)
+        monkeypatch.setenv("VKRESAMPLE_CAS_KERNEL", "halo")
+        halo = cas_quantize_pallas(v, 0.2, block_rows=16, interpret=True)
+        monkeypatch.setenv("VKRESAMPLE_CAS_KERNEL", "slots")
+        slots = cas_quantize_pallas(v, 0.2, block_rows=16, interpret=True)
+        monkeypatch.delenv("VKRESAMPLE_CAS_KERNEL")
+        np.testing.assert_array_equal(np.asarray(halo), np.asarray(slots))
+
+
 def test_rows_slots_variant_matches_halo(monkeypatch):
     """The slot-resident rows kernel (default) is bit-identical to the
     aligned-halo one for u=2 and u=3, including image top/bottom rows

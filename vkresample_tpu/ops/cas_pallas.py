@@ -214,6 +214,60 @@ def _cas_kernel(
     _store(2 * pad)
 
 
+def _cas_slots_kernel(
+    v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int,
+    nb: int, scale: float
+):
+    """Slot-resident variant of _cas_kernel: bands are DMA'd WITHOUT row
+    halos (exactly bh rows) into a 4-deep rotating buffer; the one-row
+    halos come from the neighbor bands' still-resident slots, and the
+    image top/bottom clamp comes from _cas_band's (ts, Himg) masks
+    (band-edge garbage rows coincide with the border)."""
+    g = pl.program_id(0)
+    i = g % nb
+
+    def dma(gg, slot):
+        cc = gg // nb
+        ii = gg % nb
+        ts = pl.multiple_of(ii * bh, _pad_for(scratch.dtype))
+        return pltpu.make_async_copy(
+            v_hbm.at[cc, pl.ds(ts, bh), :], scratch.at[slot], sem.at[slot]
+        )
+
+    @pl.when(g == 0)
+    def _():
+        dma(0, 0).start()
+        dma(1, 1).start()  # nb >= 2 gates this variant
+        dma(0, 0).wait()
+
+    @pl.when(g + 2 < pl.num_programs(0))
+    def _():
+        dma(g + 2, jax.lax.rem(g + 2, 4)).start()
+
+    @pl.when(jnp.logical_and(g > 0, g + 1 < pl.num_programs(0)))
+    def _():
+        dma(g + 1, jax.lax.rem(g + 1, 4)).wait()
+
+    @pl.when(g == 0)
+    def _():
+        dma(1, 1).wait()
+
+    sp = jax.lax.rem(g + 3, 4)
+    sc = jax.lax.rem(g, 4)
+    sn = jax.lax.rem(g + 1, 4)
+    band = jnp.concatenate(
+        [
+            scratch[sp, pl.ds(bh - 1, 1), :],
+            scratch[sc],
+            scratch[sn, pl.ds(0, 1), :],
+        ],
+        axis=0,
+    )
+    ts = i * bh - 1  # global image row of band row 0
+    out = _cas_band(band, sharpen, scale, ts=ts, Himg=H)
+    out_ref[0] = out[1 : 1 + bh, :].astype(jnp.int32).astype(jnp.uint8)
+
+
 def _rows_kernel(
     u_hbm, o_hbm, out_ref, scu, sco, sems, *, sharpen: float, bt: int,
     h: int, u: int, nb: int
@@ -478,10 +532,29 @@ def cas_quantize_pallas(
         ).reshape(lead + (H, W))
 
     nb = H // bh
-    kern = functools.partial(
-        _cas_kernel, sharpen=float(sharpen), bh=bh, H=H, nb=nb,
-        scale=_in_scale_for(v.dtype),
-    )
+    import os
+
+    if (
+        os.environ.get("VKRESAMPLE_CAS_KERNEL", "slots") == "slots"
+        and nb >= 2
+    ):
+        kern = functools.partial(
+            _cas_slots_kernel, sharpen=float(sharpen), bh=bh, H=H, nb=nb,
+            scale=_in_scale_for(v.dtype),
+        )
+        scratch = [
+            pltpu.VMEM((4, bh, W), v.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
+    else:
+        kern = functools.partial(
+            _cas_kernel, sharpen=float(sharpen), bh=bh, H=H, nb=nb,
+            scale=_in_scale_for(v.dtype),
+        )
+        scratch = [
+            pltpu.VMEM((2, bh + 2 * pad, W), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.uint8),
@@ -492,10 +565,7 @@ def cas_quantize_pallas(
             lambda g, nb=nb: (g // nb, g % nb, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, bh + 2 * pad, W), v.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(v).reshape(lead + (H, W))
 
