@@ -214,6 +214,41 @@ def _cas_kernel(
     _store(2 * pad)
 
 
+def _slot_schedule(g, dmas):
+    """Shared DMA rotation for the slot-resident kernels: a 4-deep slot
+    buffer where program g computes on bands {g-1, g, g+1} while band
+    g+2's DMA is in flight.  `dmas(gg, slot)` returns the copy list for
+    band gg into slot `slot`.  Requires the grid to sweep bands
+    vertically fastest and nb >= 2 (band 1 exists).  Returns the
+    (prev, current, next) slot indices for program g."""
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+        for dma in dmas(1, 1):
+            dma.start()
+        for dma in dmas(0, 0):
+            dma.wait()
+
+    @pl.when(g + 2 < pl.num_programs(0))
+    def _():
+        for dma in dmas(g + 2, jax.lax.rem(g + 2, 4)):
+            dma.start()
+
+    @pl.when(jnp.logical_and(g > 0, g + 1 < pl.num_programs(0)))
+    def _():
+        for dma in dmas(g + 1, jax.lax.rem(g + 1, 4)):
+            dma.wait()
+
+    @pl.when(g == 0)
+    def _():
+        for dma in dmas(1, 1):
+            dma.wait()
+
+    return jax.lax.rem(g + 3, 4), jax.lax.rem(g, 4), jax.lax.rem(g + 1, 4)
+
+
 def _cas_slots_kernel(
     v_hbm, out_ref, scratch, sem, *, sharpen: float, bh: int, H: int,
     nb: int, scale: float
@@ -226,35 +261,18 @@ def _cas_slots_kernel(
     g = pl.program_id(0)
     i = g % nb
 
-    def dma(gg, slot):
+    def dmas(gg, slot):
         cc = gg // nb
         ii = gg % nb
         ts = pl.multiple_of(ii * bh, _pad_for(scratch.dtype))
-        return pltpu.make_async_copy(
-            v_hbm.at[cc, pl.ds(ts, bh), :], scratch.at[slot], sem.at[slot]
-        )
+        return [
+            pltpu.make_async_copy(
+                v_hbm.at[cc, pl.ds(ts, bh), :], scratch.at[slot],
+                sem.at[slot],
+            )
+        ]
 
-    @pl.when(g == 0)
-    def _():
-        dma(0, 0).start()
-        dma(1, 1).start()  # nb >= 2 gates this variant
-        dma(0, 0).wait()
-
-    @pl.when(g + 2 < pl.num_programs(0))
-    def _():
-        dma(g + 2, jax.lax.rem(g + 2, 4)).start()
-
-    @pl.when(jnp.logical_and(g > 0, g + 1 < pl.num_programs(0)))
-    def _():
-        dma(g + 1, jax.lax.rem(g + 1, 4)).wait()
-
-    @pl.when(g == 0)
-    def _():
-        dma(1, 1).wait()
-
-    sp = jax.lax.rem(g + 3, 4)
-    sc = jax.lax.rem(g, 4)
-    sn = jax.lax.rem(g + 1, 4)
+    sp, sc, sn = _slot_schedule(g, dmas)
     band = jnp.concatenate(
         [
             scratch[sp, pl.ds(bh - 1, 1), :],
@@ -378,33 +396,7 @@ def _rows_slots_kernel(
             ),
         ]
 
-    @pl.when(g == 0)
-    def _():
-        for dma in dmas(0, 0):
-            dma.start()
-        for dma in dmas(1, 1):  # nb >= 2 gates this variant
-            dma.start()
-        for dma in dmas(0, 0):
-            dma.wait()
-
-    @pl.when(g + 2 < pl.num_programs(0))
-    def _():
-        for dma in dmas(g + 2, jax.lax.rem(g + 2, 4)):
-            dma.start()
-
-    @pl.when(jnp.logical_and(g > 0, g + 1 < pl.num_programs(0)))
-    def _():
-        for dma in dmas(g + 1, jax.lax.rem(g + 1, 4)):
-            dma.wait()
-
-    @pl.when(g == 0)
-    def _():
-        for dma in dmas(1, 1):
-            dma.wait()
-
-    sp = jax.lax.rem(g + 3, 4)  # prev band's slot ((g-1) % 4)
-    sc = jax.lax.rem(g, 4)
-    sn = jax.lax.rem(g + 1, 4)
+    sp, sc, sn = _slot_schedule(g, dmas)
 
     W = scu.shape[-1]
     # y-weave: (bt, u, W) -> (bt*u, W)  [sublane interleave], then one
@@ -1227,34 +1219,8 @@ def _quad_strip_slots_kernel(
             for j in range(4)
         ]
 
-    @pl.when(g == 0)
-    def _():
-        for dma in dmas(0, 0):
-            dma.start()
-        for dma in dmas(1, 1):  # nb >= 2 gates this variant: band 1 exists
-            dma.start()
-        for dma in dmas(0, 0):
-            dma.wait()
-
-    @pl.when(g + 2 < pl.num_programs(0))
-    def _():
-        for dma in dmas(g + 2, jax.lax.rem(g + 2, 4)):
-            dma.start()
-
-    @pl.when(jnp.logical_and(g > 0, g + 1 < pl.num_programs(0)))
-    def _():
-        for dma in dmas(g + 1, jax.lax.rem(g + 1, 4)):
-            dma.wait()
-
-    @pl.when(g == 0)
-    def _():
-        for dma in dmas(1, 1):
-            dma.wait()
-
+    sp, sc, sn = _slot_schedule(g, dmas)
     _, ii, ss, ws = window(g)
-    sp = jax.lax.rem(g + 3, 4)  # prev band's slot ((g-1) % 4)
-    sc = jax.lax.rem(g, 4)
-    sn = jax.lax.rem(g + 1, 4)
 
     def _tile(sref):
         # (bt+2, Wsw): one halo row from each vertical neighbor's slot
@@ -1767,34 +1733,8 @@ def _grid_strip_slots_kernel(
             for j in range(n)
         ]
 
-    @pl.when(g == 0)
-    def _():
-        for dma in dmas(0, 0):
-            dma.start()
-        for dma in dmas(1, 1):  # nb >= 2 gates this variant: band 1 exists
-            dma.start()
-        for dma in dmas(0, 0):
-            dma.wait()
-
-    @pl.when(g + 2 < pl.num_programs(0))
-    def _():
-        for dma in dmas(g + 2, jax.lax.rem(g + 2, 4)):
-            dma.start()
-
-    @pl.when(jnp.logical_and(g > 0, g + 1 < pl.num_programs(0)))
-    def _():
-        for dma in dmas(g + 1, jax.lax.rem(g + 1, 4)):
-            dma.wait()
-
-    @pl.when(g == 0)
-    def _():
-        for dma in dmas(1, 1):
-            dma.wait()
-
+    sp, sc, sn = _slot_schedule(g, dmas)
     _, ii, ss, ws = window(g)
-    sp = jax.lax.rem(g + 3, 4)  # prev band's slot ((g-1) % 4)
-    sc = jax.lax.rem(g, 4)
-    sn = jax.lax.rem(g + 1, 4)
 
     def _tile(sref):
         # (bt+2, Wsw): one halo row from each vertical neighbor's slot
