@@ -158,6 +158,46 @@ def main() -> int:
             time_device(bfn, bx, aux=bbanks, k1=2, k2=8), 4
         )
 
+    if "--bigfrac" in sys.argv[1:]:
+        # fractional big tier (opt-in): 4608x6144 -u 1.5 -> 6912x9216 on
+        # the decimated staged grid route (round-3; previously fell to
+        # the big-spectrum route, which does not survive >8K)
+        fplan = UpscalePlan(
+            h=4608, w=6144, upscale=1.5, precision=Precision.HALF,
+            sharpen=0.2, engine=Engine.AUTO,
+        )
+        feng = fplan.resolve_engine()
+        fbanks = make_device_banks(fplan, feng, planes=True)
+        fx = jax.device_put(
+            rng.integers(0, 256, size=(4608, 6144, 3), dtype=np.uint8)
+        )
+        ffn = functools.partial(
+            _pipeline, plan=fplan, engine=feng, planes_out=True
+        )
+        result["bigfrac_u1_5_to_9216_ms"] = round(
+            time_device(ffn, fx, aux=fbanks, k1=2, k2=8), 4
+        )
+
+    if "--bigc2c" in sys.argv[1:]:
+        # c2c big tier (opt-in): 4096x8192 -c2c 2x half on the complex
+        # staged grid route (round-3; previously the ~3x slower phases
+        # route)
+        cplan = UpscalePlan(
+            h=4096, w=8192, upscale=2.0, precision=Precision.HALF,
+            sharpen=0.2, r2c=False, engine=Engine.AUTO,
+        )
+        ceng = cplan.resolve_engine()
+        cbanks = make_device_banks(cplan, ceng, planes=True)
+        cx = jax.device_put(
+            rng.integers(0, 256, size=(4096, 8192, 3), dtype=np.uint8)
+        )
+        cfn = functools.partial(
+            _pipeline, plan=cplan, engine=ceng, planes_out=True
+        )
+        result["bigc2c_8k_to_16k_ms"] = round(
+            time_device(cfn, cx, aux=cbanks, k1=2, k2=8), 4
+        )
+
     if "--grid" in sys.argv[1:]:
         # u=3 big grid tier (opt-in): 2048x4096 -> 6144x12288 3x half on
         # the u-generic staged grid route (round-3; the pre-grid phases

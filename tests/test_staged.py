@@ -247,7 +247,12 @@ def test_staged_bf16_intermediates_runs_and_bounds(monkeypatch):
     codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
     base = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
     for mode, lo, hi in (
-        ("bf16", 32, 512), ("bf16store", 32, 512), ("i16", 1, 64)
+        ("bf16", 32, 512), ("bf16store", 32, 512), ("i16", 1, 64),
+        # centered bf16 (exact DC-gain add-back): measurably better than
+        # bf16store (101 vs 140 units here) but still ~4 u8 LSB e2e on
+        # flat-spectrum inputs — a single 2^-9 relative rounding of a
+        # ~sqrt(n2)*sigma-sized bin is already ~1 u8; REJECTED as default
+        ("bf16c", 32, 512),
     ):
         monkeypatch.setenv("VKRESAMPLE_STAGED_INTERMEDIATE", mode)
         got = staged.r2c_quad_staged(x_raw, banks, HIGHEST, **codec)
@@ -429,3 +434,250 @@ def test_pipeline_grid_banks_route(monkeypatch):
     x = jnp.moveaxis(jnp.asarray(img, jnp.float32) / 255.0, -1, -3)
     v = mxu_pipeline.upscale_precas_mxu(x, plan, banks)
     assert np.abs(np.asarray(v, np.float64) - _precas_oracle(img, plan)).max() < 2e-3
+
+
+def test_decimated_conv_matches_strided_circulant():
+    """conv_banks(decimate=q) == full circulant conv sampled at stride q
+    (the fractional tier's output lattice)."""
+    rng = np.random.default_rng(11)
+    n, q = 48, 2
+    kernel = rng.standard_normal(n)
+    banks = {
+        k: jnp.asarray(v)
+        for k, v in staged.conv_banks(kernel, "t_", n1=8, decimate=q).items()
+    }
+    x = rng.standard_normal((2, 3, n))
+    out = staged.conv_apply_lanes(jnp.asarray(x), banks, "t_", HIGHEST)
+    want = _circulant_ref(kernel, x)[..., ::q]
+    assert out.shape == want.shape
+    assert np.abs(np.asarray(out) - want).max() < 1e-4
+    xr = np.moveaxis(x, -1, -2)
+    out = staged.conv_apply_rows(jnp.asarray(xr), banks, "t_", HIGHEST)
+    want_r = np.moveaxis(want, -1, -2)
+    assert np.abs(np.asarray(out) - want_r).max() < 1e-4
+
+
+@pytest.mark.parametrize(
+    "h,w,u", [(64, 256, 1.5), (32, 512, 1.25), (64, 256, 2.5)]
+)
+def test_frac_staged_matches_oracle(h, w, u):
+    """Fractional-factor staged grid transform (u = p/q: p^2 phase planes
+    of size (h/q, w/q), stride-q decimation folded into the banks) vs the
+    oracle, with the i16 storage codec active."""
+    plan = UpscalePlan(
+        h=h, w=w, upscale=u, precision=Precision.HALF, engine=Engine.MXU
+    )
+    p, q = staged.frac_params(plan)
+    assert staged.grid_supported(plan)
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    banks = {
+        k: jnp.asarray(v)
+        for k, v in staged.r2c_grid_staged_banks(plan).items()
+    }
+    assert staged.grid_u(banks) == p
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+    Ps = staged.r2c_grid_staged(x_raw, banks, HIGHEST, **codec)
+    assert len(Ps) == p * p
+    assert Ps[0].shape[-2:] == (h // q, w // q)
+    got = _weave_grid(Ps, p, h // q, w // q, 1.0 / 16384.0)
+    assert np.abs(got - _precas_oracle(img, plan)).max() < 2e-3
+
+
+def test_frac_params_rejects_inexact_and_misaligned():
+    # non-dyadic float: astronomical exact denominator, rejected
+    plan = UpscalePlan(
+        h=60, w=640, upscale=1.2, precision=Precision.HALF, engine=Engine.XLA
+    )
+    assert staged.frac_params(plan) is None
+    # dyadic but (w // q) % 128 != 0
+    plan = UpscalePlan(
+        h=96, w=384, upscale=1.5, precision=Precision.HALF, engine=Engine.XLA
+    )
+    assert staged.frac_params(plan) is None
+    # integer factors are not "fractional"
+    plan = UpscalePlan(
+        h=64, w=256, upscale=2.0, precision=Precision.HALF, engine=Engine.XLA
+    )
+    assert staged.frac_params(plan) is None
+
+
+def test_pipeline_frac_banks_route(monkeypatch):
+    """Fractional big-tier routing e2e: make_dense_banks returns grid
+    banks with decimation, planes_format reports 'grid', the p^2 plane
+    output matches the oracle, and the woven caller agrees."""
+    import functools
+
+    from vkresample_tpu.fft import mxu_pipeline
+    from vkresample_tpu.io.png import weave_grid_host
+    from vkresample_tpu.pipeline import upscale as up
+
+    plan = UpscalePlan(
+        h=64, w=256, upscale=1.5, precision=Precision.HALF, engine=Engine.MXU
+    )
+    monkeypatch.setattr(mxu_pipeline, "DENSE_MAX", 64)
+    assert mxu_pipeline.big_grid_selected(plan)
+    monkeypatch.setattr(up, "_use_pallas_cas", lambda p: True)
+    assert up.planes_format(plan) == "grid"
+    banks = mxu_pipeline.make_dense_banks(plan, "float32", planes=True)
+    assert banks is not None and "sgx1_b1" in banks
+    assert staged.grid_u(banks) == 3
+    banks = jax.device_put({k: jnp.asarray(v) for k, v in banks.items()})
+    img = np.random.default_rng(29).integers(0, 256, (64, 256, 3), np.uint8)
+    outs = jax.jit(
+        functools.partial(
+            up._pipeline, plan=plan, engine=Engine.MXU,
+            planar_out=True, planes_out=True,
+        )
+    )(jnp.asarray(img), banks)
+    assert len(outs) == 9
+    assert outs[0].shape == (3, 32, 128)
+    got = weave_grid_host([np.asarray(p) for p in outs], 3)
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # woven caller (library API): same pixels via the device u8 weave
+    wov = np.asarray(
+        jax.jit(
+            functools.partial(
+                up._pipeline, plan=plan, engine=Engine.MXU,
+                planar_out=True, planes_out=False,
+            )
+        )(jnp.asarray(img), banks)
+    )
+    np.testing.assert_array_equal(wov, got)
+    # woven fallback path (non-Pallas callers, -validate, CPU tests)
+    x = jnp.moveaxis(jnp.asarray(img, jnp.float32) / 255.0, -1, -3)
+    v = mxu_pipeline.upscale_precas_mxu(x, plan, banks)
+    assert np.abs(np.asarray(v, np.float64) - _precas_oracle(img, plan)).max() < 2e-3
+
+
+def _precas_oracle_c2c(img, plan):
+    """c2c pre-CAS magnitude oracle (CAS consumes length(),
+    VkResample.cpp:904)."""
+    u2 = float(np.float32(plan.upscale)) ** 2
+    want = np.empty((3, plan.H, plan.W))
+    for ch in range(3):
+        F = np.fft.fft2(img[:, :, ch].astype(np.float64) / 255.0)
+        G = oracle.assemble_big_spectrum(F, plan)
+        want[ch] = np.abs(u2 * np.fft.ifft2(G))
+    return want
+
+
+@pytest.mark.parametrize(
+    "h,w,u", [(48, 256, 2.0), (36, 384, 3.0), (48, 256, 1.5), (32, 512, 1.25)]
+)
+def test_c2c_grid_staged_matches_oracle(h, w, u):
+    """c2c staged grid transform (complex planes via the rank-1 Nyquist
+    algebra, magnitude output) vs the oracle — integer AND fractional
+    factors, with and without the i16 storage codec."""
+    plan = UpscalePlan(
+        h=h, w=w, upscale=u, r2c=False, precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    params = staged.c2c_grid_params(plan)
+    assert params is not None
+    p, q = params
+    banks = {
+        k: jnp.asarray(v)
+        for k, v in staged.c2c_grid_staged_banks(plan).items()
+    }
+    assert staged.c2c_grid_u(banks) == p
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    x_raw = jnp.moveaxis(jnp.asarray(img), -1, 0)
+    want = _precas_oracle_c2c(img, plan)
+    for codec, tol in (
+        ({}, 2e-4),
+        (dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage),
+         2e-3),
+    ):
+        Ps = staged.c2c_grid_staged(x_raw, banks, HIGHEST, **codec)
+        assert len(Ps) == p * p
+        assert Ps[0].shape[-2:] == (h // q, w // q)
+        scale = 1.0 / 16384.0 if codec else 1.0
+        got = _weave_grid(Ps, p, h // q, w // q, scale)
+        assert np.abs(got - want).max() < tol
+
+
+def test_c2c_grid_params_rejects():
+    # r2c plans use the r2c grid routes
+    plan = UpscalePlan(
+        h=64, w=256, upscale=2.0, precision=Precision.HALF, engine=Engine.XLA
+    )
+    assert staged.c2c_grid_params(plan) is None
+    # u = 1: nothing to upscale
+    plan = UpscalePlan(
+        h=64, w=256, upscale=1.0, r2c=False, precision=Precision.HALF,
+        engine=Engine.XLA,
+    )
+    assert staged.c2c_grid_params(plan) is None
+    # non-dyadic float (astronomical exact denominator)
+    plan = UpscalePlan(
+        h=60, w=640, upscale=1.2, r2c=False, precision=Precision.HALF,
+        engine=Engine.XLA,
+    )
+    assert staged.c2c_grid_params(plan) is None
+    # fractional with (w // q) % 128 != 0
+    plan = UpscalePlan(
+        h=96, w=384, upscale=1.5, r2c=False, precision=Precision.HALF,
+        engine=Engine.XLA,
+    )
+    assert staged.c2c_grid_params(plan) is None
+
+
+@pytest.mark.parametrize(
+    "h,u,nplanes,pshape",
+    [(32, 2.0, 4, (3, 32, 256)), (64, 1.5, 9, (3, 32, 128))],
+)
+def test_pipeline_c2c_grid_route(monkeypatch, h, u, nplanes, pshape):
+    """c2c big-tier routing e2e: make_dense_banks returns c2c grid banks,
+    planes_format reports 'grid', the p^2 magnitude planes match the
+    oracle through CAS, and the woven caller agrees."""
+    import functools
+
+    from vkresample_tpu.fft import mxu_pipeline
+    from vkresample_tpu.io.png import weave_grid_host
+    from vkresample_tpu.pipeline import upscale as up
+
+    plan = UpscalePlan(
+        h=h, w=256, upscale=u, r2c=False, precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    monkeypatch.setattr(mxu_pipeline, "DENSE_MAX", 64)
+    assert mxu_pipeline.big_grid_selected(plan)
+    monkeypatch.setattr(up, "_use_pallas_cas", lambda p: True)
+    assert up.planes_format(plan) == "grid"
+    banks = mxu_pipeline.make_dense_banks(plan, "float32", planes=True)
+    assert banks is not None and "cg_ay" in banks
+    p = int(round(nplanes ** 0.5))
+    assert staged.c2c_grid_u(banks) == p
+    banks = jax.device_put({k: jnp.asarray(v) for k, v in banks.items()})
+    img = np.random.default_rng(31).integers(0, 256, (h, 256, 3), np.uint8)
+    outs = jax.jit(
+        functools.partial(
+            up._pipeline, plan=plan, engine=Engine.MXU,
+            planar_out=True, planes_out=True,
+        )
+    )(jnp.asarray(img), banks)
+    assert len(outs) == nplanes
+    assert outs[0].shape == pshape
+    got = weave_grid_host([np.asarray(pl) for pl in outs], p)
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # woven caller (library API): same pixels via the device u8 weave
+    wov = np.asarray(
+        jax.jit(
+            functools.partial(
+                up._pipeline, plan=plan, engine=Engine.MXU,
+                planar_out=True, planes_out=False,
+            )
+        )(jnp.asarray(img), banks)
+    )
+    np.testing.assert_array_equal(wov, got)
+    # woven fallback path (non-Pallas callers, -validate, CPU tests)
+    x = jnp.moveaxis(jnp.asarray(img, jnp.float32) / 255.0, -1, -3)
+    v = mxu_pipeline.upscale_precas_mxu(x, plan, banks)
+    assert np.abs(
+        np.asarray(v, np.float64) - _precas_oracle_c2c(img, plan)
+    ).max() < 2e-3

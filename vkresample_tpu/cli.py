@@ -257,7 +257,9 @@ def run_single(cfg, extras) -> int:
 
         write_png_planar_parity4(out_path, ps)
     elif fmt == "grid":
-        u = plan.integer_upscale
+        # phase count p: == integer u, or the numerator of a fractional
+        # factor p/q (planes are (H/p, W/p) either way)
+        u = int(round(len(out) ** 0.5))
         ps = [np.asarray(p) for p in out]  # u^2 x (3, H/u, W/u)
         if extras.get("validate"):
             from .io.png import weave_grid_host
@@ -364,7 +366,7 @@ def run_batched(cfg, extras) -> int:
                 elif fmt == "grid":
                     ps = [np.asarray(p)[:n_prev] for p in res_prev]
                     pool.encode_batch_planar_grid(
-                        paths_prev, ps, plan.integer_upscale
+                        paths_prev, ps, int(round(len(ps) ** 0.5))
                     )
                 elif fmt == "rows":
                     e_np = np.asarray(res_prev[0])[:n_prev]

@@ -29,7 +29,7 @@ import numpy as np
 # bump when any bank builder's MATH changes (contents for the same key)
 # v3: staged conv_banks actually inherits the balanced n1<=64 split
 #     default (v2 intended this but conv_banks' own prefer=128 won)
-CACHE_VERSION = 4  # v4: staged banks carry per-stage qb magnitude bounds
+CACHE_VERSION = 5  # v5: staged banks carry dc0 kernel DC gains (bf16c)
 
 # cache only geometries where host staging is actually noticeable; small
 # banks rebuild in well under a second and aren't worth the disk churn

@@ -47,27 +47,39 @@ DENSE_INT8_MAX = 16384
 
 
 def big_grid_selected(plan) -> bool:
-    """True when make_dense_banks will return the u-generic GRID staged
-    bank set: big-tier (>DENSE_MAX) integer u >= 3 r2c plans.  The u >= 3
-    analog of the u=2 staged quad tier — without it these frames fall to
-    the ~3x slower phases route (the reference handles any size at full
-    speed via multi-upload FFTs, vkFFT.h:4733-4771)."""
+    """True when make_dense_banks will return a GRID staged bank set:
+    big-tier (>DENSE_MAX) plans that run as a p x p grid of phase planes
+    — r2c with integer u >= 3 OR a fractional factor p/q
+    (staged.frac_params), and c2c with any integer u >= 2 or fractional
+    factor (staged.c2c_grid_params — complex planes via the rank-1
+    Nyquist algebra, CAS on the magnitudes).  The generalization of the
+    u=2 staged quad tier — without it these frames fall to the ~3x
+    slower phases route (integer u) or the big-spectrum route
+    (fractional — which materializes the full H x W complex spectrum and
+    does not survive >8K on one chip).  Reference bar: any size at full
+    speed via multi-upload FFTs, vkFFT.h:4733-4771."""
     import os
 
     from ..core.config import Precision
     from . import staged
 
+    if (
+        max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX
+        or plan.precision is Precision.DOUBLE
+        or os.environ.get("VKRESAMPLE_NO_PARITY")
+        or os.environ.get("VKRESAMPLE_HALF_STORAGE") == "bf16"
+        or os.environ.get("VKRESAMPLE_BIG", "staged") != "staged"
+    ):
+        return False
+    if not plan.r2c:
+        return staged.c2c_grid_params(plan) is not None
     return (
-        max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX
-        and plan.r2c
-        and plan.precision is not Precision.DOUBLE
-        and plan.integer_upscale is not None
-        and plan.integer_upscale >= 3
-        and not os.environ.get("VKRESAMPLE_NO_PARITY")
-        and os.environ.get("VKRESAMPLE_HALF_STORAGE") != "bf16"
-        and os.environ.get("VKRESAMPLE_BIG", "staged") == "staged"
-        and staged.grid_supported(plan)
-    )
+        (plan.integer_upscale is not None and plan.integer_upscale >= 3)
+        or (
+            plan.integer_upscale is None
+            and staged.frac_params(plan) is not None
+        )
+    ) and staged.grid_supported(plan)
 
 
 def make_dense_banks(
@@ -119,6 +131,13 @@ def make_dense_banks(
         )
     if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
         if big_grid_selected(plan):
+            if not plan.r2c:
+                # big c2c tier: complex grid staged banks (detect:
+                # "cg_ay" present — fft/staged.py c2c_grid_staged)
+                return _cached(
+                    "c2cgrid", staged.c2c_grid_staged_banks, plan,
+                    built_dtype="float32",
+                )
             # u >= 3 big tier: u-generic grid staged banks (detect:
             # "sgx1_b1" present — fft/staged.py r2c_grid_staged)
             return _cached(
@@ -174,6 +193,23 @@ def upscale_precas_mxu(
     """
     from . import dense
 
+    if banks is not None and "cg_ay" in banks:
+        # c2c staged grid banks (big tier): p^2 magnitude planes woven
+        # back to the full frame — the correctness/validate path; the
+        # perf path consumes the planes directly (planes_out)
+        import jax as _jax
+
+        from . import staged
+
+        Ps = staged.c2c_grid_staged(
+            x * 255.0, banks, _jax.lax.Precision.HIGHEST
+        )
+        u = staged.c2c_grid_u(banks)
+        h, w = Ps[0].shape[-2], Ps[0].shape[-1]
+        lead = Ps[0].shape[:-2]
+        g = jnp.stack(Ps, axis=-3).reshape(lead + (u, u, h, w))
+        g = jnp.moveaxis(jnp.moveaxis(g, -4, -2), -4, -1)
+        return g.reshape(lead + (u * h, u * w))
     if banks is not None and ("stx_b1" in banks or "sgx1_b1" in banks):
         # staged circulant banks (big tier): compute the parity/phase
         # planes and weave — the correctness/woven path; the perf path

@@ -109,23 +109,30 @@ def x_kernels(w: int, kept_lo: int):
     return np.real(psi_o), np.real(chi_o), np.real(chi_e)
 
 
-def phase_y_kernel(h: int, kept_lo: int, kept_hi: int, ry: int, u: int):
-    """Per-phase y kernel for integer factor u: the composed y roundtrip
-    restricted to output rows u*t + ry is circulant with
+def phase_y_kernel(h: int, kept_lo: int, kept_hi: int, ry: int, u):
+    """Per-phase y kernel for factor u (int, or Fraction p/q for the
+    fractional tier): the composed y roundtrip restricted to output rows
+    T with T = p*m + ry (q=1: u*m + ry) is circulant-at-stride-q with
 
       c_ry(d) = (1/h) sum_j keep(j) e^{2 pi i sigma(j) (d + ry/u) / h}
 
-    (the section-4 phase twiddle ty_ry[j] = e^{2 pi i sigma(j) ry / H},
-    docs/MATH.md, folded into the roundtrip; sigma(j) == j mod h makes the
-    d-dependence a plain ifft).  Returns (real kernel (h,), a0) where the
-    imaginary residue is the pure relocated-Nyquist tone a0 * (-1)^d
-    (a0 = 0 at ry = 0: the sample rows are the identity).  y_kernel is
-    the (ry=1, u=2) specialization."""
+    evaluated at d = q*m - t (the section-4 phase twiddle
+    ty_ry[j] = e^{2 pi i sigma(j) ry / H}, docs/MATH.md, folded into the
+    roundtrip; sigma(j) == j mod h makes the d-dependence a plain ifft;
+    the stride-q sampling is the consumer's decimation, see conv_banks).
+    Returns (real kernel (h,), a0) where the imaginary residue is the
+    pure relocated-Nyquist tone a0 * (-1)^d (a0 = 0 at ry = 0: the
+    sample rows are the identity).  y_kernel is the (ry=1, u=2)
+    specialization."""
+    from fractions import Fraction
+
+    uf = Fraction(u)
+    p, q = uf.numerator, uf.denominator
     j = np.arange(h)
     sigma = np.where(j < kept_lo, j, j - h).astype(np.float64)
     keep = (j < kept_lo) | (j >= h - kept_hi)
     g = keep.astype(np.float64) * np.exp(
-        2j * np.pi * sigma * ry / (u * h)
+        2j * np.pi * sigma * (ry * q) / (p * h)
     )
     c = np.fft.ifft(g)
     im = np.imag(c)
@@ -135,8 +142,9 @@ def phase_y_kernel(h: int, kept_lo: int, kept_hi: int, ry: int, u: int):
     return np.real(c), a0
 
 
-def phase_x_kernels(w: int, kept_lo: int, rx: int, u: int):
-    """Per-phase x kernels for integer factor u: output columns u*s + rx.
+def phase_x_kernels(w: int, kept_lo: int, rx: int, u):
+    """Per-phase x kernels for factor u (int or Fraction p/q): output
+    columns S = p*m + rx, sampled at stride q of the circulant below.
 
       psi_rx(d) = (1/w) sum_sym keep e^{2 pi i sigma (d + rx/u) / w}
       chi_rx(d) = same with i*sign(sigma) weights (the quadrature partner
@@ -147,10 +155,14 @@ def phase_x_kernels(w: int, kept_lo: int, rx: int, u: int):
     exactly real at every offset; psi_0 = delta - (1/w)(-1)^d (the exact
     sample-column identity + rank-1 x-Nyquist correction).  x_kernels is
     the u=2 specialization (psi_1, chi_1, chi_0)."""
+    from fractions import Fraction
+
+    uf = Fraction(u)
+    p, q = uf.numerator, uf.denominator
     k = np.arange(w)
     sigma = np.where(k < kept_lo, k, k - w).astype(np.float64)
     keep = ((k < kept_lo) | (k > w - kept_lo)).astype(np.float64)
-    g_alpha = keep * np.exp(2j * np.pi * sigma * rx / (u * w))
+    g_alpha = keep * np.exp(2j * np.pi * sigma * (rx * q) / (p * w))
     g_beta = 1j * np.sign(sigma) * g_alpha
     psi = np.fft.ifft(g_alpha)
     chi = np.fft.ifft(g_beta)
@@ -165,7 +177,7 @@ def phase_x_kernels(w: int, kept_lo: int, rx: int, u: int):
 # ---------------------------------------------------------------------------
 
 
-def split_factors(n: int, prefer: int = None):
+def split_factors(n: int, prefer: int = None, multiple_of: int = 1):
     """Pick n1 (the middle-stage contraction size) as the divisor of n
     closest to `prefer` (ties toward the larger), n2 = n // n1.  Returns
     None when no usable split exists (prime or near-prime n).
@@ -176,7 +188,11 @@ def split_factors(n: int, prefer: int = None):
     K = n2 / 2*(n2/2+1), so a large n1 starves the 128-deep MXU on two
     of the three stages while also RAISING total FLOPs (S2 is
     n1-linear); sqrt(n) balances K across stages (y: 5.94 vs 7.68 ms,
-    x: 5.32 vs 6.07 at the 8K->16K geometry)."""
+    x: 5.32 vs 6.07 at the 8K->16K geometry).
+
+    multiple_of: constrain n1 to multiples of this (the fractional
+    tier's stride-q decimation lives on the t1' axis, so it needs
+    q | n1 — see conv_banks' decimate)."""
     if prefer is None:
         # sqrt(n) capped at 64: n1=64 measured best at every big size
         # (4096: 5.94 vs 6.04@32; 8192: 5.32 vs 6.07@128; 16384 lanes:
@@ -187,7 +203,7 @@ def split_factors(n: int, prefer: int = None):
         if n % d:
             continue
         for cand in (d, n // d):
-            if cand < 8 or n // cand < 4:
+            if cand < 8 or n // cand < 4 or cand % multiple_of:
                 continue
             score = (abs(cand - prefer), -cand)
             if best is None or score < best[0]:
@@ -204,17 +220,27 @@ def conv_banks(
     n1: int = None,
     dtype: str = "float32",
     prefer: int = None,
+    decimate: int = 1,
 ) -> dict:
     """Bank dict for one staged circular convolution with the given
-    real kernel column: out[s] = sum_t kernel[(s-t) mod n] x[t]."""
+    real kernel column: out[s] = sum_t kernel[(s-t) mod n] x[t].
+
+    decimate=q keeps only outputs s = q*m (the fractional tier's
+    stride-q sampling lattice): since s = t1' + n1*t2' and q | n1,
+    restricting the middle stage's t1' axis to multiples of q yields
+    exactly the decimated outputs — conv_apply_* then return length
+    n/q arrays indexed by m = t1'/q + (n1/q)*t2', i.e. out[q*m] in
+    order, with the skipped outputs never computed."""
     n = kernel.shape[0]
     if n1 is None:
-        split = split_factors(n, prefer)
+        split = split_factors(n, prefer, multiple_of=decimate)
         if split is None:
             raise ValueError(f"no usable Cooley-Tukey split for n={n}")
         n1, n2 = split
     else:
         n2 = n // n1
+    if n1 % decimate:
+        raise ValueError(f"decimate {decimate} must divide n1 {n1}")
     lam = np.fft.fft(kernel.astype(np.float64))  # circulant eigenvalues
     t2 = np.arange(n2)
     w2f = np.exp(-2j * np.pi * np.outer(t2, t2) / n2)  # (t2, k2)
@@ -241,7 +267,11 @@ def conv_banks(
     #   b3 (2, k2h, t2'):        weighted real part of the inverse k2-DFT
     kh = n2 // 2 + 1
     b1 = np.stack([np.real(w2f), np.imag(w2f)], axis=1)[:, :, :kh]
-    mb = np.empty((kh, 2, n1, 2, n1))
+    if decimate > 1:
+        # keep only output columns t1' = q*m1 (see docstring)
+        M = M[:, :, ::decimate]
+    nd = n1 // decimate
+    mb = np.empty((kh, 2, n1, 2, nd))
     mr, mi = np.real(M[:kh]), np.imag(M[:kh])
     mb[:, 0, :, 0, :] = mr
     mb[:, 1, :, 0, :] = -mi
@@ -265,6 +295,9 @@ def conv_banks(
         prefix + "m": mb.astype(dtype),
         prefix + "b3": b3.astype(dtype),
         prefix + "qb": np.asarray([g1, g1 * g2], dtype),
+        # exact DC gain sum_d kernel[d] (the bf16c centered mode's
+        # add-back scale: conv(x) = conv(x - cm) + cm * dc0)
+        prefix + "dc0": np.asarray(kernel.sum(), dtype),
     }
 
 
@@ -301,12 +334,22 @@ def _intermediate_mode(b1):
                   cost far more than the halved inter-stage bytes
                   (scripts/i16mid_ab.py).
 
+    'bf16c'     — CENTERED bf16: subtract the per-column (rows conv) /
+                  per-row (lanes conv) mean before the stages, run the
+                  stages on bf16 operands (banks cast to bf16, single
+                  MXU pass, f32 accumulation), add the mean back after
+                  S3.  Every staged kernel has exact unit DC gain
+                  (sum_d c[d] = g[0] = keep[0] = 1), so the add-back is
+                  exact — and the centering removes the DC magnitude
+                  that made modes (a)/(b) overshoot: bf16's relative
+                  rounding then acts on the zero-mean signal only.
+
     All modes stay for looser-tolerance bandwidth work.
     """
     import os
 
     v = os.environ.get("VKRESAMPLE_STAGED_INTERMEDIATE")
-    if v in ("bf16", "bf16store", "i16") and b1.dtype == jnp.float32:
+    if v in ("bf16", "bf16store", "i16", "bf16c") and b1.dtype == jnp.float32:
         return v
     return None
 
@@ -339,18 +382,29 @@ def conv_apply_rows(
     mb = banks[prefix + "m"]
     b3 = banks[prefix + "b3"]
     kw = {}
+    prec23 = precision
     mode = _intermediate_mode(b1)
+    cm = None
     if mode == "bf16":
         cb = jnp.bfloat16
         b1, mb, b3 = b1.astype(cb), mb.astype(cb), b3.astype(cb)
         x = x.astype(cb)
         kw = dict(preferred_element_type=jnp.float32)
+    elif mode == "bf16c":
+        # centered bf16: exact unit DC gain makes conv(x) =
+        # conv(x - cm) + cm; S1 keeps f32 operands (the input read is
+        # f32 either way) and stores bf16; S2/S3 run single-pass bf16
+        cm = jnp.mean(x, axis=-2, keepdims=True)
+        x = x - cm
+        mb, b3 = mb.astype(jnp.bfloat16), b3.astype(jnp.bfloat16)
+        kw = dict(preferred_element_type=jnp.float32)
+        prec23 = jax.lax.Precision.DEFAULT
     qb = banks.get(prefix + "qb") if in_max is not None else None
 
     def _store(y, stage):
         # narrow materialization between stages (converts fuse into the
         # producer/consumer dots, so the HBM buffer itself is narrow)
-        if mode == "bf16":
+        if mode in ("bf16", "bf16c"):
             return y.astype(jnp.bfloat16)
         if mode == "bf16store":
             return y.astype(jnp.bfloat16).astype(jnp.float32)
@@ -359,6 +413,7 @@ def conv_apply_rows(
         return y
 
     n2, n1 = b1.shape[0], mb.shape[2]  # mb's k2 dim is the half-spectrum
+    nd = mb.shape[4]  # output t1' count (n1/q when decimated)
     L = x.shape[-1]
     lead = x.shape[:-2]
     x = x.reshape(lead + (n2, n1, L))
@@ -366,13 +421,17 @@ def conv_apply_rows(
     y = jnp.einsum("ajc,...abL->...jcbL", b1, x, precision=precision, **kw)
     y = _store(y, 0)
     # S2: per-k2 2x2-block n1 matmul -> (..., 2, k2, t1', L)
-    y = jnp.einsum("cjbkd,...jcbL->...kcdL", mb, y, precision=precision, **kw)
+    y = jnp.einsum("cjbkd,...jcbL->...kcdL", mb, y, precision=prec23, **kw)
     if dc_add is not None:
         y = y.at[..., 0, 0, :, :].add(n2 * dc_add)
     y = _store(y, 1)
     # S3: contract (re/im, k2) -> (..., t2', t1', L), real output
-    y = jnp.einsum("kce,...kcdL->...edL", b3, y, precision=precision, **kw)
-    return y.reshape(lead + (n2 * n1, L))
+    y = jnp.einsum("kce,...kcdL->...edL", b3, y, precision=prec23, **kw)
+    y = y.reshape(lead + (n2 * nd, L))
+    if cm is not None:
+        # exact DC add-back: conv(x) = conv(x - cm) + cm * sum(kernel)
+        y = y + cm * banks[prefix + "dc0"]
+    return y
 
 
 def conv_apply_lanes(x, banks: dict, prefix: str, precision=None, in_max=None):
@@ -384,16 +443,24 @@ def conv_apply_lanes(x, banks: dict, prefix: str, precision=None, in_max=None):
     mb = banks[prefix + "m"]
     b3 = banks[prefix + "b3"]
     kw = {}
+    prec23 = precision
     mode = _intermediate_mode(b1)
+    cm = None
     if mode == "bf16":
         cb = jnp.bfloat16
         b1, mb, b3 = b1.astype(cb), mb.astype(cb), b3.astype(cb)
         x = x.astype(cb)
         kw = dict(preferred_element_type=jnp.float32)
+    elif mode == "bf16c":
+        cm = jnp.mean(x, axis=-1, keepdims=True)
+        x = x - cm
+        mb, b3 = mb.astype(jnp.bfloat16), b3.astype(jnp.bfloat16)
+        kw = dict(preferred_element_type=jnp.float32)
+        prec23 = jax.lax.Precision.DEFAULT
     qb = banks.get(prefix + "qb") if in_max is not None else None
 
     def _store(y, stage):
-        if mode == "bf16":
+        if mode in ("bf16", "bf16c"):
             return y.astype(jnp.bfloat16)
         if mode == "bf16store":
             return y.astype(jnp.bfloat16).astype(jnp.float32)
@@ -402,14 +469,19 @@ def conv_apply_lanes(x, banks: dict, prefix: str, precision=None, in_max=None):
         return y
 
     n2, n1 = b1.shape[0], mb.shape[2]  # mb's k2 dim is the half-spectrum
+    nd = mb.shape[4]  # output t1' count (n1/q when decimated)
     lead = x.shape[:-1]
     x = x.reshape(lead + (n2, n1))
     y = jnp.einsum("ajc,...ab->...jcb", b1, x, precision=precision, **kw)
     y = _store(y, 0)
-    y = jnp.einsum("cjbkd,...jcb->...kcd", mb, y, precision=precision, **kw)
+    y = jnp.einsum("cjbkd,...jcb->...kcd", mb, y, precision=prec23, **kw)
     y = _store(y, 1)
-    y = jnp.einsum("kce,...kcd->...ed", b3, y, precision=precision, **kw)
-    return y.reshape(lead + (n2 * n1,))
+    y = jnp.einsum("kce,...kcd->...ed", b3, y, precision=prec23, **kw)
+    y = y.reshape(lead + (n2 * nd,))
+    if cm is not None:
+        # exact DC add-back: conv(x) = conv(x - cm) + cm * sum(kernel)
+        y = y + cm * banks[prefix + "dc0"]
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -631,12 +703,61 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
 # (reference bar: any-size multi-upload FFTs, vkFFT.h:4733-4771).
 
 
-def grid_supported(plan) -> bool:
-    """u-generic staged route: integer u >= 2 r2c plans with usable
-    Cooley-Tukey splits (any smooth size — no dense cap)."""
+def frac_params(plan):
+    """(p, q) for the FRACTIONAL staged grid route, or None.
+
+    A fractional factor u = p/q (exact from the float: every IEEE float
+    is rational, so e.g. -u 1.5 -> 3/2, -u 1.25 -> 5/4; non-dyadic
+    floats produce astronomical q and are rejected) runs as p^2 phase
+    planes of size (h/q, w/q): output pixel (p*my + ry, p*mx + rx) is a
+    pair of staged circulant convolutions sampled at stride q — the
+    stride folds into the middle-stage bank (conv_banks' decimate).
+    The u^2 CAS renormalization cancels the (q/p)^2 transform
+    normalization exactly, as in the integer case.
+
+    Conditions: r2c, q | h and q | w (the decimated lattices exist),
+    the plan's C-float band edges match the exact rational ones (all y
+    bins kept — true for any u > 1 without float truncation quirks —
+    and the x band = [0, w/2) with Nyquist dropped), and splits with
+    q | n1 exist on both axes."""
+    from fractions import Fraction
+
+    if not plan.r2c or plan.integer_upscale is not None:
+        return None
+    try:
+        uf = Fraction(plan.upscale).limit_denominator(64)
+    except (ValueError, OverflowError):
+        return None
+    if float(uf) != float(np.float32(plan.upscale)) or uf.denominator == 1:
+        return None
+    p, q = uf.numerator, uf.denominator
+    if (
+        plan.h % q
+        or plan.w % q
+        or plan.H != p * plan.h // q
+        or plan.W != p * plan.w // q
+        or plan.h % 2
+        or plan.w % 2
+        # all y bins kept (identity y roundtrip at ry=0) and the exact
+        # x band [0, w/2): guards against C-float band-edge truncation
+        # producing a different keep set than the rational derivation
+        or plan.kept_lo_y + plan.kept_hi_y != plan.h
+        or plan.kept_lo_x != plan.w // 2
+        or plan.kept_hi_x != 0
+        or (plan.w // q) % 128
+        or split_factors(plan.h, multiple_of=q) is None
+        or split_factors(plan.w, multiple_of=q) is None
+    ):
+        return None
+    return p, q
+
+
+def grid_params(plan):
+    """(p, q) phase/stride pair of the staged grid route: integer u ->
+    (u, 1); fractional u -> frac_params; None when unsupported."""
     from . import dense
 
-    return (
+    if (
         plan.r2c
         and plan.integer_upscale is not None
         and plan.integer_upscale >= 2
@@ -645,7 +766,16 @@ def grid_supported(plan) -> bool:
         and plan.w % 128 == 0
         and split_factors(plan.h) is not None
         and split_factors(plan.w) is not None
-    )
+    ):
+        return plan.integer_upscale, 1
+    return frac_params(plan)
+
+
+def grid_supported(plan) -> bool:
+    """u-generic staged route: integer u >= 2 (or fractional p/q, see
+    frac_params) r2c plans with usable Cooley-Tukey splits (any smooth
+    size — no dense cap)."""
+    return grid_params(plan) is not None
 
 
 def grid_u(banks: dict):
@@ -661,40 +791,63 @@ def grid_u(banks: dict):
 
 def r2c_grid_staged_banks(plan, dtype: str = "float32") -> dict:
     """Bank pytree for the u-generic staged grid transform (detect:
-    "sgx1_b1" present / grid_u).  O(u * n * n1) bytes total."""
-    if not grid_supported(plan):
+    "sgx1_b1" present / grid_u).  O(p * n * n1) bytes total.  Fractional
+    factors p/q build the same bank family with the stride-q decimation
+    folded into the middle-stage banks (q inferred at trace time from
+    the mb shapes, so the bank pytree stays plain arrays)."""
+    params = grid_params(plan)
+    if params is None:
         raise ValueError("plan not grid-staged-executable")
-    u = plan.integer_upscale
+    p, q = params
+    from fractions import Fraction
+
+    uf = Fraction(p, q)
     h, w = plan.h, plan.w
     banks = {}
     a0s = {}
-    for ry in range(1, u):
-        cy, a0 = phase_y_kernel(h, plan.kept_lo_y, plan.kept_hi_y, ry, u)
-        banks.update(conv_banks(cy, f"sgy{ry}_", dtype=dtype))
+    for ry in range(1, p):
+        cy, a0 = phase_y_kernel(h, plan.kept_lo_y, plan.kept_hi_y, ry, uf)
+        banks.update(conv_banks(cy, f"sgy{ry}_", dtype=dtype, decimate=q))
         a0s[ry] = a0
-    for rx in range(1, u):
-        psi, _ = phase_x_kernels(w, plan.kept_lo_x, rx, u)
-        banks.update(conv_banks(psi / 255.0, f"sgx{rx}_", dtype=dtype))
+    for rx in range(1, p):
+        psi, _ = phase_x_kernels(w, plan.kept_lo_x, rx, uf)
+        banks.update(
+            conv_banks(psi / 255.0, f"sgx{rx}_", dtype=dtype, decimate=q)
+        )
     if any(a0 != 0.0 for a0 in a0s.values()):
         banks["sg_y1n"] = (
             ((-1.0) ** np.arange(h))[:, None] / 255.0
         ).astype(dtype)
-        for ry in range(1, u):
+        for ry in range(1, p):
             banks[f"sg_yc{ry}"] = np.asarray(a0s[ry], dtype)
-        for rx in range(u):
-            _, chi = phase_x_kernels(w, plan.kept_lo_x, rx, u)
+        for rx in range(p):
+            _, chi = phase_x_kernels(w, plan.kept_lo_x, rx, uf)
             # correction convs see (C, r=1, w) data — bank bytes dominate
-            banks.update(conv_banks(chi, f"sgb{rx}_", dtype=dtype, prefer=16))
+            banks.update(
+                conv_banks(
+                    chi, f"sgb{rx}_", dtype=dtype,
+                    prefer=16 * q, decimate=q,
+                )
+            )
     return banks
 
 
 def r2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
     """u-generic grid-parity transform on staged circulant convolutions.
-    x_raw holds RAW uint8 pixel values (..., C, h, w); returns the u^2
-    pre-CAS phase planes row-major (P[0][0], P[0][1], ..., P[u-1][u-1]),
-    each (..., C, h, w) (stored when a codec is given).  Same storage
-    contract as r2c_quad_staged / dense.r2c_quad."""
+    x_raw holds RAW uint8 pixel values (..., C, h, w); returns the p^2
+    pre-CAS phase planes row-major (P[0][0], P[0][1], ..., P[p-1][p-1]),
+    each (..., C, h/qd, w/qd) (stored when a codec is given; qd = 1 for
+    integer factors).  Same storage contract as r2c_quad_staged /
+    dense.r2c_quad.
+
+    Fractional factors p/qd: every phase plane is the stride-qd sampling
+    of its circulant convolution — the y/x convs are built decimated
+    (conv_banks), the ry=0 identity planes become row subsamples, and
+    the rank-1 output-side signs become (-1)^(qd*m) (constant 1 for even
+    qd).  qd is inferred from the decimated mb bank shapes at trace time."""
     u = grid_u(banks)
+    # stride of the output sampling lattice (1 = integer factor)
+    qd = banks["sgy1_m"].shape[2] // banks["sgy1_m"].shape[4]
     variant = _quad_variant()
     w = x_raw.shape[-1]
     h = x_raw.shape[-2]
@@ -702,8 +855,10 @@ def r2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
     xf = x_raw.astype(acc)
     # P[0][0] = exact samples - rank-1 x-Nyquist correction; the colsum q
     # runs in int32 on the RAW u8 image (see r2c_quad_staged: the f32
-    # colsum de-additivizes the composed program)
-    signs = jnp.asarray((-1.0) ** np.arange(w), acc)
+    # colsum de-additivizes the composed program).  At stride qd the
+    # sample columns are x[:, qd*m] and the correction sign is
+    # (-1)^(qd*m).
+    signs_out = jnp.asarray((-1.0) ** (qd * np.arange(w // qd)), acc)
     if x_raw.dtype == jnp.uint8 and "qf32" not in variant:
         isign = jnp.asarray(
             np.where(np.arange(w) % 2 == 0, 1, -1).astype(np.int32)
@@ -712,10 +867,12 @@ def r2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
             x_raw.astype(jnp.int32) * isign, axis=-1, keepdims=True
         ).astype(acc)
     else:
+        signs = jnp.asarray((-1.0) ** np.arange(w), acc)
         q = jnp.sum(xf * signs, axis=-1, keepdims=True)
+    xs = xf if qd == 1 else xf[..., ::qd]
     P0 = [
-        xf * jnp.asarray(1.0 / 255.0, acc)
-        - (signs * q) * jnp.asarray(1.0 / (255.0 * w), acc)
+        xs * jnp.asarray(1.0 / 255.0, acc)
+        - (signs_out * q) * jnp.asarray(1.0 / (255.0 * w), acc)
     ]
     for rx in range(1, u):
         P0.append(conv_apply_lanes(xf, banks, f"sgx{rx}_", precision))
@@ -734,18 +891,24 @@ def r2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
     else:
         P0s = [store(p) for p in P0]
         P0m = [load(p) for p in P0s]
-    planes = list(P0s)
-    rsign = jnp.asarray((-1.0) ** np.arange(h), acc)[:, None]
+    # ry = 0 output planes: the identity y roundtrip sampled at rows
+    # qd*m — a row subsample of the (full-height) x-phase planes
+    planes = (
+        list(P0s) if qd == 1 else [p[..., ::qd, :] for p in P0s]
+    )
+    rsign = jnp.asarray((-1.0) ** (qd * np.arange(h // qd)), acc)[:, None]
     for ry in range(1, u):
         n1 = banks[f"sgy{ry}_m"].shape[2]
-        dsign = jnp.asarray((-1.0) ** np.arange(n1), acc)[:, None]
+        nd = banks[f"sgy{ry}_m"].shape[4]
+        dsign = jnp.asarray((-1.0) ** (qd * np.arange(nd)), acc)[:, None]
         for rx in range(u):
             dc = post = None
             if tc is not None:
                 if n1 % 2 == 0:
-                    # (-1)^(t1'+n1*t2') = (-1)^t1' for even n1: inject the
-                    # correction into the DC bin of the small spectral
-                    # intermediate (see r2c_quad_staged)
+                    # output sign (-1)^(qd*(d + nd*t2')) = (-1)^(qd*d)
+                    # for even n1 (= qd*nd): inject the correction into
+                    # the DC bin of the small spectral intermediate
+                    # (see r2c_quad_staged)
                     dc = banks[f"sg_yc{ry}"] * dsign * tc[rx]
                 else:
                     post = banks[f"sg_yc{ry}"] * rsign
@@ -754,5 +917,209 @@ def r2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
             )
             if post is not None:
                 P = P + post * tc[rx]
+            planes.append(P if store is None else store(P))
+    return tuple(planes)
+
+
+# ---------------------------------------------------------------------------
+# c2c staged grid transform: complex phase planes via rank-1 Nyquist algebra
+# ---------------------------------------------------------------------------
+#
+# The c2c mode's composed roundtrip per axis has the SAME circulant
+# structure as the r2c y axis (phase_y_kernel applies verbatim to both
+# axes — there is no Hermitian half-spectrum packing), and the c2c band
+# keeps every source bin on both axes, so the complex residue is exactly
+# the rank-1 relocated-Nyquist tone: per phase r the axis map is
+#
+#   A_r = C_r + i * a_r * s s^T      (C_r real circulant, s[t] = (-1)^t)
+#
+# Composing two axes on the REAL input image X (the c2c pipeline feeds a
+# real image through complex transforms, VkResample.cpp:527-545):
+#
+#   out = A_y X A_x^T
+#   re  = C_y X C_x^T - ay*ax*(s_y^T X s_x) * sYo sXo^T
+#   im  = ax * (C_y (X s_x)) sXo^T + ay * sYo (C_x (X^T s_y))^T
+#
+# so the imaginary part of EVERY phase plane is a sum of two rank-1
+# matrices (two signed sums + two tiny vector convolutions), and CAS
+# consumes the magnitude sqrt(re^2+im^2) (GLSL length(),
+# VkResample.cpp:904).  Verified exact vs the fp64 oracle for integer
+# AND fractional (p/q, decimated) factors.  This gives big (>DENSE_MAX)
+# c2c frames the staged tier — previously they fell to the phases route
+# (integer u, ~3x slower) or the big-spectrum route (fractional, which
+# materializes the full H x W complex spectrum and does not survive >8K
+# on one chip).  Reference bar: any-size multi-upload c2c FFTs,
+# vkFFT.h:4733-4771.
+
+
+def c2c_grid_params(plan):
+    """(p, q) phase/stride pair of the c2c staged grid route, or None.
+
+    Conditions mirror grid_params/frac_params, plus the c2c-specific
+    keep check: ALL bins kept on BOTH axes (the zero-pad upscale keep —
+    guards against C-float band-edge truncation producing a partial
+    keep set, where the imaginary residue would not be rank-1)."""
+    from fractions import Fraction
+
+    if plan.r2c:
+        return None
+    if plan.integer_upscale is not None:
+        if plan.integer_upscale < 2:
+            return None
+        p, q = plan.integer_upscale, 1
+    else:
+        try:
+            uf = Fraction(plan.upscale).limit_denominator(64)
+        except (ValueError, OverflowError):
+            return None
+        if float(uf) != float(np.float32(plan.upscale)) or uf.denominator == 1:
+            return None
+        p, q = uf.numerator, uf.denominator
+        if (
+            plan.h % q
+            or plan.w % q
+            or plan.H != p * plan.h // q
+            or plan.W != p * plan.w // q
+        ):
+            return None
+    if (
+        plan.kept_lo_y + plan.kept_hi_y != plan.h
+        or plan.kept_lo_x + plan.kept_hi_x != plan.w
+        or plan.h % 2
+        or plan.w % 2
+        or (plan.w // q) % 128
+        or split_factors(plan.h, multiple_of=q) is None
+        or split_factors(plan.w, multiple_of=q) is None
+    ):
+        return None
+    return p, q
+
+
+def c2c_grid_u(banks: dict):
+    """Phase count p of a c2c grid bank set (None when not one) —
+    static (bank shape) at trace time."""
+    if "cg_ay" not in banks:
+        return None
+    return banks["cg_ay"].shape[0]
+
+
+def c2c_grid_staged_banks(plan, dtype: str = "float32") -> dict:
+    """Bank pytree for the c2c staged grid transform (detect: "cg_ay"
+    present / c2c_grid_u).  O(p * n * n1) bytes.  Both axes use
+    phase_y_kernel; the x kernels fold the 1/255 u8 normalization; the
+    per-phase Nyquist-tone amplitudes ship as the (p,) scalar banks
+    cg_ay / cg_ax (entry 0 is exactly 0: the identity phase)."""
+    from fractions import Fraction
+
+    params = c2c_grid_params(plan)
+    if params is None:
+        raise ValueError("plan not c2c-grid-staged-executable")
+    p, q = params
+    uf = Fraction(p, q)
+    banks = {}
+    ay = np.zeros(p)
+    ax = np.zeros(p)
+    for r in range(1, p):
+        cy, a0y = phase_y_kernel(
+            plan.h, plan.kept_lo_y, plan.kept_hi_y, r, uf
+        )
+        banks.update(conv_banks(cy, f"cgy{r}_", dtype=dtype, decimate=q))
+        ay[r] = a0y
+        cx, a0x = phase_y_kernel(
+            plan.w, plan.kept_lo_x, plan.kept_hi_x, r, uf
+        )
+        banks.update(
+            conv_banks(cx / 255.0, f"cgx{r}_", dtype=dtype, decimate=q)
+        )
+        ax[r] = a0x
+    banks["cg_ay"] = ay.astype(dtype)
+    banks["cg_ax"] = ax.astype(dtype)
+    return banks
+
+
+def c2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
+    """c2c grid transform on staged circulant convolutions.  x_raw holds
+    RAW uint8 pixel values (..., C, h, w); returns the p^2 pre-CAS
+    MAGNITUDE phase planes row-major (P[0][0], ..., P[p-1][p-1]), each
+    (..., C, h/qd, w/qd), in CAS units (the u^2 renormalization cancels
+    into the 1/n-per-axis kernels exactly as in the r2c routes).  Same
+    storage contract as r2c_grid_staged."""
+    u = c2c_grid_u(banks)
+    qd = banks["cgy1_m"].shape[2] // banks["cgy1_m"].shape[4]
+    acc = banks["cgx1_b1"].dtype
+    h, w = x_raw.shape[-2], x_raw.shape[-1]
+    xf = x_raw.astype(acc)
+    inv255 = jnp.asarray(1.0 / 255.0, acc)
+    # signed sums for the rank-1 Nyquist terms: exact int32 on raw u8
+    # (the f32 colsum de-additivized XLA's schedule in the r2c route —
+    # same qint trick here)
+    if x_raw.dtype == jnp.uint8:
+        isy = jnp.asarray(
+            np.where(np.arange(h) % 2 == 0, 1, -1).astype(np.int32)
+        )
+        isx = jnp.asarray(
+            np.where(np.arange(w) % 2 == 0, 1, -1).astype(np.int32)
+        )
+        xi = x_raw.astype(jnp.int32)
+        qcol_i = jnp.sum(xi * isy[:, None], axis=-2, keepdims=True)
+        prow_i = jnp.sum(xi * isx, axis=-1, keepdims=True)
+        qcol = qcol_i.astype(acc)  # (..., C, 1, w)
+        prow = prow_i.astype(acc)  # (..., C, h, 1)
+        S = jnp.sum(prow_i * isy[:, None], axis=-2, keepdims=True).astype(
+            acc
+        )  # (..., C, 1, 1)
+    else:
+        fsy = jnp.asarray((-1.0) ** np.arange(h), acc)
+        fsx = jnp.asarray((-1.0) ** np.arange(w), acc)
+        qcol = jnp.sum(xf * fsy[:, None], axis=-2, keepdims=True)
+        prow = jnp.sum(xf * fsx, axis=-1, keepdims=True)
+        S = jnp.sum(prow * fsy[:, None], axis=-2, keepdims=True)
+    # x phase planes, shared across every y phase (rx = 0 is the exact
+    # column identity: all w bins kept in c2c — no x-Nyquist correction)
+    xs = xf if qd == 1 else xf[..., ::qd]
+    A = [xs * inv255]
+    for rx in range(1, u):
+        A.append(conv_apply_lanes(xf, banks, f"cgx{rx}_", precision))
+    # rank-1 vectors: v_rx = C_x (X^T s_y) (a 1-row x conv), w_ry =
+    # C_y (X s_x) (a 1-col y conv) — tiny vs the plane convs
+    V = [(qcol if qd == 1 else qcol[..., ::qd]) * inv255]
+    for rx in range(1, u):
+        V.append(conv_apply_lanes(qcol, banks, f"cgx{rx}_", precision))
+    Wv = [(prow if qd == 1 else prow[..., ::qd, :]) * inv255]
+    for ry in range(1, u):
+        Wv.append(
+            conv_apply_rows(prow, banks, f"cgy{ry}_", precision) * inv255
+        )
+    if store is None:
+        As, Am = A, A
+    else:
+        As = [store(a) for a in A]
+        Am = [load(a) for a in As]
+    sYo = jnp.asarray((-1.0) ** (qd * np.arange(h // qd)), acc)[:, None]
+    sXo = jnp.asarray((-1.0) ** (qd * np.arange(w // qd)), acc)
+    Sn = S * inv255
+    planes = []
+    for ry in range(u):
+        ayv = banks["cg_ay"][ry]
+        for rx in range(u):
+            axv = banks["cg_ax"][rx]
+            if ry == 0:
+                # identity y roundtrip: a row subsample of the (stored)
+                # x-phase plane — re-derived from the loaded value so the
+                # magnitude applies post-codec, like every other plane
+                re = Am[rx] if qd == 1 else Am[rx][..., ::qd, :]
+            else:
+                re = conv_apply_rows(Am[rx], banks, f"cgy{ry}_", precision)
+                if rx:
+                    re = re - (ayv * axv) * Sn * (sYo * sXo)
+            if ry == 0 and rx == 0:
+                P = jnp.abs(re)
+            else:
+                im = jnp.asarray(0.0, acc)
+                if rx:
+                    im = im + axv * sXo * Wv[ry]
+                if ry:
+                    im = im + ayv * sYo * V[rx]
+                P = jnp.sqrt(re * re + im * im)
             planes.append(P if store is None else store(P))
     return tuple(planes)

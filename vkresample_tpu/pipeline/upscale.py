@@ -187,6 +187,46 @@ def _pipeline(
         use_pallas
         and engine is Engine.MXU
         and banks is not None
+        and "cg_ay" in banks
+        and not plan.r2c
+    ):
+        # big c2c tier: staged grid transform -> p^2 magnitude planes ->
+        # fused per-parity CAS (quad kernel at p=2, grid kernel above).
+        # CAS consumes the complex magnitude (VkResample.cpp:904), which
+        # the transform already emits per plane via the rank-1 Nyquist
+        # algebra (fft/staged.py c2c_grid_staged).
+        from ..fft import staged
+        from ..ops.cas_pallas import (
+            cas_parity4_planes_u2,
+            cas_parity_grid_planes,
+        )
+        from ..ops.weave import weave_grid_u8
+
+        x_raw = jnp.moveaxis(img_u8, -1, -3)  # (..., C, h, w)
+        _codec = (
+            dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+            if _i16_mode
+            else {}
+        )
+        u = staged.c2c_grid_u(banks)
+        Ps = staged.c2c_grid_staged(
+            x_raw, banks, staged.staged_precision(), **_codec
+        )
+        if not _i16_mode:
+            Ps = [_store16(p) for p in Ps]
+        if u == 2:
+            Pu8 = cas_parity4_planes_u2(*Ps, plan.sharpen)
+        else:
+            Pu8 = cas_parity_grid_planes(Ps, u, plan.sharpen)
+        if planes_out:
+            return Pu8
+        out = weave_grid_u8(Pu8, u)
+        return out if planar_out else jnp.moveaxis(out, -3, -1)
+
+    if (
+        use_pallas
+        and engine is Engine.MXU
+        and banks is not None
         and "sgx1_b1" in banks
         and plan.r2c
     ):
@@ -363,12 +403,14 @@ def parity_planes_supported(plan: UpscalePlan) -> bool:
     if not (
         _use_pallas_cas(plan)
         and plan.resolve_engine() is Engine.MXU
-        and plan.r2c
     ):
         return False
     if big_grid_selected(plan):
-        # u >= 3 big tier: u^2 grid-parity planes
+        # grid big tiers (r2c u >= 3 / fractional, and c2c): u^2
+        # grid-parity planes
         return True
+    if not plan.r2c:
+        return False
     if _parity_route(plan) is None:
         return False
     if (
