@@ -86,3 +86,55 @@ def test_sp_large_geometry_vs_oracle():
         assert got.shape == want.shape, builder.__name__
         diff = np.abs(got.astype(int) - want.astype(int)).max()
         assert diff <= 1, (builder.__name__, diff)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_sp_staged_matches_single_device(n_shards):
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.parallel.distributed import build_sp_upscale_staged
+
+    h, w = 64, 256  # staged route needs w % 128 == 0 + usable splits
+    img = make_test_image(h, w, 3, seed=53)
+    plan = UpscalePlan(
+        h=h, w=w, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    fn = build_sp_upscale_staged(plan, _mesh(n_shards))
+    got = np.asarray(fn(img))
+    want = np.asarray(upscale(img, 2.0, plan=plan))
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sp_staged_rejects_fractional_and_bad_shards():
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.parallel.distributed import build_sp_upscale_staged
+
+    plan = UpscalePlan(h=64, w=256, upscale=1.5, precision=Precision.HALF)
+    with pytest.raises(ValueError, match="u=2"):
+        build_sp_upscale_staged(plan, _mesh(2))
+    plan = UpscalePlan(
+        h=36, w=256, upscale=2.0, precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    with pytest.raises(ValueError, match="shards"):
+        build_sp_upscale_staged(plan, _mesh(8))
+
+
+def test_sp_staged_large_geometry_vs_oracle():
+    """Large-frame STAGED pencil run on the full 8-device mesh:
+    1024x2048 -> 2048x4096 half through the staged sp pipeline (O(n*n1)
+    banks — the any-size cross-chip tier), pixel-equal to the fp64
+    oracle within 1 LSB."""
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.oracle import numpy_ref as oracle
+    from vkresample_tpu.parallel.distributed import build_sp_upscale_staged
+
+    h, w = 1024, 2048
+    img = make_test_image(h, w, 3, seed=54)
+    plan = UpscalePlan(
+        h=h, w=w, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    want = oracle.upscale_oracle(img, plan)
+    got = np.asarray(build_sp_upscale_staged(plan, _mesh(8))(img))
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

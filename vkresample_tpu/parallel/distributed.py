@@ -358,3 +358,156 @@ def build_sp_upscale_dense(
         return _fn(img, _banks)
 
     return run
+
+
+def _sp_staged_body(
+    img_block: jnp.ndarray, plan: UpscalePlan, banks: dict, S: int,
+    axis_name: str,
+):
+    """shard_map body for the STAGED pencil pipeline: (h/S, w, C) uint8
+    rows-block -> (H, W/S, C) uint8 columns-block.
+
+    The staged circulant engine (fft/staged.py) maps onto the pencil
+    decomposition with the same collective budget as the dense variant —
+    ONE all-to-all (both x-phase planes stacked and re-penciled in a
+    single collective) plus a tiny psum for the rank-1 y-Nyquist
+    correction row — but with O(n*n1) banks instead of O(n^2), so
+    cross-chip frames keep working at sizes where dense banks are GBs
+    (the reference's multi-upload mechanism, vkFFT.h:4733-4771, never
+    leaves one GPU).  x convolutions run on the rows pencil (lane axis
+    complete), y convolutions on the columns pencil (row axis complete);
+    the quad parity planes are woven locally and CAS runs with 1-column
+    halos (_cas_sharded_cols)."""
+    from ..fft.staged import (
+        conv_apply_lanes,
+        conv_apply_rows,
+        staged_precision,
+    )
+
+    h, w = plan.h, plan.w
+    prec = staged_precision()
+    acc = banks["stx_b1"].dtype
+    x_raw = jnp.moveaxis(img_block, -1, -3)  # (C, h/S, w)
+    xf = x_raw.astype(acc)
+
+    # x phase planes — local: the lanes axis is complete on this pencil
+    P01 = conv_apply_lanes(xf, banks, "stx_", prec)
+    signs = jnp.asarray((-1.0) ** np.arange(w), acc)
+    isign = jnp.asarray(
+        np.where(np.arange(w) % 2 == 0, 1, -1).astype(np.int32)
+    )
+    q = jnp.sum(
+        x_raw.astype(jnp.int32) * isign, axis=-1, keepdims=True
+    ).astype(acc)
+    P00 = xf * jnp.asarray(1.0 / 255.0, acc) - (signs * q) * jnp.asarray(
+        1.0 / (255.0 * w), acc
+    )
+
+    # rank-1 y-Nyquist correction: contracts over ALL image rows — each
+    # shard applies its slice of the (-1)^t column, then a psum of the
+    # single (C, 1, w) row; the chi convs then run locally (full w)
+    idx = jax.lax.axis_index(axis_name)
+    t2e = t2o = None
+    if "st_y1n" in banks:
+        rows_loc = h // S
+        y1_loc = jax.lax.dynamic_slice_in_dim(
+            banks["st_y1n"], idx * rows_loc, rows_loc, axis=0
+        )
+        tcorr = jax.lax.psum(
+            jnp.einsum("...hw,hr->...rw", xf, y1_loc, precision=prec),
+            axis_name,
+        )
+        t2o = conv_apply_lanes(tcorr, banks, "stbo_", prec)
+        t2e = conv_apply_lanes(tcorr, banks, "stbe_", prec)
+
+    # ONE all-to-all: both x-phase planes re-penciled together
+    Pst = jnp.stack([P00, P01])  # (2, C, h/S, w)
+    Pst = jax.lax.all_to_all(
+        Pst, axis_name, split_axis=3, concat_axis=2, tiled=True
+    )  # (2, C, h, w/S)
+
+    # y convs — local: the row axis is complete on this pencil; the
+    # correction rows are sliced to this shard's columns and injected
+    # into the DC bin of the small spectral intermediate (even n1) or
+    # added post-hoc (odd n1), as in r2c_quad_staged
+    cols = w // S
+    n1 = banks["sty_m"].shape[2]
+    dc_e = dc_o = post = None
+    if t2e is not None:
+        t2e = jax.lax.dynamic_slice_in_dim(t2e, idx * cols, cols, axis=-1)
+        t2o = jax.lax.dynamic_slice_in_dim(t2o, idx * cols, cols, axis=-1)
+        if n1 % 2 == 0:
+            dsign = jnp.asarray((-1.0) ** np.arange(n1), acc)[:, None]
+            dc_e = banks["st_yc"] * dsign * t2e
+            dc_o = banks["st_yc"] * dsign * t2o
+        else:
+            post = banks["st_yc"] * jnp.asarray(
+                (-1.0) ** np.arange(h), acc
+            )[:, None]
+    P00c, P01c = Pst[0], Pst[1]
+    P10 = conv_apply_rows(P00c, banks, "sty_", prec, dc_add=dc_e)
+    P11 = conv_apply_rows(P01c, banks, "sty_", prec, dc_add=dc_o)
+    if post is not None:
+        P10 = P10 + post * t2e
+        P11 = P11 + post * t2o
+
+    # local weave (this shard's output columns are contiguous: global
+    # output col = 2*input col + parity), then CAS with 1-column halos
+    E = jnp.stack([P00c, P01c], axis=-1).reshape(
+        P00c.shape[:-1] + (2 * cols,)
+    )
+    D = jnp.stack([P10, P11], axis=-1).reshape(P10.shape[:-1] + (2 * cols,))
+    v = jnp.stack([E, D], axis=-2).reshape(
+        E.shape[:-2] + (2 * h, 2 * cols)
+    )
+    out = _cas_sharded_cols(v, plan.sharpen, axis_name)
+    out = cas_ops.quantize_u8(out)
+    return jnp.moveaxis(out, -3, -1)  # (H, W/S, C)
+
+
+@functools.lru_cache(maxsize=16)
+def build_sp_upscale_staged(
+    plan: UpscalePlan, mesh: Mesh, axis_name: str = "sp"
+) -> Callable:
+    """Staged-engine pencil pipeline: one frame (h, w, C) uint8
+    rows-sharded in, (H, W, C) uint8 columns-sharded out.  Same
+    collective budget as the dense pencil variant (one all-to-all + a
+    tiny psum + 1-column CAS halos) with O(n*n1) bank bytes — the
+    any-size cross-chip tier.  Requires u=2 (quad staged form),
+    h % S == 0 and w % S == 0."""
+    from ..fft import staged as staged_mod
+
+    S = mesh.shape[axis_name]
+    if not staged_mod.staged_supported(plan):
+        raise ValueError(
+            "staged pencil pipeline requires a u=2 plan with usable "
+            "Cooley-Tukey splits on both axes"
+        )
+    if plan.h % S or plan.w % S:
+        raise ValueError(
+            f"h={plan.h} and w={plan.w} must divide into {S} shards"
+        )
+    banks = jax.device_put(
+        {
+            k: jnp.asarray(v)
+            for k, v in staged_mod.r2c_quad_staged_banks(plan).items()
+        }
+    )
+
+    def body(img, bb):
+        return _sp_staged_body(
+            img, plan=plan, banks=bb, S=S, axis_name=axis_name
+        )
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None), jax.tree.map(lambda _: P(), banks)),
+        out_specs=P(None, axis_name, None),
+    )
+    jitfn = jax.jit(sharded)
+
+    def run(img, _fn=jitfn, _banks=banks):
+        return _fn(img, _banks)
+
+    return run
