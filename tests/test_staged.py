@@ -681,3 +681,41 @@ def test_pipeline_c2c_grid_route(monkeypatch, h, u, nplanes, pshape):
     assert np.abs(
         np.asarray(v, np.float64) - _precas_oracle_c2c(img, plan)
     ).max() < 2e-3
+
+
+def test_staged_double_grid_and_c2c_banks_and_accuracy():
+    """DOUBLE routes u>=3 r2c AND c2c plans through f64 GRID staged banks
+    at every size (previously big DOUBLE grid/c2c frames fell to the f64
+    phases/big-spectrum routes, which do not survive >8K)."""
+    from vkresample_tpu.fft import mxu_pipeline
+
+    # u=3 r2c grid
+    plan = UpscalePlan(
+        h=36, w=384, upscale=3.0, precision=Precision.DOUBLE,
+        engine=Engine.MXU,
+    )
+    banks = mxu_pipeline.make_dense_banks(plan, "float64")
+    assert banks is not None and "sgx1_b1" in banks
+    assert banks["sgx1_b1"].dtype == np.float64
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (36, 384, 3), np.uint8)
+    with jax.enable_x64():
+        x = jnp.moveaxis(jnp.asarray(img, jnp.float64) / 255.0, -1, -3)
+        v = mxu_pipeline.upscale_precas_mxu(x, plan, jax.device_put(banks))
+        got = np.asarray(v, np.float64)
+    assert np.abs(got - _precas_oracle(img, plan)).max() < 1e-10
+
+    # c2c grid
+    plan = UpscalePlan(
+        h=48, w=256, upscale=2.0, r2c=False, precision=Precision.DOUBLE,
+        engine=Engine.MXU,
+    )
+    banks = mxu_pipeline.make_dense_banks(plan, "float64")
+    assert banks is not None and "cg_ay" in banks
+    assert banks["cg_ay"].dtype == np.float64
+    img = rng.integers(0, 256, (48, 256, 3), np.uint8)
+    with jax.enable_x64():
+        x = jnp.moveaxis(jnp.asarray(img, jnp.float64) / 255.0, -1, -3)
+        v = mxu_pipeline.upscale_precas_mxu(x, plan, jax.device_put(banks))
+        got = np.asarray(v, np.float64)
+    assert np.abs(got - _precas_oracle_c2c(img, plan)).max() < 1e-10

@@ -116,19 +116,31 @@ def make_dense_banks(
 
     if (
         plan.precision is Precision.DOUBLE
-        and plan.r2c
         and os.environ.get("VKRESAMPLE_BIG", "staged") == "staged"
-        and staged.staged_supported(plan)
     ):
-        # DOUBLE runs the staged circulant route at EVERY size: the dense
+        # DOUBLE runs the staged circulant routes at EVERY size: the dense
         # f64 banks cost O(n^2) bytes (~1.7 GB at 4K->8K) where staged
         # banks are a few MB, and f64 rides the staged matmuls natively
         # (consumed by the woven upscale_precas_mxu path — the DOUBLE
-        # pipeline stays on XLA CAS)
-        return _cached(
-            "staged64", staged.r2c_quad_staged_banks, plan, "float64",
-            built_dtype="float64",
-        )
+        # pipeline stays on XLA CAS).  u=2 r2c takes the quad form; u>=3
+        # r2c, fractional, and c2c take the grid forms (without which
+        # big DOUBLE frames fall to the f64 phases/big-spectrum routes,
+        # which do not survive >8K).
+        if plan.r2c and staged.staged_supported(plan):
+            return _cached(
+                "staged64", staged.r2c_quad_staged_banks, plan, "float64",
+                built_dtype="float64",
+            )
+        if plan.r2c and staged.grid_supported(plan):
+            return _cached(
+                "grid64", staged.r2c_grid_staged_banks, plan, "float64",
+                built_dtype="float64",
+            )
+        if not plan.r2c and staged.c2c_grid_params(plan) is not None:
+            return _cached(
+                "c2cgrid64", staged.c2c_grid_staged_banks, plan, "float64",
+                built_dtype="float64",
+            )
     if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
         if big_grid_selected(plan):
             if not plan.r2c:
