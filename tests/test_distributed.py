@@ -138,3 +138,74 @@ def test_sp_staged_large_geometry_vs_oracle():
     got = np.asarray(build_sp_upscale_staged(plan, _mesh(8))(img))
     assert got.shape == want.shape
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+@pytest.mark.parametrize("u", [3.0, 1.5])
+def test_sp_grid_matches_single_device(n_shards, u):
+    """Grid staged pencil (u-generic, integer or fractional) matches the
+    single-device pipeline."""
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.parallel.distributed import build_sp_upscale_grid
+
+    h, w = 64, 256
+    img = make_test_image(h, w, 3, seed=55)
+    plan = UpscalePlan(
+        h=h, w=w, upscale=u, precision=Precision.HALF, engine=Engine.MXU
+    )
+    fn = build_sp_upscale_grid(plan, _mesh(n_shards))
+    got = np.asarray(fn(img))
+    want = np.asarray(upscale(img, u, plan=plan))
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sp_grid_rejects():
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.parallel.distributed import build_sp_upscale_grid
+
+    # c2c plans are not the r2c grid form
+    plan = UpscalePlan(
+        h=64, w=256, upscale=2.0, r2c=False, precision=Precision.HALF
+    )
+    with pytest.raises(ValueError, match="r2c"):
+        build_sp_upscale_grid(plan, _mesh(2))
+    # rows don't split across shards
+    plan = UpscalePlan(
+        h=36, w=256, upscale=3.0, precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    with pytest.raises(ValueError, match="shards"):
+        build_sp_upscale_grid(plan, _mesh(8))
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+@pytest.mark.parametrize("u", [2.0, 1.5])
+def test_sp_c2c_grid_matches_oracle(n_shards, u):
+    """c2c grid staged pencil matches the fp64 oracle (the single-device
+    c2c route at these sizes is the dense chain, so compare to the
+    oracle directly)."""
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.oracle import numpy_ref as oracle
+    from vkresample_tpu.parallel.distributed import build_sp_upscale_c2c_grid
+
+    h, w = 64, 256
+    img = make_test_image(h, w, 3, seed=56)
+    plan = UpscalePlan(
+        h=h, w=w, upscale=u, r2c=False, precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    fn = build_sp_upscale_c2c_grid(plan, _mesh(n_shards))
+    got = np.asarray(fn(img))
+    want = oracle.upscale_oracle(img, plan)
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sp_c2c_grid_rejects_r2c():
+    from vkresample_tpu.core.config import Precision
+    from vkresample_tpu.parallel.distributed import build_sp_upscale_c2c_grid
+
+    plan = UpscalePlan(h=64, w=256, upscale=2.0, precision=Precision.HALF)
+    with pytest.raises(ValueError, match="c2c"):
+        build_sp_upscale_c2c_grid(plan, _mesh(2))

@@ -719,3 +719,19 @@ def test_staged_double_grid_and_c2c_banks_and_accuracy():
         v = mxu_pipeline.upscale_precas_mxu(x, plan, jax.device_put(banks))
         got = np.asarray(v, np.float64)
     assert np.abs(got - _precas_oracle_c2c(img, plan)).max() < 1e-10
+
+
+def test_c2c_routes_grid_at_every_size(monkeypatch):
+    """The c2c staged grid is the default route at EVERY size (the dense
+    5-matmul complex chain stays behind VKRESAMPLE_C2C=dense)."""
+    from vkresample_tpu.fft import mxu_pipeline
+
+    plan = UpscalePlan(
+        h=48, w=256, upscale=2.0, r2c=False, precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    banks = mxu_pipeline.make_dense_banks(plan, "float32")
+    assert banks is not None and "cg_ay" in banks
+    monkeypatch.setenv("VKRESAMPLE_C2C", "dense")
+    banks = mxu_pipeline.make_dense_banks(plan, "float32")
+    assert banks is not None and "cg_ay" not in banks

@@ -63,6 +63,9 @@ def big_grid_selected(plan) -> bool:
     from ..core.config import Precision
     from . import staged
 
+    if not plan.r2c:
+        # c2c grid routing is size-independent (see c2c_grid_selected)
+        return c2c_grid_selected(plan)
     if (
         max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX
         or plan.precision is Precision.DOUBLE
@@ -71,8 +74,6 @@ def big_grid_selected(plan) -> bool:
         or os.environ.get("VKRESAMPLE_BIG", "staged") != "staged"
     ):
         return False
-    if not plan.r2c:
-        return staged.c2c_grid_params(plan) is not None
     return (
         (plan.integer_upscale is not None and plan.integer_upscale >= 3)
         or (
@@ -80,6 +81,29 @@ def big_grid_selected(plan) -> bool:
             and staged.frac_params(plan) is not None
         )
     ) and staged.grid_supported(plan)
+
+
+def c2c_grid_selected(plan) -> bool:
+    """c2c plans route the staged GRID form at EVERY size when eligible
+    (not just >DENSE_MAX): the dense alternative is the 5-matmul complex
+    chain + full-array CAS with no parity decomposition (~3x the r2c
+    flagship time at the same shape), while the grid form gives c2c the
+    parity-plane + fused-CAS structure of the r2c fast path.
+    VKRESAMPLE_C2C=dense restores the dense chain for A/B."""
+    import os
+
+    from ..core.config import Precision
+    from . import staged
+
+    return (
+        not plan.r2c
+        and plan.precision is not Precision.DOUBLE
+        and not os.environ.get("VKRESAMPLE_NO_PARITY")
+        and os.environ.get("VKRESAMPLE_HALF_STORAGE") != "bf16"
+        and os.environ.get("VKRESAMPLE_BIG", "staged") == "staged"
+        and os.environ.get("VKRESAMPLE_C2C", "staged") != "dense"
+        and staged.c2c_grid_params(plan) is not None
+    )
 
 
 def make_dense_banks(
@@ -141,15 +165,17 @@ def make_dense_banks(
                 "c2cgrid64", staged.c2c_grid_staged_banks, plan, "float64",
                 built_dtype="float64",
             )
+    if c2c_grid_selected(plan):
+        # c2c tier at EVERY size: complex grid staged banks (detect:
+        # "cg_ay" present — fft/staged.py c2c_grid_staged).  The dense
+        # c2c chain (5 complex matmuls + full-array CAS) stays behind
+        # VKRESAMPLE_C2C=dense for A/B.
+        return _cached(
+            "c2cgrid", staged.c2c_grid_staged_banks, plan,
+            built_dtype="float32",
+        )
     if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
-        if big_grid_selected(plan):
-            if not plan.r2c:
-                # big c2c tier: complex grid staged banks (detect:
-                # "cg_ay" present — fft/staged.py c2c_grid_staged)
-                return _cached(
-                    "c2cgrid", staged.c2c_grid_staged_banks, plan,
-                    built_dtype="float32",
-                )
+        if big_grid_selected(plan) and plan.r2c:
             # u >= 3 big tier: u-generic grid staged banks (detect:
             # "sgx1_b1" present — fft/staged.py r2c_grid_staged)
             return _cached(

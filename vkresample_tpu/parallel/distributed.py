@@ -511,3 +511,318 @@ def build_sp_upscale_staged(
         return _fn(img, _banks)
 
     return run
+
+
+def _sp_grid_body(
+    img_block: jnp.ndarray, plan: UpscalePlan, banks: dict, S: int,
+    axis_name: str,
+):
+    """shard_map body for the GRID staged pencil pipeline (r2c, integer
+    u >= 2 or fractional p/q): (h/S, w, C) uint8 rows-block ->
+    (H, W/S, C) uint8 columns-block.
+
+    Mirrors fft/staged.py r2c_grid_staged with the pencil re-layout
+    inserted between the axis passes: the p x-phase planes compute
+    locally on the rows pencil and re-pencil in ONE stacked all-to-all;
+    the p^2 y convolutions run locally on the columns pencil; the rank-1
+    y-Nyquist correction row is one tiny psum.  O(p * n * n1) banks."""
+    from ..fft.staged import (
+        conv_apply_lanes,
+        conv_apply_rows,
+        grid_u,
+        staged_precision,
+    )
+
+    h, w = plan.h, plan.w
+    prec = staged_precision()
+    acc = banks["sgx1_b1"].dtype
+    u = grid_u(banks)
+    qd = banks["sgy1_m"].shape[2] // banks["sgy1_m"].shape[4]
+    x_raw = jnp.moveaxis(img_block, -1, -3)  # (C, h/S, w)
+    xf = x_raw.astype(acc)
+
+    # x phase planes — local (lane axis complete on the rows pencil)
+    signs_out = jnp.asarray((-1.0) ** (qd * np.arange(w // qd)), acc)
+    isign = jnp.asarray(
+        np.where(np.arange(w) % 2 == 0, 1, -1).astype(np.int32)
+    )
+    q = jnp.sum(
+        x_raw.astype(jnp.int32) * isign, axis=-1, keepdims=True
+    ).astype(acc)
+    xs = xf if qd == 1 else xf[..., ::qd]
+    P0 = [
+        xs * jnp.asarray(1.0 / 255.0, acc)
+        - (signs_out * q) * jnp.asarray(1.0 / (255.0 * w), acc)
+    ]
+    for rx in range(1, u):
+        P0.append(conv_apply_lanes(xf, banks, f"sgx{rx}_", prec))
+
+    # rank-1 y-Nyquist correction: psum of the (C, 1, w) signed row, then
+    # local chi convs (full w available on every shard pre-A2A)
+    idx = jax.lax.axis_index(axis_name)
+    tc = None
+    if "sg_y1n" in banks:
+        rows_loc = h // S
+        y1_loc = jax.lax.dynamic_slice_in_dim(
+            banks["sg_y1n"], idx * rows_loc, rows_loc, axis=0
+        )
+        tcorr = jax.lax.psum(
+            jnp.einsum("...hw,hr->...rw", xf, y1_loc, precision=prec),
+            axis_name,
+        )
+        tc = [
+            conv_apply_lanes(tcorr, banks, f"sgb{rx}_", prec)
+            for rx in range(u)
+        ]
+
+    # ONE all-to-all: all p x-phase planes re-penciled together
+    Pst = jnp.stack(P0)  # (p, C, h/S, w/qd)
+    Pst = jax.lax.all_to_all(
+        Pst, axis_name, split_axis=3, concat_axis=2, tiled=True
+    )  # (p, C, h, w/(qd*S))
+
+    cols = (w // qd) // S
+    if tc is not None:
+        tc = [
+            jax.lax.dynamic_slice_in_dim(t, idx * cols, cols, axis=-1)
+            for t in tc
+        ]
+    # ry = 0 planes: identity y roundtrip sampled at rows qd*m
+    planes = [
+        (Pst[rx] if qd == 1 else Pst[rx][..., ::qd, :]) for rx in range(u)
+    ]
+    rsign = jnp.asarray((-1.0) ** (qd * np.arange(h // qd)), acc)[:, None]
+    for ry in range(1, u):
+        n1 = banks[f"sgy{ry}_m"].shape[2]
+        nd = banks[f"sgy{ry}_m"].shape[4]
+        dsign = jnp.asarray((-1.0) ** (qd * np.arange(nd)), acc)[:, None]
+        for rx in range(u):
+            dc = post = None
+            if tc is not None:
+                if n1 % 2 == 0:
+                    dc = banks[f"sg_yc{ry}"] * dsign * tc[rx]
+                else:
+                    post = banks[f"sg_yc{ry}"] * rsign
+            Pyx = conv_apply_rows(Pst[rx], banks, f"sgy{ry}_", prec, dc_add=dc)
+            if post is not None:
+                Pyx = Pyx + post * tc[rx]
+            planes.append(Pyx)
+
+    # local weave (output columns are contiguous per shard: global output
+    # col = p*input col + rx), then CAS with 1-column halos
+    hq = h // qd
+    g = jnp.stack(planes)  # (p*p, C, hq, cols)
+    g = g.reshape((u, u) + g.shape[1:])
+    g = jnp.moveaxis(jnp.moveaxis(g, 0, -2), 0, -1)  # (C, hq, p, cols, p)
+    v = g.reshape(g.shape[:-4] + (u * hq, u * cols))
+    out = _cas_sharded_cols(v, plan.sharpen, axis_name)
+    out = cas_ops.quantize_u8(out)
+    return jnp.moveaxis(out, -3, -1)  # (H, W/S, C)
+
+
+@functools.lru_cache(maxsize=16)
+def build_sp_upscale_grid(
+    plan: UpscalePlan, mesh: Mesh, axis_name: str = "sp"
+) -> Callable:
+    """Grid staged pencil pipeline (r2c, any integer u >= 2 or dyadic
+    fractional p/q): one frame rows-sharded in, columns-sharded out.
+    One all-to-all + a tiny psum, O(p*n*n1) banks — the u-generic
+    any-size cross-chip tier."""
+    from ..fft import staged as staged_mod
+
+    S = mesh.shape[axis_name]
+    params = staged_mod.grid_params(plan)
+    if params is None:
+        raise ValueError(
+            "grid pencil pipeline requires a grid-staged-executable r2c "
+            "plan (integer u >= 2 or dyadic fractional, usable splits)"
+        )
+    p, qd = params
+    if plan.h % S or (plan.w // qd) % S:
+        raise ValueError(
+            f"h={plan.h} and w/q={plan.w // qd} must divide into {S} shards"
+        )
+    banks = jax.device_put(
+        {
+            k: jnp.asarray(v)
+            for k, v in staged_mod.r2c_grid_staged_banks(plan).items()
+        }
+    )
+
+    def body(img, bb):
+        return _sp_grid_body(
+            img, plan=plan, banks=bb, S=S, axis_name=axis_name
+        )
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None), jax.tree.map(lambda _: P(), banks)),
+        out_specs=P(None, axis_name, None),
+    )
+    jitfn = jax.jit(sharded)
+
+    def run(img, _fn=jitfn, _banks=banks):
+        return _fn(img, _banks)
+
+    return run
+
+
+def _sp_c2c_grid_body(
+    img_block: jnp.ndarray, plan: UpscalePlan, banks: dict, S: int,
+    axis_name: str,
+):
+    """shard_map body for the c2c GRID staged pencil pipeline:
+    (h/S, w, C) uint8 rows-block -> (H, W/S, C) uint8 columns-block.
+
+    Mirrors fft/staged.py c2c_grid_staged on the pencil layout: the p
+    x-phase planes compute locally and re-pencil in ONE stacked
+    all-to-all; the rank-1 Nyquist machinery needs only a psum of the
+    signed column-sum row (contracts over the sharded row axis) and an
+    all_gather of the (h, 1) signed row-sum column — both tiny.  CAS
+    consumes the locally-woven magnitudes with 1-column halos."""
+    from ..fft.staged import (
+        c2c_grid_u,
+        conv_apply_lanes,
+        conv_apply_rows,
+        staged_precision,
+    )
+
+    h, w = plan.h, plan.w
+    prec = staged_precision()
+    acc = banks["cgx1_b1"].dtype
+    u = c2c_grid_u(banks)
+    qd = banks["cgy1_m"].shape[2] // banks["cgy1_m"].shape[4]
+    x_raw = jnp.moveaxis(img_block, -1, -3)  # (C, h/S, w)
+    xf = x_raw.astype(acc)
+    inv255 = jnp.asarray(1.0 / 255.0, acc)
+    idx = jax.lax.axis_index(axis_name)
+    rows_loc = h // S
+
+    # signed sums: qcol contracts over the SHARDED row axis -> local
+    # partial with this shard's sign slice, then a psum of one row;
+    # prow is local (lane axis complete) and all_gathers to full height
+    isy_full = np.where(np.arange(h) % 2 == 0, 1, -1).astype(np.int32)
+    isy_loc = jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(isy_full), idx * rows_loc, rows_loc, axis=0
+    )
+    isx = jnp.asarray(
+        np.where(np.arange(w) % 2 == 0, 1, -1).astype(np.int32)
+    )
+    xi = x_raw.astype(jnp.int32)
+    qcol_i = jax.lax.psum(
+        jnp.sum(xi * isy_loc[:, None], axis=-2, keepdims=True), axis_name
+    )
+    qcol = qcol_i.astype(acc)  # (C, 1, w), full on every shard
+    prow_loc = jnp.sum(xi * isx, axis=-1, keepdims=True).astype(acc)
+    prow = jax.lax.all_gather(
+        prow_loc, axis_name, axis=-2, tiled=True
+    )  # (C, h, 1), full on every shard
+    Sn = (
+        jnp.sum(qcol_i * isx, axis=-1, keepdims=True).astype(acc) * inv255
+    )  # (C, 1, 1)
+
+    # x phase planes — local; rank-1 vectors reuse the plane banks
+    xs = xf if qd == 1 else xf[..., ::qd]
+    A = [xs * inv255]
+    V = [(qcol if qd == 1 else qcol[..., ::qd]) * inv255]
+    for rx in range(1, u):
+        A.append(conv_apply_lanes(xf, banks, f"cgx{rx}_", prec))
+        V.append(conv_apply_lanes(qcol, banks, f"cgx{rx}_", prec))
+    Wv = [(prow if qd == 1 else prow[..., ::qd, :]) * inv255]
+    for ry in range(1, u):
+        Wv.append(
+            conv_apply_rows(prow, banks, f"cgy{ry}_", prec) * inv255
+        )
+
+    # ONE all-to-all: all p x-phase planes re-penciled together
+    Pst = jnp.stack(A)  # (p, C, h/S, w/qd)
+    Pst = jax.lax.all_to_all(
+        Pst, axis_name, split_axis=3, concat_axis=2, tiled=True
+    )  # (p, C, h, w/(qd*S))
+
+    cols = (w // qd) // S
+    V = [
+        jax.lax.dynamic_slice_in_dim(v, idx * cols, cols, axis=-1)
+        for v in V
+    ]
+    sYo = jnp.asarray((-1.0) ** (qd * np.arange(h // qd)), acc)[:, None]
+    sXo_full = jnp.asarray((-1.0) ** (qd * np.arange(w // qd)), acc)
+    sXo = jax.lax.dynamic_slice_in_dim(sXo_full, idx * cols, cols, axis=0)
+
+    planes = []
+    for ry in range(u):
+        ayv = banks["cg_ay"][ry]
+        for rx in range(u):
+            axv = banks["cg_ax"][rx]
+            if ry == 0:
+                re = Pst[rx] if qd == 1 else Pst[rx][..., ::qd, :]
+            else:
+                re = conv_apply_rows(Pst[rx], banks, f"cgy{ry}_", prec)
+                if rx:
+                    re = re - (ayv * axv) * Sn * (sYo * sXo)
+            if ry == 0 and rx == 0:
+                P = jnp.abs(re)
+            else:
+                im = jnp.asarray(0.0, acc)
+                if rx:
+                    im = im + axv * sXo * Wv[ry]
+                if ry:
+                    im = im + ayv * sYo * V[rx]
+                P = jnp.sqrt(re * re + im * im)
+            planes.append(P)
+
+    hq = h // qd
+    g = jnp.stack(planes).reshape((u, u) + planes[0].shape)
+    g = jnp.moveaxis(jnp.moveaxis(g, 0, -2), 0, -1)  # (C, hq, ry, cols, rx)
+    v = g.reshape(g.shape[:-4] + (u * hq, u * cols))
+    out = _cas_sharded_cols(v, plan.sharpen, axis_name)
+    out = cas_ops.quantize_u8(out)
+    return jnp.moveaxis(out, -3, -1)  # (H, W/S, C)
+
+
+@functools.lru_cache(maxsize=16)
+def build_sp_upscale_c2c_grid(
+    plan: UpscalePlan, mesh: Mesh, axis_name: str = "sp"
+) -> Callable:
+    """c2c grid staged pencil pipeline: one frame rows-sharded in,
+    columns-sharded out.  One all-to-all + two tiny collectives for the
+    rank-1 Nyquist sums, O(p*n*n1) banks."""
+    from ..fft import staged as staged_mod
+
+    S = mesh.shape[axis_name]
+    params = staged_mod.c2c_grid_params(plan)
+    if params is None:
+        raise ValueError(
+            "c2c grid pencil pipeline requires a c2c-grid-staged-"
+            "executable plan (integer u >= 2 or dyadic fractional)"
+        )
+    p, qd = params
+    if plan.h % S or (plan.w // qd) % S:
+        raise ValueError(
+            f"h={plan.h} and w/q={plan.w // qd} must divide into {S} shards"
+        )
+    banks = jax.device_put(
+        {
+            k: jnp.asarray(v)
+            for k, v in staged_mod.c2c_grid_staged_banks(plan).items()
+        }
+    )
+
+    def body(img, bb):
+        return _sp_c2c_grid_body(
+            img, plan=plan, banks=bb, S=S, axis_name=axis_name
+        )
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None), jax.tree.map(lambda _: P(), banks)),
+        out_specs=P(None, axis_name, None),
+    )
+    jitfn = jax.jit(sharded)
+
+    def run(img, _fn=jitfn, _banks=banks):
+        return _fn(img, _banks)
+
+    return run
