@@ -41,3 +41,29 @@ def test_fuzz_matches_oracle(h, w, u, r2c, engine, sharpen):
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, (
         h, w, u, r2c, engine, sharpen,
     )
+
+
+# the staged grid routes gate on w % 128 == 0, which the random sizes
+# above almost never produce — pin a lane-aligned slice so the c2c grid
+# (any-size default) and fractional quad/grid forms stay fuzz-covered
+@pytest.mark.parametrize(
+    "h,w,u,r2c",
+    [
+        (48, 128, 2.0, False),
+        (36, 256, 3.0, False),
+        (64, 128, 1.5, False),
+        (48, 256, 2.5, False),
+        (64, 128, 1.5, True),
+        (56, 256, 2.0, True),
+    ],
+)
+def test_fuzz_lane_aligned_grid_routes(h, w, u, r2c):
+    img = make_test_image(h, w, 3, seed=h * 7 + w)
+    plan = UpscalePlan(
+        h=h, w=w, upscale=u, r2c=r2c, engine=Engine.MXU,
+        precision=Precision.HALF,
+    )
+    got = np.asarray(upscale(img, u, plan=plan))
+    want = oracle.upscale_oracle(img, plan)
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
