@@ -81,3 +81,29 @@ def test_batched_planes_out_sharded():
     if len(planes) == 2:
         np.testing.assert_array_equal(np.asarray(planes[0]), woven[:, :, 0::2, :])
         np.testing.assert_array_equal(np.asarray(planes[1]), woven[:, :, 1::2, :])
+
+
+def test_batched_c2c_grid_planes_sharded():
+    """c2c grid planes over the dp mesh: the p^2-plane tuple shards on
+    the batch axis and weaves back to the oracle result."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vkresample_tpu.core.config import Engine, Precision
+    from vkresample_tpu.core.plan import UpscalePlan
+    from vkresample_tpu.oracle import numpy_ref as oracle
+    from vkresample_tpu.pipeline.batched import build_batched_upscale
+
+    n = jax.device_count()
+    mesh = Mesh(np.array(jax.devices()), axis_names=("dp",))
+    plan = UpscalePlan(h=32, w=128, upscale=2.0, r2c=False,
+                       precision=Precision.HALF, engine=Engine.MXU)
+    woven_fn = build_batched_upscale(plan, mesh, planar_out=True)
+    imgs = np.random.default_rng(71).integers(
+        0, 256, (2 * n, 32, 128, 3), np.uint8
+    )
+    woven = np.asarray(woven_fn(imgs))
+    want = oracle.upscale_oracle(imgs[0], plan)
+    assert np.abs(
+        np.moveaxis(woven[0], 0, -1).astype(int) - want.astype(int)
+    ).max() <= 1
