@@ -47,17 +47,18 @@ DENSE_INT8_MAX = 16384
 
 
 def big_grid_selected(plan) -> bool:
-    """True when make_dense_banks will return a GRID staged bank set:
-    big-tier (>DENSE_MAX) plans that run as a p x p grid of phase planes
-    — r2c with integer u >= 3 OR a fractional factor p/q
-    (staged.frac_params), and c2c with any integer u >= 2 or fractional
-    factor (staged.c2c_grid_params — complex planes via the rank-1
-    Nyquist algebra, CAS on the magnitudes).  The generalization of the
-    u=2 staged quad tier — without it these frames fall to the ~3x
-    slower phases route (integer u) or the big-spectrum route
-    (fractional — which materializes the full H x W complex spectrum and
-    does not survive >8K on one chip).  Reference bar: any size at full
-    speed via multi-upload FFTs, vkFFT.h:4733-4771."""
+    """True when make_dense_banks will return a GRID staged bank set
+    (p x p phase planes).  NOTE the size semantics differ by mode:
+    r2c grid selection is big-tier only (>DENSE_MAX, integer u >= 3 or
+    fractional p/q via staged.frac_params — below the cap the dense
+    tiers win); c2c grid selection is SIZE-INDEPENDENT (delegates to
+    c2c_grid_selected: the dense c2c alternative has no parity
+    decomposition, so the grid form is the default at every size).
+    Without the grid tiers these frames fall to the ~3x slower phases
+    route (integer u) or the big-spectrum route (fractional — which
+    materializes the full H x W complex spectrum and does not survive
+    >8K on one chip).  Reference bar: any size at full speed via
+    multi-upload FFTs, vkFFT.h:4733-4771."""
     import os
 
     from ..core.config import Precision

@@ -703,6 +703,33 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
 # (reference bar: any-size multi-upload FFTs, vkFFT.h:4733-4771).
 
 
+def _exact_fraction(plan):
+    """(p, q) of the plan's upscale as an EXACT dyadic-ish rational, or
+    None.  Every IEEE float is rational (-u 1.5 -> 3/2, -u 1.25 -> 5/4);
+    non-dyadic floats produce astronomical q and are rejected, as are
+    integer factors (q == 1) and geometries where the exact rational
+    doesn't reproduce the plan's truncated output dims.  Shared by
+    frac_params (r2c) and c2c_grid_params so both tiers accept the same
+    fractional factors."""
+    from fractions import Fraction
+
+    try:
+        uf = Fraction(plan.upscale).limit_denominator(64)
+    except (ValueError, OverflowError):
+        return None
+    if float(uf) != float(np.float32(plan.upscale)) or uf.denominator == 1:
+        return None
+    p, q = uf.numerator, uf.denominator
+    if (
+        plan.h % q
+        or plan.w % q
+        or plan.H != p * plan.h // q
+        or plan.W != p * plan.w // q
+    ):
+        return None
+    return p, q
+
+
 def frac_params(plan):
     """(p, q) for the FRACTIONAL staged grid route, or None.
 
@@ -724,19 +751,12 @@ def frac_params(plan):
 
     if not plan.r2c or plan.integer_upscale is not None:
         return None
-    try:
-        uf = Fraction(plan.upscale).limit_denominator(64)
-    except (ValueError, OverflowError):
+    params = _exact_fraction(plan)
+    if params is None:
         return None
-    if float(uf) != float(np.float32(plan.upscale)) or uf.denominator == 1:
-        return None
-    p, q = uf.numerator, uf.denominator
+    p, q = params
     if (
-        plan.h % q
-        or plan.w % q
-        or plan.H != p * plan.h // q
-        or plan.W != p * plan.w // q
-        or plan.h % 2
+        plan.h % 2
         or plan.w % 2
         # all y bins kept (identity y roundtrip at ry=0) and the exact
         # x band [0, w/2): guards against C-float band-edge truncation
@@ -968,20 +988,10 @@ def c2c_grid_params(plan):
             return None
         p, q = plan.integer_upscale, 1
     else:
-        try:
-            uf = Fraction(plan.upscale).limit_denominator(64)
-        except (ValueError, OverflowError):
+        params = _exact_fraction(plan)
+        if params is None:
             return None
-        if float(uf) != float(np.float32(plan.upscale)) or uf.denominator == 1:
-            return None
-        p, q = uf.numerator, uf.denominator
-        if (
-            plan.h % q
-            or plan.w % q
-            or plan.H != p * plan.h // q
-            or plan.W != p * plan.w // q
-        ):
-            return None
+        p, q = params
     if (
         plan.kept_lo_y + plan.kept_hi_y != plan.h
         or plan.kept_lo_x + plan.kept_hi_x != plan.w
@@ -1065,8 +1075,16 @@ def c2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
         prow_i = jnp.sum(xi * isx, axis=-1, keepdims=True)
         qcol = qcol_i.astype(acc)  # (..., C, 1, w)
         prow = prow_i.astype(acc)  # (..., C, h, 1)
-        S = jnp.sum(prow_i * isy[:, None], axis=-2, keepdims=True).astype(
-            acc
+        # the double sum S can reach 255*h*w/2 (> 2^31 at 4096x8192 on
+        # checkerboard-heavy content) — the second reduction must leave
+        # int32.  prow_i <= 255*w is f32-exact (< 2^24); the summation
+        # rounding is ~2^-24 relative on a term scaled by 1/(h*w), far
+        # below u8 resolution, and the tiny (h,1) reduction shares no
+        # operand with the x conv (no qint scheduling hazard).
+        S = jnp.sum(
+            prow * jnp.asarray((-1.0) ** np.arange(h), acc)[:, None],
+            axis=-2,
+            keepdims=True,
         )  # (..., C, 1, 1)
     else:
         fsy = jnp.asarray((-1.0) ** np.arange(h), acc)
@@ -1097,7 +1115,27 @@ def c2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
         Am = [load(a) for a in As]
     sYo = jnp.asarray((-1.0) ** (qd * np.arange(h // qd)), acc)[:, None]
     sXo = jnp.asarray((-1.0) ** (qd * np.arange(w // qd)), acc)
-    Sn = S * inv255
+    return c2c_planes_from_pencils(
+        Am, V, Wv, S * inv255, banks, precision, sYo, sXo, qd, store=store
+    )
+
+
+def c2c_planes_from_pencils(
+    Pcols, V, Wv, Sn, banks, precision, sYo, sXo, qd, store=None
+):
+    """Assemble the p^2 c2c magnitude planes from the column-pencil
+    x-phase planes and rank-1 Nyquist pieces.  Shared by the
+    single-device form (c2c_grid_staged) and the sp pencil form
+    (parallel/distributed._sp_c2c_grid_body, which passes V and sXo
+    pre-sliced to its local columns) so the re/im algebra lives in ONE
+    place.
+
+    Pcols: p x-phase planes, full rows (cols possibly sharded).
+    V:     p rank-1 column vectors C_x (X^T s_y), (..., 1, cols).
+    Wv:    p rank-1 row vectors C_y (X s_x), (..., rows_out, 1).
+    Sn:    the signed double sum (s_y^T X s_x) / 255, (..., 1, 1).
+    """
+    u = c2c_grid_u(banks)
     planes = []
     for ry in range(u):
         ayv = banks["cg_ay"][ry]
@@ -1107,19 +1145,24 @@ def c2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
                 # identity y roundtrip: a row subsample of the (stored)
                 # x-phase plane — re-derived from the loaded value so the
                 # magnitude applies post-codec, like every other plane
-                re = Am[rx] if qd == 1 else Am[rx][..., ::qd, :]
+                re = Pcols[rx] if qd == 1 else Pcols[rx][..., ::qd, :]
             else:
-                re = conv_apply_rows(Am[rx], banks, f"cgy{ry}_", precision)
+                re = conv_apply_rows(
+                    Pcols[rx], banks, f"cgy{ry}_", precision
+                )
                 if rx:
                     re = re - (ayv * axv) * Sn * (sYo * sXo)
             if ry == 0 and rx == 0:
                 P = jnp.abs(re)
             else:
-                im = jnp.asarray(0.0, acc)
-                if rx:
-                    im = im + axv * sXo * Wv[ry]
-                if ry:
-                    im = im + ayv * sYo * V[rx]
+                # a_0 == 0 exactly: gate the rank-1 terms statically so
+                # the identity phases don't trace dead broadcasts
+                if ry and rx:
+                    im = axv * sXo * Wv[ry] + ayv * sYo * V[rx]
+                elif rx:
+                    im = axv * sXo * Wv[ry]
+                else:
+                    im = ayv * sYo * V[rx]
                 P = jnp.sqrt(re * re + im * im)
             planes.append(P if store is None else store(P))
     return tuple(planes)

@@ -683,6 +683,7 @@ def _sp_c2c_grid_body(
     consumes the locally-woven magnitudes with 1-column halos."""
     from ..fft.staged import (
         c2c_grid_u,
+        c2c_planes_from_pencils,
         conv_apply_lanes,
         conv_apply_rows,
         staged_precision,
@@ -718,8 +719,16 @@ def _sp_c2c_grid_body(
     prow = jax.lax.all_gather(
         prow_loc, axis_name, axis=-2, tiled=True
     )  # (C, h, 1), full on every shard
+    # second reduction leaves int32 BEFORE summing: the double sum can
+    # exceed 2^31 on large frames (see staged.c2c_grid_staged); qcol_i
+    # entries (<= 255*h) are f32-exact
     Sn = (
-        jnp.sum(qcol_i * isx, axis=-1, keepdims=True).astype(acc) * inv255
+        jnp.sum(
+            qcol * jnp.asarray((-1.0) ** np.arange(w), acc),
+            axis=-1,
+            keepdims=True,
+        )
+        * inv255
     )  # (C, 1, 1)
 
     # x phase planes — local; rank-1 vectors reuse the plane banks
@@ -750,27 +759,11 @@ def _sp_c2c_grid_body(
     sXo_full = jnp.asarray((-1.0) ** (qd * np.arange(w // qd)), acc)
     sXo = jax.lax.dynamic_slice_in_dim(sXo_full, idx * cols, cols, axis=0)
 
-    planes = []
-    for ry in range(u):
-        ayv = banks["cg_ay"][ry]
-        for rx in range(u):
-            axv = banks["cg_ax"][rx]
-            if ry == 0:
-                re = Pst[rx] if qd == 1 else Pst[rx][..., ::qd, :]
-            else:
-                re = conv_apply_rows(Pst[rx], banks, f"cgy{ry}_", prec)
-                if rx:
-                    re = re - (ayv * axv) * Sn * (sYo * sXo)
-            if ry == 0 and rx == 0:
-                P = jnp.abs(re)
-            else:
-                im = jnp.asarray(0.0, acc)
-                if rx:
-                    im = im + axv * sXo * Wv[ry]
-                if ry:
-                    im = im + ayv * sYo * V[rx]
-                P = jnp.sqrt(re * re + im * im)
-            planes.append(P)
+    # shared re/im plane algebra (fft/staged.py) with the pencil's
+    # pre-sliced V/sXo — the rank-1 math lives in ONE place
+    planes = c2c_planes_from_pencils(
+        [Pst[rx] for rx in range(u)], V, Wv, Sn, banks, prec, sYo, sXo, qd
+    )
 
     hq = h // qd
     g = jnp.stack(planes).reshape((u, u) + planes[0].shape)
