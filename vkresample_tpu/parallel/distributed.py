@@ -321,6 +321,32 @@ def _sp_dense_body(
     return jnp.moveaxis(out, -3, -1)  # (H, W/S, C)
 
 
+def _build_sp_banked(plan, mesh, axis_name, banks_np, body_fn):
+    """Shared scaffolding of the banked pencil builders: device-put the
+    banks, shard_map the body (frame rows-sharded in, columns-sharded
+    out, banks replicated), jit, and close over the resident banks."""
+    S = mesh.shape[axis_name]
+    banks = jax.device_put(
+        {k: jnp.asarray(v) for k, v in banks_np.items()}
+    )
+
+    def body(img, bb):
+        return body_fn(img, plan=plan, banks=bb, S=S, axis_name=axis_name)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None, None), jax.tree.map(lambda _: P(), banks)),
+        out_specs=P(None, axis_name, None),
+    )
+    jitfn = jax.jit(sharded)
+
+    def run(img, _fn=jitfn, _banks=banks):
+        return _fn(img, _banks)
+
+    return run
+
+
 @functools.lru_cache(maxsize=16)
 def build_sp_upscale_dense(
     plan: UpscalePlan, mesh: Mesh, axis_name: str = "sp"
@@ -341,23 +367,9 @@ def build_sp_upscale_dense(
         raise ValueError(
             f"h={plan.h} and W={plan.W} must divide into {S} shards"
         )
-    banks = jax.device_put(make_dense_banks(plan))
-
-    def body(img, bb):
-        return _sp_dense_body(img, plan=plan, banks=bb, S=S, axis_name=axis_name)
-
-    sharded = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis_name, None, None), jax.tree.map(lambda _: P(), banks)),
-        out_specs=P(None, axis_name, None),
+    return _build_sp_banked(
+        plan, mesh, axis_name, make_dense_banks(plan), _sp_dense_body
     )
-    jitfn = jax.jit(sharded)
-
-    def run(img, _fn=jitfn, _banks=banks):
-        return _fn(img, _banks)
-
-    return run
 
 
 def _sp_staged_body(
@@ -487,30 +499,9 @@ def build_sp_upscale_staged(
         raise ValueError(
             f"h={plan.h} and w={plan.w} must divide into {S} shards"
         )
-    banks = jax.device_put(
-        {
-            k: jnp.asarray(v)
-            for k, v in staged_mod.r2c_quad_staged_banks(plan).items()
-        }
+    return _build_sp_banked(
+        plan, mesh, axis_name, staged_mod.r2c_quad_staged_banks(plan), _sp_staged_body
     )
-
-    def body(img, bb):
-        return _sp_staged_body(
-            img, plan=plan, banks=bb, S=S, axis_name=axis_name
-        )
-
-    sharded = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis_name, None, None), jax.tree.map(lambda _: P(), banks)),
-        out_specs=P(None, axis_name, None),
-    )
-    jitfn = jax.jit(sharded)
-
-    def run(img, _fn=jitfn, _banks=banks):
-        return _fn(img, _banks)
-
-    return run
 
 
 def _sp_grid_body(
@@ -642,30 +633,9 @@ def build_sp_upscale_grid(
         raise ValueError(
             f"h={plan.h} and w/q={plan.w // qd} must divide into {S} shards"
         )
-    banks = jax.device_put(
-        {
-            k: jnp.asarray(v)
-            for k, v in staged_mod.r2c_grid_staged_banks(plan).items()
-        }
+    return _build_sp_banked(
+        plan, mesh, axis_name, staged_mod.r2c_grid_staged_banks(plan), _sp_grid_body
     )
-
-    def body(img, bb):
-        return _sp_grid_body(
-            img, plan=plan, banks=bb, S=S, axis_name=axis_name
-        )
-
-    sharded = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis_name, None, None), jax.tree.map(lambda _: P(), banks)),
-        out_specs=P(None, axis_name, None),
-    )
-    jitfn = jax.jit(sharded)
-
-    def run(img, _fn=jitfn, _banks=banks):
-        return _fn(img, _banks)
-
-    return run
 
 
 def _sp_c2c_grid_body(
@@ -795,27 +765,6 @@ def build_sp_upscale_c2c_grid(
         raise ValueError(
             f"h={plan.h} and w/q={plan.w // qd} must divide into {S} shards"
         )
-    banks = jax.device_put(
-        {
-            k: jnp.asarray(v)
-            for k, v in staged_mod.c2c_grid_staged_banks(plan).items()
-        }
+    return _build_sp_banked(
+        plan, mesh, axis_name, staged_mod.c2c_grid_staged_banks(plan), _sp_c2c_grid_body
     )
-
-    def body(img, bb):
-        return _sp_c2c_grid_body(
-            img, plan=plan, banks=bb, S=S, axis_name=axis_name
-        )
-
-    sharded = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis_name, None, None), jax.tree.map(lambda _: P(), banks)),
-        out_specs=P(None, axis_name, None),
-    )
-    jitfn = jax.jit(sharded)
-
-    def run(img, _fn=jitfn, _banks=banks):
-        return _fn(img, _banks)
-
-    return run
