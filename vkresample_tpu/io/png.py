@@ -24,6 +24,19 @@ _lib_lock = threading.Lock()
 _lib_failed = False
 
 
+def _encode_err(rc, path) -> str:
+    """Encode-failure message with the usual cause spelled out (the
+    reference's stbi_write_png silently writes nothing on failure,
+    VkResample.cpp:1754 — we raise instead)."""
+    import os
+
+    d = os.path.dirname(str(path)) or "."
+    hint = "" if os.path.isdir(d) else f" (output directory {d!r} does not exist)"
+    return f"PNG encode failed ({rc}): {path}{hint}"
+
+
+
+
 def _load_native() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
@@ -223,7 +236,7 @@ def write_png_planar(path: str, img: np.ndarray, compression_level: int = 6) -> 
             compression_level,
         )
         if rc != 0:
-            raise OSError(f"PNG encode failed ({rc}): {path}")
+            raise OSError(_encode_err(rc, path))
         return
     write_png(path, np.moveaxis(img, 0, -1), compression_level)
 
@@ -251,7 +264,7 @@ def write_png_planar_parity(
             compression_level,
         )
         if rc != 0:
-            raise OSError(f"PNG encode failed ({rc}): {path}")
+            raise OSError(_encode_err(rc, path))
         return
     img = np.stack([e, d], axis=2).reshape(3, 2 * h2, w)  # host weave
     write_png(path, np.moveaxis(img, 0, -1), compression_level)
@@ -280,7 +293,7 @@ def write_png_planar_parity4(
             compression_level,
         )
         if rc != 0:
-            raise OSError(f"PNG encode failed ({rc}): {path}")
+            raise OSError(_encode_err(rc, path))
         return
     img = weave4_host(*ps)
     write_png(path, np.moveaxis(img, 0, -1), compression_level)
@@ -308,7 +321,7 @@ def write_png_planar_grid(
             path.encode(), ptrs, u, u * wss, u * hs, compression_level
         )
         if rc != 0:
-            raise OSError(f"PNG encode failed ({rc}): {path}")
+            raise OSError(_encode_err(rc, path))
         return
     img = weave_grid_host(ps, u)
     write_png(path, np.moveaxis(img, 0, -1), compression_level)
@@ -351,7 +364,7 @@ def write_png(path: str, img: np.ndarray, compression_level: int = 6) -> None:
             compression_level,
         )
         if rc != 0:
-            raise OSError(f"PNG encode failed ({rc}): {path}")
+            raise OSError(_encode_err(rc, path))
         return
     from PIL import Image
 
@@ -449,7 +462,7 @@ class PngPool:
             )
             for i, st in enumerate(status):
                 if st != 0:
-                    raise OSError(f"PNG encode failed ({st}): {paths[i]}")
+                    raise OSError(_encode_err(st, paths[i]))
             return
         futs = [
             self._exec.submit(write_png, p, data[i], compression_level)
@@ -482,7 +495,7 @@ class PngPool:
             )
             for i, st in enumerate(status):
                 if st != 0:
-                    raise OSError(f"PNG encode failed ({st}): {paths[i]}")
+                    raise OSError(_encode_err(st, paths[i]))
             return
         self.encode_batch(paths, np.moveaxis(data, 1, -1), compression_level)
 
@@ -515,7 +528,7 @@ class PngPool:
             )
             for i, st in enumerate(status):
                 if st != 0:
-                    raise OSError(f"PNG encode failed ({st}): {paths[i]}")
+                    raise OSError(_encode_err(st, paths[i]))
             return
         img = np.stack([e, d], axis=3).reshape(n, 3, 2 * h2, w)
         self.encode_batch(paths, np.moveaxis(img, 1, -1), compression_level)
@@ -545,7 +558,7 @@ class PngPool:
             )
             for i, st in enumerate(status):
                 if st != 0:
-                    raise OSError(f"PNG encode failed ({st}): {paths[i]}")
+                    raise OSError(_encode_err(st, paths[i]))
             return
         img = weave4_host(*ps)  # (N, 3, H, W)
         self.encode_batch(paths, np.moveaxis(img, 1, -1), compression_level)
@@ -583,7 +596,7 @@ class PngPool:
             )
             for i, st in enumerate(status):
                 if st != 0:
-                    raise OSError(f"PNG encode failed ({st}): {paths[i]}")
+                    raise OSError(_encode_err(st, paths[i]))
             return
         img = weave_grid_host(ps, u)  # (N, 3, H, W)
         self.encode_batch(paths, np.moveaxis(img, 1, -1), compression_level)
