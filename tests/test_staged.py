@@ -735,3 +735,19 @@ def test_c2c_routes_grid_at_every_size(monkeypatch):
     monkeypatch.setenv("VKRESAMPLE_C2C", "dense")
     banks = mxu_pipeline.make_dense_banks(plan, "float32")
     assert banks is not None and "cg_ay" not in banks
+
+
+def test_c2c_exotic_fraction_stays_dense_below_cap():
+    """-u 2.75 (= 11/4 -> 121 phase planes) keeps the dense c2c chain
+    below DENSE_MAX; above the cap the grid is the only surviving tier,
+    any p."""
+    from vkresample_tpu.fft import mxu_pipeline
+
+    plan = UpscalePlan(
+        h=64, w=512, upscale=2.75, r2c=False, precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    assert staged.c2c_grid_params(plan) == (11, 4)
+    assert not mxu_pipeline.c2c_grid_selected(plan)
+    banks = mxu_pipeline.make_dense_banks(plan, "float32")
+    assert banks is not None and "cg_ay" not in banks

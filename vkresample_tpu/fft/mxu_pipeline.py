@@ -96,15 +96,25 @@ def c2c_grid_selected(plan) -> bool:
     from ..core.config import Precision
     from . import staged
 
-    return (
-        not plan.r2c
-        and plan.precision is not Precision.DOUBLE
-        and not os.environ.get("VKRESAMPLE_NO_PARITY")
-        and os.environ.get("VKRESAMPLE_HALF_STORAGE") != "bf16"
-        and os.environ.get("VKRESAMPLE_BIG", "staged") == "staged"
-        and os.environ.get("VKRESAMPLE_C2C", "staged") != "dense"
-        and staged.c2c_grid_params(plan) is not None
-    )
+    if (
+        plan.r2c
+        or plan.precision is Precision.DOUBLE
+        or os.environ.get("VKRESAMPLE_NO_PARITY")
+        or os.environ.get("VKRESAMPLE_HALF_STORAGE") == "bf16"
+        or os.environ.get("VKRESAMPLE_BIG", "staged") != "staged"
+        or os.environ.get("VKRESAMPLE_C2C", "staged") == "dense"
+    ):
+        return False
+    params = staged.c2c_grid_params(plan)
+    if params is None:
+        return False
+    # below the dense cap, a large phase count p means p^2 small planes
+    # and 2p bank sets — the dense chain stays the better route for
+    # exotic fractions (e.g. -u 2.75 = 11/4 -> 121 planes); above the
+    # cap the grid is the only tier that survives, any p
+    if max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX and params[0] > 4:
+        return False
+    return True
 
 
 def make_dense_banks(
