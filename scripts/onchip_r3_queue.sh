@@ -29,6 +29,9 @@ run smoke vkresample -i /tmp/vkrtest/in.png -o /tmp/vkrtest/out.png -u 2 -n 2
 # 1. c2c route A/B at flagship (grid vs dense; oracle pin + 3 passes)
 run c2c_ab python scripts/c2c_route_ab.py
 
+# 1b. small fractional route A/B (grid opt-in vs dense big-spectrum)
+run frac_ab python scripts/frac_route_ab.py
+
 # 2. big FRACTIONAL tier validate: 4608x6144 -u 1.5 -> 6912x9216
 run bigfrac vkresample -i /tmp/vkrtest/bigfrac_in.png \
   -o /tmp/vkrtest/bigfrac_out.png -u 1.5 -p 2 -validate

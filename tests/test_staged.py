@@ -751,3 +751,38 @@ def test_c2c_exotic_fraction_stays_dense_below_cap():
     assert not mxu_pipeline.c2c_grid_selected(plan)
     banks = mxu_pipeline.make_dense_banks(plan, "float32")
     assert banks is not None and "cg_ay" not in banks
+
+
+def test_frac_grid_optin_below_cap(monkeypatch):
+    """VKRESAMPLE_FRAC=grid opts small fractional r2c frames onto the
+    grid staged route (default below DENSE_MAX stays the dense
+    big-spectrum mode); the opted-in route matches the oracle."""
+    import functools
+
+    from vkresample_tpu.fft import mxu_pipeline
+    from vkresample_tpu.io.png import weave_grid_host
+    from vkresample_tpu.pipeline import upscale as up
+
+    plan = UpscalePlan(
+        h=64, w=256, upscale=1.5, precision=Precision.HALF, engine=Engine.MXU
+    )
+    assert not mxu_pipeline.big_grid_selected(plan)
+    banks = mxu_pipeline.make_dense_banks(plan, "float32")
+    assert banks is not None and "sgx1_b1" not in banks
+    monkeypatch.setenv("VKRESAMPLE_FRAC", "grid")
+    assert mxu_pipeline.big_grid_selected(plan)
+    assert up.planes_format(plan) in (None, "grid")
+    banks = mxu_pipeline.make_dense_banks(plan, "float32", planes=True)
+    assert banks is not None and "sgx1_b1" in banks
+    monkeypatch.setattr(up, "_use_pallas_cas", lambda p: True)
+    banks = jax.device_put({k: jnp.asarray(v) for k, v in banks.items()})
+    img = np.random.default_rng(37).integers(0, 256, (64, 256, 3), np.uint8)
+    outs = jax.jit(
+        functools.partial(
+            up._pipeline, plan=plan, engine=Engine.MXU,
+            planar_out=True, planes_out=True,
+        )
+    )(jnp.asarray(img), banks)
+    got = weave_grid_host([np.asarray(p) for p in outs], 3)
+    want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -68,13 +68,23 @@ def big_grid_selected(plan) -> bool:
         # c2c grid routing is size-independent (see c2c_grid_selected)
         return c2c_grid_selected(plan)
     if (
-        max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX
-        or plan.precision is Precision.DOUBLE
+        plan.precision is Precision.DOUBLE
         or os.environ.get("VKRESAMPLE_NO_PARITY")
         or os.environ.get("VKRESAMPLE_HALF_STORAGE") == "bf16"
         or os.environ.get("VKRESAMPLE_BIG", "staged") != "staged"
     ):
         return False
+    if max(plan.h, plan.w, plan.H, plan.W) <= DENSE_MAX:
+        # small fractional r2c normally takes the dense big-spectrum
+        # mode; VKRESAMPLE_FRAC=grid opts the grid form in for A/B (the
+        # dense alternative materializes the full H x W complex
+        # spectrum, so the grid may win here even below the cap —
+        # unverified on-chip, hence opt-in)
+        return (
+            os.environ.get("VKRESAMPLE_FRAC") == "grid"
+            and plan.integer_upscale is None
+            and staged.frac_params(plan) is not None
+        )
     return (
         (plan.integer_upscale is not None and plan.integer_upscale >= 3)
         or (
@@ -185,14 +195,16 @@ def make_dense_banks(
             "c2cgrid", staged.c2c_grid_staged_banks, plan,
             built_dtype="float32",
         )
+    if plan.r2c and big_grid_selected(plan):
+        # u >= 3 / fractional grid tier: u-generic grid staged banks
+        # (detect: "sgx1_b1" present — fft/staged.py r2c_grid_staged).
+        # Size-gating lives in big_grid_selected (big-tier by default;
+        # VKRESAMPLE_FRAC=grid opts small fractional frames in for A/B).
+        return _cached(
+            "grid", staged.r2c_grid_staged_banks, plan,
+            built_dtype="float32",
+        )
     if max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
-        if big_grid_selected(plan) and plan.r2c:
-            # u >= 3 big tier: u-generic grid staged banks (detect:
-            # "sgx1_b1" present — fft/staged.py r2c_grid_staged)
-            return _cached(
-                "grid", staged.r2c_grid_staged_banks, plan,
-                built_dtype="float32",
-            )
         quad_geom = (
             plan.r2c
             and plan.integer_upscale == 2
