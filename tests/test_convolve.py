@@ -139,3 +139,44 @@ def test_linear_convolution_batched():
             for dx in range(3):
                 want[dy : dy + 8, dx : dx + 8] += k[dy, dx] * x[b]
         np.testing.assert_allclose(got[b], want, atol=1e-4)
+
+
+def test_separable_kernel_takes_fused_staged_path():
+    """Concrete separable kernels (Gaussian) fold into the staged conv
+    banks — no spectrum materializes — and match the jnp.fft reference;
+    VKRESAMPLE_CONV_SEPARABLE=0 restores the spectrum path with the same
+    pixels."""
+    import os
+
+    import jax.numpy as jnp
+
+    from vkresample_tpu.ops.convolve import (
+        _separable_factors,
+        fft_convolve2d,
+        gaussian_kernel,
+    )
+
+    h, w = 48, 64
+    k = gaussian_kernel(h, w, 2.5)
+    sep = _separable_factors(k)
+    assert sep is not None
+    assert np.abs(np.outer(sep[0], sep[1]) - k).max() < 1e-7
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, h, w)).astype(np.float32)
+    want = np.real(
+        np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(k.astype(np.float64)))
+    )
+    got = np.asarray(fft_convolve2d(jnp.asarray(x), k))
+    assert np.abs(got - want).max() < 1e-5
+    os.environ["VKRESAMPLE_CONV_SEPARABLE"] = "0"
+    try:
+        got2 = np.asarray(fft_convolve2d(jnp.asarray(x), k))
+    finally:
+        del os.environ["VKRESAMPLE_CONV_SEPARABLE"]
+    assert np.abs(got2 - want).max() < 1e-5
+    # non-separable kernels are untouched by the detection
+    k2 = np.zeros((h, w), np.float32)
+    k2[0, 0] = 1.0
+    k2[3, 5] = 0.5
+    k2[5, 3] = 0.25
+    assert _separable_factors(k2) is None

@@ -77,6 +77,56 @@ def kernel_spectrum(kernel: jnp.ndarray, engine: str = "auto"):
     return ("xla", jnp.fft.rfft2(kernel))
 
 
+def _separable_factors(kernel):
+    """(ky, kx) with kernel == outer(ky, kx) to fp precision (rank-1 /
+    separable — Gaussian blur, box, any outer-product filter), or None.
+    Host-side plan-time detection: requires a CONCRETE kernel (numpy or
+    committed device array); traced kernels return None."""
+    try:
+        k = np.asarray(kernel, np.float64)
+    except Exception:
+        return None
+    if k.ndim != 2 or min(k.shape) < 2 or not np.all(np.isfinite(k)):
+        return None
+    U, s, Vt = np.linalg.svd(k, full_matrices=False)
+    # threshold scales with the kernel's own storage precision: a kernel
+    # CONSTRUCTED as an outer product but stored in f32 carries ~eps_f32
+    # of rank-2 rounding residue (measured 1.7e-8 for a f32 Gaussian);
+    # anything above that is genuinely non-separable and must keep the
+    # exact spectrum path
+    eps = np.finfo(getattr(kernel, "dtype", np.dtype(np.float64))).eps
+    if s[0] == 0.0 or s[1] > 32.0 * float(eps) * s[0]:
+        return None
+    return U[:, 0] * s[0], Vt[0]
+
+
+# largest axis for the separable fused path: the staged banks ride as
+# trace-time constants when the caller jits around a concrete kernel,
+# and multi-MB HLO literal constants choke the remote TPU compiler
+_SEPARABLE_MAX = 4096
+
+
+def _separable_conv(x, ky, kx):
+    """FUSED separable convolution: the kernel's eigenvalues fold INTO
+    the staged circulant transform banks (fft/staged.py conv_banks), so
+    the spectrum multiply of the reference's in-kernel convolution step
+    (vkFFT.h:3157-3517) costs ZERO extra passes here — each axis is the
+    same three batched MXU matmuls a plain transform takes, with the
+    kernel baked into the middle bank.  The TPU-native endpoint of the
+    'fused convolution' capability for the separable class."""
+    from ..fft.staged import conv_banks
+
+    banks = {
+        kname: jnp.asarray(v)
+        for arr, pfx in ((ky, "cvy_"), (kx, "cvx_"))
+        for kname, v in conv_banks(np.asarray(arr, np.float64), pfx).items()
+    }
+    from ..fft.staged import conv_apply_lanes, conv_apply_rows
+
+    y = conv_apply_lanes(x, banks, "cvx_", jax.lax.Precision.HIGHEST)
+    return conv_apply_rows(y, banks, "cvy_", jax.lax.Precision.HIGHEST)
+
+
 def fft_convolve2d(x: jnp.ndarray, kernel, engine: str = "auto") -> jnp.ndarray:
     """Circular 2D convolution via the frequency domain.
 
@@ -87,9 +137,30 @@ def fft_convolve2d(x: jnp.ndarray, kernel, engine: str = "auto") -> jnp.ndarray:
             result is also accepted.
     engine: "auto" (in-house MXU engine when the sizes factor), "mxu",
             or "xla".
+
+    Concrete SEPARABLE kernels take the fused staged path (see
+    _separable_conv): no spectrum ever materializes.  Disable with
+    VKRESAMPLE_CONV_SEPARABLE=0.
     """
+    import os
+
+    from ..fft.staged import split_factors
+
     x = jnp.asarray(x)
     h, w = x.shape[-2], x.shape[-1]
+    if (
+        not isinstance(kernel, tuple)
+        and engine in ("auto", "mxu")
+        and os.environ.get("VKRESAMPLE_CONV_SEPARABLE", "1") != "0"
+        and getattr(kernel, "ndim", 0) == 2
+        and max(h, w) <= _SEPARABLE_MAX
+        and (h, w) == (kernel.shape[-2], kernel.shape[-1])
+        and split_factors(h) is not None
+        and split_factors(w) is not None
+    ):
+        sep = _separable_factors(kernel)
+        if sep is not None:
+            return _separable_conv(x, *sep)
     if isinstance(kernel, tuple) and kernel[0] in ("mxu", "xla"):
         eng, Kspec = kernel
     else:
