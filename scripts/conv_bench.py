@@ -38,3 +38,25 @@ for h, w in [(1024, 2048), (4096, 4096)]:
             print(f"{h}x{w} conv engine={engine:4s} {ms:8.3f} ms", flush=True)
         except Exception as e:
             print(f"{h}x{w} engine={engine}: FAILED {str(e)[:160]}", flush=True)
+
+# separable fused path (kernel folded into staged conv banks — zero
+# extra passes; round-3): same Gaussian, concrete-kernel entry point
+from vkresample_tpu.ops.convolve import _separable_conv, _separable_factors
+
+for h, w in [(1024, 2048), (4096, 4096)]:
+    x = jax.device_put(rng.standard_normal((3, h, w)).astype(np.float32))
+    kern = gaussian_kernel(h, w, sigma=3.0)
+    sep = _separable_factors(kern)
+    if sep is None:
+        print(f"{h}x{w} separable: detection failed", flush=True)
+        continue
+    ky, kx = sep
+
+    def run_sep(xx, aux=None, _ky=ky, _kx=kx):
+        return _separable_conv(xx, _ky, _kx)
+
+    try:
+        ms = time_device(run_sep, x, k1=4, k2=16)
+        print(f"{h}x{w} conv engine=sep  {ms:8.3f} ms", flush=True)
+    except Exception as e:
+        print(f"{h}x{w} engine=sep: FAILED {str(e)[:160]}", flush=True)

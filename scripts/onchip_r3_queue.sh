@@ -41,6 +41,9 @@ run bigfrac vkresample -i /tmp/vkrtest/bigfrac_in.png \
 run bigc2c vkresample -i /tmp/vkrtest/bigc2c_in.png \
   -o /tmp/vkrtest/bigc2c_out.png -u 2 -c2c -p 2 -validate
 
+# 3b. convolution engines incl. the separable fused path
+run conv_bench python scripts/conv_bench.py
+
 # 4. officials (one process each; flagship + all big-tier fields)
 run bench_flagship python bench.py
 run bench_big python bench.py --big --grid --bigfrac --bigc2c
