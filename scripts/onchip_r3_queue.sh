@@ -15,6 +15,7 @@ run() {
 }
 
 # 0. small smoke (fast compile, confirms the tunnel is usable)
+mkdir -p /tmp/vkrtest
 python - << 'EOF'
 from PIL import Image
 import numpy as np
