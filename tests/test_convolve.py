@@ -180,3 +180,63 @@ def test_separable_kernel_takes_fused_staged_path():
     k2[3, 5] = 0.5
     k2[5, 3] = 0.25
     assert _separable_factors(k2) is None
+
+
+def test_integer_kernel_convolves_and_probe_is_svd_free():
+    """Review findings (round 3): integer-dtype kernels must not crash
+    the separability probe (np.finfo rejects int dtypes), and an exact
+    integer box kernel IS separable — it should take the fused path and
+    still match the spectrum reference."""
+    import jax.numpy as jnp
+
+    from vkresample_tpu.ops.convolve import _separable_factors, fft_convolve2d
+
+    h, w = 32, 48
+    k = np.ones((h, w), np.int32)
+    sep = _separable_factors(k)
+    assert sep is not None
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((h, w)).astype(np.float32)
+    want = np.real(
+        np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(k.astype(np.float64)))
+    )
+    got = np.asarray(fft_convolve2d(jnp.asarray(x), k))
+    assert np.abs(got - want).max() < 1e-3 * np.abs(want).max()
+    # the zero kernel is outer(0, 0): separable, convolves to zero
+    kz = np.zeros((h, w), np.float32)
+    assert _separable_factors(kz) is not None
+    assert np.abs(np.asarray(fft_convolve2d(jnp.asarray(x), kz))).max() == 0.0
+
+
+def test_explicit_mxu_engine_keeps_spectrum_path():
+    """engine="mxu" is a contract (the mxu-vs-xla parity surface): a
+    separable kernel must NOT silently reroute it onto the fused staged
+    path, and the documented non-smooth-size error must keep firing."""
+    import jax.numpy as jnp
+    import pytest
+
+    from vkresample_tpu.ops import convolve as conv_mod
+
+    h, w = 32, 48
+    k = conv_mod.gaussian_kernel(h, w, 2.0)
+    x = np.random.default_rng(7).standard_normal((h, w)).astype(np.float32)
+
+    def boom(*a, **kw):
+        raise AssertionError("separable path taken for engine='mxu'")
+
+    orig = conv_mod._separable_conv
+    conv_mod._separable_conv = boom
+    try:
+        got = np.asarray(conv_mod.fft_convolve2d(jnp.asarray(x), k, engine="mxu"))
+    finally:
+        conv_mod._separable_conv = orig
+    want = np.real(
+        np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(k.astype(np.float64)))
+    )
+    assert np.abs(got - want).max() < 1e-5
+    # non-7-smooth size must still raise for the explicit mxu engine,
+    # separable kernel or not (31 is prime > 7)
+    k31 = conv_mod.gaussian_kernel(31, w, 2.0)
+    x31 = np.random.default_rng(9).standard_normal((31, w)).astype(np.float32)
+    with pytest.raises(ValueError, match="radix"):
+        conv_mod.fft_convolve2d(jnp.asarray(x31), k31, engine="mxu")

@@ -577,6 +577,25 @@ def _quad_variant():
     )
 
 
+def ynyq_dc_or_post(yc, n1: int, nd: int, qd: int, h_out: int, acc):
+    """Rank-1 relocated-y-Nyquist injection factors — the ONE place the
+    even/odd-n1 parity rule lives (shared by r2c_quad_staged,
+    r2c_grid_staged, and the sp pencil bodies in parallel/distributed).
+
+    Returns (dc_factor, post_factor), exactly one non-None; the caller
+    multiplies by the chi-convolved correction plane t.  Even n1
+    (= qd*nd): the output-row sign (-1)^(qd*(d + nd*t2')) collapses to
+    (-1)^(qd*d), so the correction injects into the DC bin of the SMALL
+    spectral intermediate and S3's epilogue absorbs it.  Odd n1: the
+    sign depends on the outer row index, so it must be added post-hoc
+    over the h_out output rows."""
+    if n1 % 2 == 0:
+        dsign = jnp.asarray((-1.0) ** (qd * np.arange(nd)), acc)[:, None]
+        return yc * dsign, None
+    rsign = jnp.asarray((-1.0) ** (qd * np.arange(h_out)), acc)[:, None]
+    return None, yc * rsign
+
+
 def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
     """Quad-parity u=2 transform on staged circulant convolutions.
     Same contract as dense.r2c_quad: x_raw holds RAW uint8 pixel values
@@ -638,22 +657,17 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
         else:
             P00m, P01m = load(P00s), load(P01s)
     # y conv over rows, one per even-row plane.  The rank-1 y-Nyquist
-    # correction Iy_odd[t, s] = yc*(-1)^(s-t) (Y1n carries (-1)^t) is
-    # injected into the DC bin of the SMALL spectral intermediate when
-    # n1 is even ((-1)^s = (-1)^(t1') is then independent of the outer
-    # row index), so the i16 store fuses into S3's epilogue instead of
-    # paying a full-size post-add pass.
+    # correction Iy_odd[t, s] = yc*(-1)^(s-t) (Y1n carries (-1)^t) rides
+    # the shared even/odd-n1 injection rule (ynyq_dc_or_post): DC-bin
+    # injection fuses the i16 store into S3's epilogue instead of paying
+    # a full-size post-add pass.
     n1 = banks["sty_m"].shape[2]
     dc_e = dc_o = None
     post = None
     if t2e is not None:
-        if n1 % 2 == 0:
-            dsign = jnp.asarray((-1.0) ** np.arange(n1), acc)[:, None]
-            dc_e = banks["st_yc"] * dsign * t2e
-            dc_o = banks["st_yc"] * dsign * t2o
-        else:
-            rsign = jnp.asarray((-1.0) ** np.arange(h), acc)[:, None]
-            post = banks["st_yc"] * rsign
+        dcf, post = ynyq_dc_or_post(banks["st_yc"], n1, n1, 1, h, acc)
+        if dcf is not None:
+            dc_e, dc_o = dcf * t2e, dcf * t2o
     if "batchy" in variant:
         Pst = jnp.stack([P00m, P01m])
         dc = None
@@ -916,27 +930,21 @@ def r2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
     planes = (
         list(P0s) if qd == 1 else [p[..., ::qd, :] for p in P0s]
     )
-    rsign = jnp.asarray((-1.0) ** (qd * np.arange(h // qd)), acc)[:, None]
     for ry in range(1, u):
         n1 = banks[f"sgy{ry}_m"].shape[2]
         nd = banks[f"sgy{ry}_m"].shape[4]
-        dsign = jnp.asarray((-1.0) ** (qd * np.arange(nd)), acc)[:, None]
+        dcf = postf = None
+        if tc is not None:
+            dcf, postf = ynyq_dc_or_post(
+                banks[f"sg_yc{ry}"], n1, nd, qd, h // qd, acc
+            )
         for rx in range(u):
-            dc = post = None
-            if tc is not None:
-                if n1 % 2 == 0:
-                    # output sign (-1)^(qd*(d + nd*t2')) = (-1)^(qd*d)
-                    # for even n1 (= qd*nd): inject the correction into
-                    # the DC bin of the small spectral intermediate
-                    # (see r2c_quad_staged)
-                    dc = banks[f"sg_yc{ry}"] * dsign * tc[rx]
-                else:
-                    post = banks[f"sg_yc{ry}"] * rsign
+            dc = dcf * tc[rx] if dcf is not None else None
             P = conv_apply_rows(
                 P0m[rx], banks, f"sgy{ry}_", precision, dc_add=dc
             )
-            if post is not None:
-                P = P + post * tc[rx]
+            if postf is not None:
+                P = P + postf * tc[rx]
             planes.append(P if store is None else store(P))
     return tuple(planes)
 

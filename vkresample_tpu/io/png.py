@@ -35,6 +35,14 @@ def _encode_err(rc, path) -> str:
     return f"PNG encode failed ({rc}): {path}{hint}"
 
 
+def _require(cond: bool, msg: str) -> None:
+    """Explicit raise (not assert) for shape/count checks at the ctypes
+    boundary: asserts are stripped under python -O, and a wrong plane
+    count would hand NULL pointers to the C++ row loop."""
+    if not cond:
+        raise ValueError(msg)
+
+
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
@@ -446,7 +454,7 @@ class PngPool:
         """Encode (N, h, w, 3) uint8 frames to N PNG files."""
         data = np.ascontiguousarray(data, np.uint8)
         n, h, w, _ = data.shape
-        assert n == len(paths)
+        _require(n == len(paths), f"{len(paths)} paths for {n} frames")
         if self._lib is not None:
             c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
             status = (ctypes.c_int * n)()
@@ -479,7 +487,10 @@ class PngPool:
         filtering (no host transpose)."""
         data = np.ascontiguousarray(data, np.uint8)
         n, c, h, w = data.shape
-        assert c == 3 and n == len(paths)
+        _require(
+            c == 3 and n == len(paths),
+            f"(N,3,H,W) planar expected, got {data.shape} / {len(paths)} paths",
+        )
         if self._lib is not None:
             c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
             status = (ctypes.c_int * n)()
@@ -511,7 +522,10 @@ class PngPool:
         e = np.ascontiguousarray(e, np.uint8)
         d = np.ascontiguousarray(d, np.uint8)
         n, c, h2, w = e.shape
-        assert c == 3 and e.shape == d.shape and n == len(paths)
+        _require(
+            c == 3 and e.shape == d.shape and n == len(paths),
+            f"parity planes mismatch: {e.shape} vs {d.shape}, {len(paths)} paths",
+        )
         if self._lib is not None:
             c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
             status = (ctypes.c_int * n)()
@@ -541,8 +555,14 @@ class PngPool:
         the encoder."""
         ps = [np.ascontiguousarray(p, np.uint8) for p in planes]
         n, c, h2, wh = ps[0].shape
-        assert c == 3 and len(paths) == n
-        assert all(p.shape == ps[0].shape for p in ps)
+        _require(
+            c == 3 and len(paths) == n and len(ps) == 4,
+            f"4 equal (N,3,H/2,W/2) planes expected, got {len(ps)} of "
+            f"{ps[0].shape}, {len(paths)} paths",
+        )
+        _require(
+            all(p.shape == ps[0].shape for p in ps), "plane shape mismatch"
+        )
         if self._lib is not None:
             c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
             status = (ctypes.c_int * n)()
@@ -572,8 +592,14 @@ class PngPool:
         encoder."""
         ps = [np.ascontiguousarray(p, np.uint8) for p in planes]
         n, c, hs, wss = ps[0].shape
-        assert c == 3 and len(paths) == n and len(ps) == u * u
-        assert all(p.shape == ps[0].shape for p in ps)
+        _require(
+            c == 3 and len(paths) == n and len(ps) == u * u,
+            f"u*u={u * u} equal (N,3,H/u,W/u) planes expected, got "
+            f"{len(ps)} of {ps[0].shape}, {len(paths)} paths",
+        )
+        _require(
+            all(p.shape == ps[0].shape for p in ps), "plane shape mismatch"
+        )
         if self._lib is not None:
             c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
             status = (ctypes.c_int * n)()

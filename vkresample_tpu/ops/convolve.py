@@ -81,23 +81,38 @@ def _separable_factors(kernel):
     """(ky, kx) with kernel == outer(ky, kx) to fp precision (rank-1 /
     separable — Gaussian blur, box, any outer-product filter), or None.
     Host-side plan-time detection: requires a CONCRETE kernel (numpy or
-    committed device array); traced kernels return None."""
+    committed device array); traced kernels return None.
+
+    Cost is one O(h·w) pivot probe (NOT an SVD — a 4096x4096
+    non-separable kernel must not pay O(n^3) host work per call just to
+    be told "no"): take the max-|.| element as pivot, reconstruct from
+    its row/column, and accept only if the residual vanishes at the
+    kernel's own storage precision."""
     try:
         k = np.asarray(kernel, np.float64)
     except Exception:
         return None
     if k.ndim != 2 or min(k.shape) < 2 or not np.all(np.isfinite(k)):
         return None
-    U, s, Vt = np.linalg.svd(k, full_matrices=False)
     # threshold scales with the kernel's own storage precision: a kernel
     # CONSTRUCTED as an outer product but stored in f32 carries ~eps_f32
     # of rank-2 rounding residue (measured 1.7e-8 for a f32 Gaussian);
     # anything above that is genuinely non-separable and must keep the
-    # exact spectrum path
-    eps = np.finfo(getattr(kernel, "dtype", np.dtype(np.float64))).eps
-    if s[0] == 0.0 or s[1] > 32.0 * float(eps) * s[0]:
+    # exact spectrum path.  Integer-stored kernels are exact: float64
+    # eps is the right floor there (np.finfo rejects integer dtypes).
+    dt = np.dtype(getattr(kernel, "dtype", np.float64))
+    eps = float(np.finfo(dt).eps) if np.issubdtype(dt, np.inexact) else float(
+        np.finfo(np.float64).eps
+    )
+    amax = float(np.abs(k).max())
+    if amax == 0.0:  # the zero kernel is outer(0, 0)
+        return np.zeros(k.shape[0]), np.zeros(k.shape[1])
+    i, j = np.unravel_index(int(np.abs(k).argmax()), k.shape)
+    ky = k[:, j]
+    kx = k[i, :] / k[i, j]
+    if float(np.abs(k - np.outer(ky, kx)).max()) > 32.0 * eps * amax:
         return None
-    return U[:, 0] * s[0], Vt[0]
+    return ky, kx
 
 
 # largest axis for the separable fused path: the staged banks ride as
@@ -148,9 +163,13 @@ def fft_convolve2d(x: jnp.ndarray, kernel, engine: str = "auto") -> jnp.ndarray:
 
     x = jnp.asarray(x)
     h, w = x.shape[-2], x.shape[-1]
+    # the fused separable path is a perf routing decision, so it applies
+    # only to engine="auto": an EXPLICIT engine request is a contract
+    # (the mxu-vs-xla parity surface must keep exercising the in-house
+    # spectrum path, and its size errors must keep firing)
     if (
         not isinstance(kernel, tuple)
-        and engine in ("auto", "mxu")
+        and engine == "auto"
         and os.environ.get("VKRESAMPLE_CONV_SEPARABLE", "1") != "0"
         and getattr(kernel, "ndim", 0) == 2
         and max(h, w) <= _SEPARABLE_MAX

@@ -446,16 +446,13 @@ def _sp_staged_body(
     n1 = banks["sty_m"].shape[2]
     dc_e = dc_o = post = None
     if t2e is not None:
+        from ..fft.staged import ynyq_dc_or_post
+
         t2e = jax.lax.dynamic_slice_in_dim(t2e, idx * cols, cols, axis=-1)
         t2o = jax.lax.dynamic_slice_in_dim(t2o, idx * cols, cols, axis=-1)
-        if n1 % 2 == 0:
-            dsign = jnp.asarray((-1.0) ** np.arange(n1), acc)[:, None]
-            dc_e = banks["st_yc"] * dsign * t2e
-            dc_o = banks["st_yc"] * dsign * t2o
-        else:
-            post = banks["st_yc"] * jnp.asarray(
-                (-1.0) ** np.arange(h), acc
-            )[:, None]
+        dcf, post = ynyq_dc_or_post(banks["st_yc"], n1, n1, 1, h, acc)
+        if dcf is not None:
+            dc_e, dc_o = dcf * t2e, dcf * t2o
     P00c, P01c = Pst[0], Pst[1]
     P10 = conv_apply_rows(P00c, banks, "sty_", prec, dc_add=dc_e)
     P11 = conv_apply_rows(P01c, banks, "sty_", prec, dc_add=dc_o)
@@ -582,21 +579,21 @@ def _sp_grid_body(
     planes = [
         (Pst[rx] if qd == 1 else Pst[rx][..., ::qd, :]) for rx in range(u)
     ]
-    rsign = jnp.asarray((-1.0) ** (qd * np.arange(h // qd)), acc)[:, None]
     for ry in range(1, u):
         n1 = banks[f"sgy{ry}_m"].shape[2]
         nd = banks[f"sgy{ry}_m"].shape[4]
-        dsign = jnp.asarray((-1.0) ** (qd * np.arange(nd)), acc)[:, None]
+        dcf = postf = None
+        if tc is not None:
+            from ..fft.staged import ynyq_dc_or_post
+
+            dcf, postf = ynyq_dc_or_post(
+                banks[f"sg_yc{ry}"], n1, nd, qd, h // qd, acc
+            )
         for rx in range(u):
-            dc = post = None
-            if tc is not None:
-                if n1 % 2 == 0:
-                    dc = banks[f"sg_yc{ry}"] * dsign * tc[rx]
-                else:
-                    post = banks[f"sg_yc{ry}"] * rsign
+            dc = dcf * tc[rx] if dcf is not None else None
             Pyx = conv_apply_rows(Pst[rx], banks, f"sgy{ry}_", prec, dc_add=dc)
-            if post is not None:
-                Pyx = Pyx + post * tc[rx]
+            if postf is not None:
+                Pyx = Pyx + postf * tc[rx]
             planes.append(Pyx)
 
     # local weave (output columns are contiguous per shard: global output
