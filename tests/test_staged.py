@@ -458,12 +458,14 @@ def test_decimated_conv_matches_strided_circulant():
 
 
 @pytest.mark.parametrize(
-    "h,w,u", [(64, 256, 1.5), (32, 512, 1.25), (64, 256, 2.5)]
+    "h,w,u", [(64, 256, 1.5), (32, 512, 1.25), (64, 256, 2.5), (64, 512, 1.75)]
 )
 def test_frac_staged_matches_oracle(h, w, u):
     """Fractional-factor staged grid transform (u = p/q: p^2 phase planes
     of size (h/q, w/q), stride-q decimation folded into the banks) vs the
-    oracle, with the i16 storage codec active."""
+    oracle, with the i16 storage codec active.  1.75 = 7/4 pins the
+    exotic-fraction case (p = 7 -> 49 phase planes): big exotic frames
+    have no other surviving tier, so the grid must hold there too."""
     plan = UpscalePlan(
         h=h, w=w, upscale=u, precision=Precision.HALF, engine=Engine.MXU
     )
