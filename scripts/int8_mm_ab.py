@@ -17,6 +17,9 @@ Reports ms + err (u8 LSB) vs the f64 contraction of the same operands.
 """
 import sys
 
+import os as _os
+_os.environ.setdefault("VKRESAMPLE_Y_DIGITS", "2")  # this record reconstructs the round-2 yq_h/yq_lo banks
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,6 +18,9 @@ makes single-pass orderings lie; pass 2+ decides.
 """
 import sys
 
+import os as _os
+_os.environ.setdefault("VKRESAMPLE_Y_DIGITS", "2")  # this record reconstructs the round-2 yq_h/yq_lo banks
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -29,7 +29,8 @@ import numpy as np
 # bump when any bank builder's MATH changes (contents for the same key)
 # v3: staged conv_banks actually inherits the balanced n1<=64 split
 #     default (v2 intended this but conv_banks' own prefer=128 won)
-CACHE_VERSION = 5  # v5: staged banks carry dc0 kernel DC gains (bf16c)
+# v5: staged banks carry dc0 kernel DC gains (bf16c)
+CACHE_VERSION = 6  # v6: y digit banks default to the 3-digit yq3 form
 
 # cache only geometries where host staging is actually noticeable; small
 # banks rebuild in well under a second and aren't worth the disk churn
@@ -42,6 +43,7 @@ _CONTENT_KNOBS = (
     "VKRESAMPLE_NO_INT8",
     "VKRESAMPLE_HALF_STORAGE",
     "VKRESAMPLE_MM_PRECISION",
+    "VKRESAMPLE_Y_DIGITS",
 )
 
 

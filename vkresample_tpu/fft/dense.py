@@ -543,9 +543,33 @@ def _int8_x_digit_banks(A, key: str) -> dict:
 
 
 def _int8_y_digit_banks(Ymain) -> dict:
-    """Exact shift/mask int8 digits of the 15-bit fixed-point y main-row
-    matrix, the offset-digit constants, and the bf16 residual that
-    cancels the bank quantization (see _quad_int8_y for the algebra)."""
+    """int8 digit banks for the y contraction.
+
+    Default: a 21-bit THREE-digit bank (the x bank's encoding, via
+    _int8_x_digit_banks on Ymain/2^14) consumed by 5 int8 matmuls with
+    NO residual pass — the flagship op profile (scripts/
+    profile_flagship.py) showed the round-2 form's two bf16 residual
+    matmuls costing 0.157 ms, more than its four int8 digit passes
+    combined; the 21-bit bank needs no residual (err 0.0097 vs
+    0.0078 u8 LSB, scripts/y3_ab.py).
+
+    VKRESAMPLE_Y_DIGITS=2 keeps the round-2 form: exact shift/mask
+    digits of the 15-bit fixed-point matrix + offset-digit constants +
+    a bf16 residual that cancels the bank quantization (see
+    _quad_int8_y for both algebras).  Resolved ONCE at bank-build time;
+    the route dispatches on bank content (advisor round-2 pattern)."""
+    import os
+
+    if os.environ.get("VKRESAMPLE_Y_DIGITS", "3") != "2":
+        # out = Y @ (Pq/2^14) with Pq = 256*ph + (pl + 128) (both exact
+        # int8 digits of the stored int16 plane):
+        #   Y@Pq = Arec@(256*ph + pl) + 128*colsum(Arec)
+        # so building the digits of Ymain/2^14 folds the plane descale
+        # into the bank scale, and _int8_x_digit_banks' corr row is
+        # exactly the +128 offset compensation.
+        return _int8_x_digit_banks(
+            np.asarray(Ymain, np.float64) / 16384.0, "yq3"
+        )
     SY = float(np.abs(Ymain).max())
     Yq = np.round(Ymain / SY * 16384.0).astype(np.int32)
     yqh = (Yq >> 8).astype(np.int8)  # exact: Yq in [-2^14, 2^14]
@@ -677,12 +701,16 @@ def _quad_int8_x(x_raw: jnp.ndarray, banks: dict, key: str = "xq") -> jnp.ndarra
 
 def _quad_int8_y(Pst: jnp.ndarray, banks: dict) -> jnp.ndarray:
     """Non-sample-row y matmul read straight from the STORED int16 Q2.14
-    plane via exact int8 digits — 4 int8 MXU passes (2 bf16-pass
-    equivalents vs precision-HIGH's 3) plus one bf16 residual pass that
-    cancels the bank quantization (total error ~0.01 u8 LSB).
+    plane via exact int8 digits.  Dispatches on bank content:
 
-    Digit algebra (both operands as d_hi*256 + (d_lo + 128), every digit
-    exactly int8 for the full int16 range):
+    yq3_* (default): 21-bit 3-digit bank, 5 int8 MXU passes, NO residual
+    — the d3@pl cross product (2^-22 relative) is dropped; total error
+    ~0.01 u8 LSB (scripts/y3_ab.py).
+
+    yq_* (VKRESAMPLE_Y_DIGITS=2): 4 int8 passes + one bf16 residual pass
+    that cancels the 15-bit bank quantization.  Digit algebra (both
+    operands as d_hi*256 + (d_lo + 128), every digit exactly int8 for
+    the full int16 range):
       sum Yq*Pq = 65536*yh.ph + 256*(yh.pl + yl.ph) + yl.pl
                 + [32768*colsum(yh) + 128*colsum(yl)]   (bank constant)
                 + 128 * colsum_j(Pq)                    (one cheap reduce)
@@ -695,6 +723,19 @@ def _quad_int8_y(Pst: jnp.ndarray, banks: dict) -> jnp.ndarray:
         return jnp.einsum(
             "jm,...jn->...mn", a, b, preferred_element_type=jnp.int32
         )
+
+    if "yq3_d1" in banks:
+        acc = (
+            mm(banks["yq3_d1"], ph).astype(jnp.float32)
+            * jnp.float32(256.0 * (1 << 14))
+            + mm(banks["yq3_d2"], ph).astype(jnp.float32)
+            * jnp.float32(256.0 * (1 << 7))
+            + mm(banks["yq3_d3"], ph).astype(jnp.float32) * jnp.float32(256.0)
+            + mm(banks["yq3_d1"], pl).astype(jnp.float32)
+            * jnp.float32(1 << 14)
+            + mm(banks["yq3_d2"], pl).astype(jnp.float32) * jnp.float32(1 << 7)
+        )
+        return acc * banks["yq3_scale"] + banks["yq3_corr"][:, None]
 
     acc = mm(banks["yq_h"], ph).astype(jnp.float32) * jnp.float32(65536.0)
     acc = acc + (
