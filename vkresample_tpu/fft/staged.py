@@ -434,9 +434,22 @@ def conv_apply_rows(
     return y
 
 
-def conv_apply_lanes(x, banks: dict, prefix: str, precision=None, in_max=None):
+def conv_apply_lanes(
+    x, banks: dict, prefix: str, precision=None, in_max=None,
+    factored=False,
+):
     """Staged circular convolution over axis -1 of a REAL array
-    (..., n) -> (..., n)."""
+    (..., n) -> (..., n).
+
+    factored=True emits S3 in its NATURAL matmul order "...de" and
+    flattens, so output memory column j = d*n2 + e holds conv output
+    s = e*n1 + d (the FACTORED/scrambled column layout).  This removes
+    the transposed-dot relayout XLA pays for the "...ed" order (~3.75 ms
+    of copy+reshape at the 8K x->y conv boundary; on-chip probe5:
+    4-plane transform 14.0-16.6 vs 19.6-19.9 ms) — downstream row convs
+    treat columns as a pure batch dim, and the factored CAS geometry
+    decodes neighbors (see ops/cas_pallas).  Requires decimate=1 banks
+    (nd == n1)."""
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
     b1 = banks[prefix + "b1"]
@@ -476,12 +489,42 @@ def conv_apply_lanes(x, banks: dict, prefix: str, precision=None, in_max=None):
     y = _store(y, 0)
     y = jnp.einsum("cjbkd,...jcb->...kcd", mb, y, precision=prec23, **kw)
     y = _store(y, 1)
-    y = jnp.einsum("kce,...kcd->...ed", b3, y, precision=prec23, **kw)
+    if factored:
+        if nd != n1:
+            raise ValueError("factored layout requires decimate=1 banks")
+        y = jnp.einsum("kce,...kcd->...de", b3, y, precision=prec23, **kw)
+    else:
+        y = jnp.einsum("kce,...kcd->...ed", b3, y, precision=prec23, **kw)
     y = y.reshape(lead + (n2 * nd,))
     if cm is not None:
         # exact DC add-back: conv(x) = conv(x - cm) + cm * sum(kernel)
         y = y + cm * banks[prefix + "dc0"]
     return y
+
+
+def scramble_cols(a, n1: int, n2: int):
+    """Natural -> factored column order along axis -1 (length n1*n2):
+    out[..., d*n2 + e] = a[..., e*n1 + d].  The inverse of defactor_cols.
+    Works on jnp or np arrays (reshape/swapaxes only)."""
+    lead = a.shape[:-1]
+    return (
+        a.reshape(lead + (n2, n1)).swapaxes(-1, -2).reshape(lead + (n1 * n2,))
+    )
+
+
+def defactor_cols(a, n1: int, n2: int):
+    """Factored -> natural column order along axis -1 (length n1*n2):
+    out[..., e*n1 + d] = a[..., d*n2 + e]."""
+    lead = a.shape[:-1]
+    return (
+        a.reshape(lead + (n1, n2)).swapaxes(-1, -2).reshape(lead + (n1 * n2,))
+    )
+
+
+def factored_split(banks: dict, prefix: str = "stx_"):
+    """(n1, n2) of the staged x-conv column factorization — the scramble
+    geometry of the factored layout."""
+    return banks[prefix + "m"].shape[2], banks[prefix + "b1"].shape[0]
 
 
 # ---------------------------------------------------------------------------
@@ -596,21 +639,34 @@ def ynyq_dc_or_post(yc, n1: int, nd: int, qd: int, h_out: int, acc):
     return None, yc * rsign
 
 
-def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
+def r2c_quad_staged(
+    x_raw, banks: dict, precision, store=None, load=None, factored=False
+):
     """Quad-parity u=2 transform on staged circulant convolutions.
     Same contract as dense.r2c_quad: x_raw holds RAW uint8 pixel values
     (..., C, h, w); returns the four pre-CAS parity planes (stored when a
     codec is given).  See dense.r2c_quad for the parity algebra; only the
-    two hot matmuls are replaced by staged convolutions."""
+    two hot matmuls are replaced by staged convolutions.
+
+    factored=True returns the planes in the FACTORED column layout
+    (memory col j = d*n2 + e holds plane col e*n1 + d, (n1, n2) =
+    factored_split(banks)): the x conv's S3 writes its natural matmul
+    order (no relayout), the y convs are order-blind, P00 is a scrambled
+    u8 view + scrambled signs, and the tiny correction rows scramble
+    post-hoc.  Consumers decode via defactor_cols or the factored CAS
+    geometry."""
     variant = _quad_variant()
     w = x_raw.shape[-1]
     h = x_raw.shape[-2]
     acc = banks["stx_b1"].dtype  # f32, or f64 for the DOUBLE mode
     xf = x_raw.astype(acc)
+    n1x, n2x = factored_split(banks) if factored else (None, None)
     # P01 = x (x) psi_o: staged conv along lanes (/255 folded in).
     # in_max feeds only the experimental i16 intermediate codec: the
     # lanes input is RAW u8 (<= 255).
-    P01 = conv_apply_lanes(xf, banks, "stx_", precision, in_max=255.0)
+    P01 = conv_apply_lanes(
+        xf, banks, "stx_", precision, in_max=255.0, factored=factored
+    )
     # P00 = x/255 - rank-1 x-Nyquist correction (exact samples).  The
     # colsum q runs in int32 on the RAW u8 image (exact: w*255 << 2^31):
     # an f32 colsum of xf de-additivizes the composed program by ~10 ms
@@ -618,11 +674,14 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
     # x conv's consumption of the same xf operand (scripts/staged_gap3.py
     # bisect + staged_fix_ab.py: pipeline 46.3 -> 35.5).  "qf32" restores
     # the old form for A/B.
-    signs = jnp.asarray((-1.0) ** np.arange(w), acc)
+    signs_np = (-1.0) ** np.arange(w)
+    signs = jnp.asarray(signs_np, acc)
     if x_raw.dtype == jnp.uint8 and "qf32" not in variant:
         isign = jnp.asarray(
             np.where(np.arange(w) % 2 == 0, 1, -1).astype(np.int32)
         )
+        # the colsum is order-independent: always reduce the NATURAL
+        # layout (one operand, no scrambled copy of the full image)
         q = jnp.sum(
             x_raw.astype(jnp.int32) * isign, axis=-1, keepdims=True
         ).astype(acc)
@@ -630,7 +689,16 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
         q = jnp.sum(xf * signs, axis=-1, keepdims=True)
     if "qbar" in variant:
         q = jax.lax.optimization_barrier(q)
-    P00 = xf * jnp.asarray(1.0 / 255.0, acc) - (signs * q) * jnp.asarray(
+    if factored:
+        # exact-samples plane in the factored order: scramble the RAW u8
+        # image (the one relayout of the factored arm — u8 bytes, and
+        # H2D linearization makes it free for host-fed callers) and the
+        # static signs vector
+        xs = scramble_cols(x_raw, n1x, n2x).astype(acc)
+        signs_p = jnp.asarray(scramble_cols(signs_np, n1x, n2x), acc)
+    else:
+        xs, signs_p = xf, signs
+    P00 = xs * jnp.asarray(1.0 / 255.0, acc) - (signs_p * q) * jnp.asarray(
         1.0 / (255.0 * w), acc
     )
     # rank-1 y-Nyquist correction rows (odd output rows only)
@@ -645,6 +713,12 @@ def r2c_quad_staged(x_raw, banks: dict, precision, store=None, load=None):
             tcorr = jax.lax.optimization_barrier(tcorr)
         t2o = conv_apply_lanes(tcorr, banks, "stbo_", precision)
         t2e = conv_apply_lanes(tcorr, banks, "stbe_", precision)
+        if factored:
+            # the correction convs use their own (prefer=16) splits, so
+            # their natural outputs scramble post-hoc — (C, 1, w) rows,
+            # negligible next to the full-size planes
+            t2o = scramble_cols(t2o, n1x, n2x)
+            t2e = scramble_cols(t2e, n1x, n2x)
     if store is None:
         P00s, P01s = P00, P01
         P00m, P01m = P00, P01

@@ -827,20 +827,59 @@ def _shiftR(t):
     return jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
 
 
-def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None):
+def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None, fac=None):
     """p[ry][rx]: clipped tiles covering global rows [ts, ts+rows) and
     global columns [ws, ws+Wsw) of the four parity planes (each h x Wh
     globally).  Returns the four uint8 output tiles; valid wherever the
-    row/col halo is inside the tile (global edges handled by clamps)."""
-    rows, Wsw = p[0][0].shape
-    if Wh is None:
-        Wh = Wsw
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    row/col halo is inside the tile (global edges handled by clamps).
+
+    fac: FACTORED column geometry (the staged transform's relayout-free
+    layout, fft/staged.py scramble_cols): tiles are 3-D (rows, S, n2)
+    views of memory columns, memory col j = d*n2 + e holds plane col
+    s = e*n1 + d.  fac = dict(n1=, n2=, ds=traced global d of tile slab
+    0, wraps=[[wrapW_b, wrapE_a] per ry]) where wrapW_b is a RAW
+    (rows, n2) tile of plane p[ry][1]'s LAST slab (d = n1-1) and wrapE_a
+    of p[ry][0]'s FIRST slab (d = 0) — the d-boundary wrap columns:
+    west of (0, e) = (n1-1, e-1), east of (n1-1, e) = (0, e+1)."""
+    if fac is not None:
+        n1f, n2f = fac["n1"], fac["n2"]
+        rows, S, _ = p[0][0].shape
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+        d_io = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) + fac["ds"]
+        e_io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n2f), 2)
+        gleft = jnp.logical_and(d_io == 0, e_io == 0)
+        gright = jnp.logical_and(d_io == n1f - 1, e_io == n2f - 1)
+
+        def SL(b, ry):
+            # plane col s-1: slab d-1 same lane; d==0 wraps to the last
+            # slab's lane e-1
+            base = jnp.concatenate([b[:, :1], b[:, :-1]], axis=1)
+            wW = fac["wraps"][ry][0]
+            wW = jnp.concatenate([wW[:, :1], wW[:, :-1]], axis=-1)
+            return jnp.where(d_io == 0, wW[:, None, :], base)
+
+        def SR(a, ry):
+            base = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            wE = fac["wraps"][ry][1]
+            wE = jnp.concatenate([wE[:, 1:], wE[:, -1:]], axis=-1)
+            return jnp.where(d_io == n1f - 1, wE[:, None, :], base)
+    else:
+        rows, Wsw = p[0][0].shape
+        if Wh is None:
+            Wh = Wsw
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, Wsw), 1) + ws
+        gleft = col == 0
+        gright = col == Wh - 1
+
+        def SL(b, ry):
+            return _shiftL(b)
+
+        def SR(a, ry):
+            return _shiftR(a)
+
     gtop = (row + ts) == 0
     gbot = (row + ts) == h - 1
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, Wsw), 1) + ws
-    gleft = col == 0
-    gright = col == Wh - 1
 
     # west/east values + extremes for centers living in (rho, rx)
     wv = [[None, None], [None, None]]
@@ -850,10 +889,10 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None):
     wpe = [[None, None], [None, None]]
     for ry in (0, 1):
         a, b = p[ry][0], p[ry][1]
-        wv[ry][0] = jnp.where(gleft, a, _shiftL(b))
+        wv[ry][0] = jnp.where(gleft, a, SL(b, ry))
         ev[ry][0] = b
         wv[ry][1] = a
-        ev[ry][1] = jnp.where(gright, b, _shiftR(a))
+        ev[ry][1] = jnp.where(gright, b, SR(a, ry))
         for rx in (0, 1):
             xmin[ry][rx] = jnp.minimum(wv[ry][rx], ev[ry][rx])
             xmax[ry][rx] = jnp.maximum(wv[ry][rx], ev[ry][rx])
@@ -1169,9 +1208,10 @@ def _quad_strip_kernel(
 def _quad_strip_slots_kernel(
     p00_hbm, p01_hbm, p10_hbm, p11_hbm,
     o00_ref, o01_ref, o10_ref, o11_ref,
-    s00, s01, s10, s11, sems,
-    *, sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
+    *scr_all,
+    sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
     Wh: int, Wsb: int, nsW: int, tree_i16: bool = False,
+    chalo: int = _CHALO, fac: tuple = None,
 ):
     """Slot-resident column-strip variant: bands are DMA'd WITHOUT row
     halos (exactly bt rows each) into a 4-deep rotating buffer, and the
@@ -1185,12 +1225,21 @@ def _quad_strip_slots_kernel(
     Strip-edge slots hold garbage rows (previous strip / uninitialized),
     but those rows coincide exactly with the image top/bottom, where
     _quad_planes' gtop/gbot clamp masks discard them.  nsW == 1 runs
-    full-width tiles (no column halo) — the flagship regime."""
+    full-width tiles (no column halo) — the flagship regime.
+
+    fac=(n1, n2): planes are in the staged transform's FACTORED column
+    layout (see _quad_planes' fac).  chalo (the column halo / window
+    alignment) must then be n2 so halo slabs align with d-groups; in
+    strips mode four extra (4, bt, n2) scratch slots carry the
+    d-boundary wrap slabs (the planes' first/last n2 memory columns),
+    full-width slices them from the resident tiles."""
     g = pl.program_id(0)
     strips = nsW > 1
-    Wsw = Wsb + 2 * _CHALO if strips else Wh
+    Wsw = Wsb + 2 * chalo if strips else Wh
     ins = (p00_hbm, p01_hbm, p10_hbm, p11_hbm)
-    scr = (s00, s01, s10, s11)
+    scr = scr_all[:4]
+    sems = scr_all[-1]
+    wscr = scr_all[4:-1]  # fac strips: wrapW_b0, wrapE_a0, wrapW_b1, wrapE_a1
 
     def window(gg):
         cc = gg // (nb * nsW)
@@ -1198,7 +1247,7 @@ def _quad_strip_slots_kernel(
         ii = gg % nb
         if strips:
             ws = pl.multiple_of(
-                jnp.clip(ss * Wsb - _CHALO, 0, Wh - Wsw), _CHALO
+                jnp.clip(ss * Wsb - chalo, 0, Wh - Wsw), chalo
             )
         else:
             ws = 0
@@ -1214,10 +1263,25 @@ def _quad_strip_slots_kernel(
             ]
         else:
             srcs = [ins[j].at[cc, pl.ds(ts, bt), :] for j in range(4)]
-        return [
+        copies = [
             pltpu.make_async_copy(srcs[j], scr[j].at[slot], sems.at[slot, j])
             for j in range(4)
         ]
+        if wscr:
+            n2f = fac[1]
+            wsrcs = [
+                ins[1].at[cc, pl.ds(ts, bt), pl.ds(Wh - n2f, n2f)],
+                ins[0].at[cc, pl.ds(ts, bt), pl.ds(0, n2f)],
+                ins[3].at[cc, pl.ds(ts, bt), pl.ds(Wh - n2f, n2f)],
+                ins[2].at[cc, pl.ds(ts, bt), pl.ds(0, n2f)],
+            ]
+            copies += [
+                pltpu.make_async_copy(
+                    wsrcs[j], wscr[j].at[slot], sems.at[slot, 4 + j]
+                )
+                for j in range(4)
+            ]
+        return copies
 
     sp, sc, sn = _slot_schedule(g, dmas)
     _, ii, ss, ws = window(g)
@@ -1241,20 +1305,41 @@ def _quad_strip_slots_kernel(
 
     ts = ii * bt - 1  # global plane row of tile row 0 (only feeds the
     # gtop/gbot iota masks; -1 at the top band never matches)
-    if tree_i16:
-        q = [[_tile(s00), _tile(s01)], [_tile(s10), _tile(s11)]]
+    if fac is not None:
+        n1f, n2f = fac
+        S = Wsw // n2f
+
+        def _t3(sref):
+            return _clip(_tile(sref)).reshape(bt + 2, S, n2f)
+
+        t = [[_t3(scr[0]), _t3(scr[1])], [_t3(scr[2]), _t3(scr[3])]]
+        if strips:
+            wr = [
+                [_clip(_tile(wscr[0])), _clip(_tile(wscr[1]))],
+                [_clip(_tile(wscr[2])), _clip(_tile(wscr[3]))],
+            ]
+        else:
+            # full width: the d-boundary slabs are resident in-tile
+            wr = [[t[ry][1][:, -1, :], t[ry][0][:, 0, :]] for ry in (0, 1)]
+        out = _quad_planes(
+            t, ts, h, sharpen,
+            fac=dict(n1=n1f, n2=n2f, ds=ws // n2f, wraps=wr),
+        )
+        out = [[o.reshape(bt + 2, Wsw) for o in row] for row in out]
+    elif tree_i16:
+        q = [[_tile(scr[0]), _tile(scr[1])], [_tile(scr[2]), _tile(scr[3])]]
         out = _quad_planes_i16(q, ts, h, sharpen, ws=ws, Wh=Wh)
     else:
         p = [
-            [_clip(_tile(s00)), _clip(_tile(s01))],
-            [_clip(_tile(s10)), _clip(_tile(s11))],
+            [_clip(_tile(scr[0])), _clip(_tile(scr[1]))],
+            [_clip(_tile(scr[2])), _clip(_tile(scr[3]))],
         ]
         out = _quad_planes(p, ts, h, sharpen, ws=ws, Wh=Wh)
 
     coffset = ss * Wsb - ws
     refs = (o00_ref, o01_ref, o10_ref, o11_ref)
 
-    for co in (0, _CHALO, 2 * _CHALO) if strips else (0,):
+    for co in (0, chalo, 2 * chalo) if strips else (0,):
         @pl.when(coffset == co)
         def _(co=co):
             for ref, (ry, rx) in zip(
@@ -1265,12 +1350,18 @@ def _quad_strip_slots_kernel(
 
 def cas_parity4_planes_u2(
     P00, P01, P10, P11, sharpen: float, block_rows: int = None,
-    interpret: bool = False,
+    interpret: bool = False, fac_split: tuple = None,
 ):
     """u=2 quad-parity fused CAS: four pre-CAS planes (..., h, Wh) — rows
     split by output row parity, columns by output column parity (see
     dense.r2c_quad) — to four uint8 planes of the same shape.  Accepts
-    f32 or int16 Q2.14 inputs."""
+    f32 or int16 Q2.14 inputs.
+
+    fac_split=(n1, n2): the planes arrive (and the u8 outputs return) in
+    the staged transform's FACTORED column layout (fft/staged.py
+    scramble_cols).  Requires 128 | n2 and the slot-resident kernels;
+    other geometries/envs decode to natural, run the natural kernel, and
+    re-encode (correctness-only fallback)."""
     import os
 
     lead = P00.shape[:-2]
@@ -1278,6 +1369,35 @@ def cas_parity4_planes_u2(
     C, h, Wh = planes[0].shape
     dt = planes[0].dtype
     pad = _pad_for(dt)
+
+    fac = None
+    if fac_split is not None:
+        n1f, n2f = int(fac_split[0]), int(fac_split[1])
+
+        def _via_natural():
+            from ..fft import staged as _staged
+
+            nat = cas_parity4_planes_u2(
+                *(
+                    _staged.defactor_cols(x, n1f, n2f)
+                    for x in (P00, P01, P10, P11)
+                ),
+                sharpen, block_rows=block_rows, interpret=interpret,
+            )
+            return tuple(_staged.scramble_cols(x, n1f, n2f) for x in nat)
+
+        if (
+            n2f % 128 == 0
+            and n1f >= 2
+            and n1f * n2f == Wh
+            and dt in (jnp.float32, jnp.int16)
+            and not _use_i16_tree(dt)
+            and os.environ.get("VKRESAMPLE_QUAD_CAS") != "xla"
+            and os.environ.get("VKRESAMPLE_QUAD_STRIP", "slots") == "slots"
+        ):
+            fac = (n1f, n2f)
+        else:
+            return _via_natural()
     if os.environ.get("VKRESAMPLE_QUAD_CAS") == "xla":
         # full-array XLA evaluation of the same quad stencil (A/B knob:
         # lets XLA's own fusion/tiling compete with the Pallas band
@@ -1321,6 +1441,8 @@ def cas_parity4_planes_u2(
         or dt not in (jnp.float32, jnp.int16)
         or any(x.dtype != dt or x.shape != planes[0].shape for x in planes)
     ):
+        if fac is not None:
+            return _via_natural()
         # degenerate geometry: evaluate via the XLA CAS on the woven image
         from . import cas as cas_ops
 
@@ -1366,16 +1488,28 @@ def cas_parity4_planes_u2(
 
         wsb_req = _env_int("VKRESAMPLE_QUAD_WSB")
         bt_req = _env_int("VKRESAMPLE_QUAD_BT")
-        Wsb = _fit_block(wsb_req or current().quad_wsb, Wh, _CHALO)
+        # factored layout: windows/strips must align with the n2-wide
+        # d-slabs so slab shifts stay whole-lane-group moves.  The
+        # factored shifts build ~2x the live f32 temporaries of the
+        # natural lane shifts (slab concat + wrap where per direction),
+        # so the default band geometry shrinks to stay inside the 16 MB
+        # scoped-VMEM stack (bt=128/wsb=1024 measured 28.3 MB): wider
+        # strips amortize the 2-slab column halo, shorter bands cap the
+        # live rows.
+        chalo = fac[1] if fac else _CHALO
+        wsb_default = max(2048, 2 * chalo) if fac else current().quad_wsb
+        Wsb = _fit_block(wsb_req or wsb_default, Wh, chalo)
         # bt=128 with wsb=1024 (rows=160): halo amplification 1.56x vs
         # 2.25x at the round-2 bt32/wsb2048 — 10.7 vs 16.4 ms at the
         # 8K->16K plane geometry, bit-identical (scripts/big_cas_ab.py;
         # bt128/wsb2048 and bt256 blow VMEM, XLA full-array is 78 ms).
         # The strip default derives from the tuned quad_block, not the
         # (possibly slots-halved) full-width bt.
-        strip_default = min(current().quad_block * 2, 128)
+        strip_default = (
+            2 * pad if fac else min(current().quad_block * 2, 128)
+        )
         bt = _fit_block(bt_req or strip_default, h, pad)
-        if Wsb >= _CHALO and Wh >= Wsb + 2 * _CHALO and bt >= pad:
+        if Wsb >= chalo and Wh >= Wsb + 2 * chalo and bt >= pad:
             nb = h // bt
             rows = bt + 2 * pad
             nsW = Wh // Wsb
@@ -1388,6 +1522,8 @@ def cas_parity4_planes_u2(
                 os.environ.get("VKRESAMPLE_QUAD_STRIP", "slots") == "slots"
                 and nb >= 2
             )
+            if fac is not None and not slots:
+                return _via_natural()
             if slots:
                 # slot-resident bands: row halos come from neighbor
                 # slots instead of re-DMA'd pad-aligned windows; the
@@ -1396,6 +1532,7 @@ def cas_parity4_planes_u2(
                     _quad_strip_slots_kernel, sharpen=float(sharpen),
                     bt=bt, h=h, nb=nb, pad=pad, scale=_in_scale_for(dt),
                     Wh=Wh, Wsb=Wsb, nsW=nsW, tree_i16=_use_i16_tree(dt),
+                    chalo=chalo, fac=fac,
                 )
                 ospec = pl.BlockSpec(
                     (1, bt, Wsb),
@@ -1406,9 +1543,13 @@ def cas_parity4_planes_u2(
                     ),
                     memory_space=pltpu.VMEM,
                 )
-                scratch = [
-                    pltpu.VMEM((4, bt, Wsb + 2 * _CHALO), dt)
-                ] * 4 + [pltpu.SemaphoreType.DMA((4, 4))]
+                scratch = [pltpu.VMEM((4, bt, Wsb + 2 * chalo), dt)] * 4
+                if fac is not None:
+                    # d-boundary wrap slabs ride their own slots
+                    scratch += [pltpu.VMEM((4, bt, fac[1]), dt)] * 4
+                scratch += [
+                    pltpu.SemaphoreType.DMA((4, 8 if fac is not None else 4))
+                ]
             else:
                 kern = functools.partial(
                     _quad_strip_kernel, sharpen=float(sharpen), bt=bt,
@@ -1444,6 +1585,7 @@ def cas_parity4_planes_u2(
         return cas_parity4_planes_u2(
             *(p.reshape(lead + (h, Wh)) for p in planes),
             sharpen, block_rows=1, interpret=interpret,
+            fac_split=fac_split,
         )
 
     if (
@@ -1471,7 +1613,7 @@ def cas_parity4_planes_u2(
         kern = functools.partial(
             _quad_strip_slots_kernel, sharpen=float(sharpen), bt=bt, h=h,
             nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh, Wsb=Wh,
-            nsW=1, tree_i16=_use_i16_tree(dt),
+            nsW=1, tree_i16=_use_i16_tree(dt), fac=fac,
         )
         ospec = pl.BlockSpec(
             (1, bt, Wh), lambda g, nb=nb: (g // nb, g % nb, 0),
@@ -1492,6 +1634,9 @@ def cas_parity4_planes_u2(
         )(*planes)
         return tuple(x.reshape(lead + (h, Wh)) for x in outs)
 
+    if fac is not None:
+        # the aligned-halo full-width kernel has no factored geometry
+        return _via_natural()
     kern = functools.partial(
         _quad_kernel, sharpen=float(sharpen), bt=bt, h=h, nb=nb, pad=pad,
         scale=_in_scale_for(dt), tree_i16=_use_i16_tree(dt),
