@@ -834,35 +834,32 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None, fac=None):
     row/col halo is inside the tile (global edges handled by clamps).
 
     fac: FACTORED column geometry (the staged transform's relayout-free
-    layout, fft/staged.py scramble_cols): tiles are 3-D (rows, S, n2)
-    views of memory columns, memory col j = d*n2 + e holds plane col
-    s = e*n1 + d.  fac = dict(n1=, n2=, ds=traced global d of tile slab
-    0, wraps=[[wrapW_b, wrapE_a] per ry]) where wrapW_b is a RAW
-    (rows, n2) tile of plane p[ry][1]'s LAST slab (d = n1-1) and wrapE_a
-    of p[ry][0]'s FIRST slab (d = 0) — the d-boundary wrap columns:
-    west of (0, e) = (n1-1, e-1), east of (n1-1, e) = (0, e+1)."""
+    layout, fft/staged.py): tiles are 3-D (rows, n1, n2) with the FULL
+    factored column grid resident — tile[r, d, e] holds plane col
+    s = e*n1 + d.  Plane-col shifts are then sublane-dim moves with
+    STATIC wrap slabs: west of (0, e) = (n1-1, e-1) (last slab,
+    lane-shifted), east of (n1-1, e) = (0, e+1) — two concats per
+    shift, no masks, no extra temporaries vs the natural lane shift."""
     if fac is not None:
-        n1f, n2f = fac["n1"], fac["n2"]
-        rows, S, _ = p[0][0].shape
+        n1f, n2f = fac
+        rows = p[0][0].shape[0]
         row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
-        d_io = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) + fac["ds"]
+        d_io = jax.lax.broadcasted_iota(jnp.int32, (1, n1f, 1), 1)
         e_io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n2f), 2)
         gleft = jnp.logical_and(d_io == 0, e_io == 0)
         gright = jnp.logical_and(d_io == n1f - 1, e_io == n2f - 1)
 
         def SL(b, ry):
-            # plane col s-1: slab d-1 same lane; d==0 wraps to the last
-            # slab's lane e-1
-            base = jnp.concatenate([b[:, :1], b[:, :-1]], axis=1)
-            wW = fac["wraps"][ry][0]
-            wW = jnp.concatenate([wW[:, :1], wW[:, :-1]], axis=-1)
-            return jnp.where(d_io == 0, wW[:, None, :], base)
+            # plane col s-1: slab d-1 same lane; the d==0 head comes from
+            # the last slab's lane e-1 (garbage at e==0 — gleft clamps)
+            head = b[:, -1:, :]
+            head = jnp.concatenate([head[..., :1], head[..., :-1]], axis=-1)
+            return jnp.concatenate([head, b[:, :-1]], axis=1)
 
         def SR(a, ry):
-            base = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
-            wE = fac["wraps"][ry][1]
-            wE = jnp.concatenate([wE[:, 1:], wE[:, -1:]], axis=-1)
-            return jnp.where(d_io == n1f - 1, wE[:, None, :], base)
+            tail = a[:, :1, :]
+            tail = jnp.concatenate([tail[..., 1:], tail[..., -1:]], axis=-1)
+            return jnp.concatenate([a[:, 1:], tail], axis=1)
     else:
         rows, Wsw = p[0][0].shape
         if Wh is None:
