@@ -834,32 +834,64 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None, fac=None):
     row/col halo is inside the tile (global edges handled by clamps).
 
     fac: FACTORED column geometry (the staged transform's relayout-free
-    layout, fft/staged.py): tiles are 3-D (rows, n1, n2) with the FULL
-    factored column grid resident — tile[r, d, e] holds plane col
-    s = e*n1 + d.  Plane-col shifts are then sublane-dim moves with
-    STATIC wrap slabs: west of (0, e) = (n1-1, e-1) (last slab,
-    lane-shifted), east of (n1-1, e) = (0, e+1) — two concats per
-    shift, no masks, no extra temporaries vs the natural lane shift."""
+    layout, fft/staged.py scramble_cols): tiles are 3-D (rows, S, n2)
+    views of memory columns, memory col j = d*n2 + e holds plane col
+    s = e*n1 + d.  fac = dict(n1=, n2=, ds=global d of tile slab 0,
+    wraps=[[wrapW_b, wrapE_a] per ry] or None).
+
+    wraps=None (full grid resident, S == n1): plane-col shifts are pure
+    sublane-dim moves with STATIC wrap slabs — west of (0, e) =
+    (n1-1, e-1) (last slab, lane-shifted), east of (n1-1, e) = (0, e+1);
+    two concats per shift, no masks, no wrap scratch.
+
+    wraps given (column strips, S < n1): wrapW_b is a RAW (rows, n2)
+    tile of plane p[ry][1]'s LAST slab (d = n1-1) and wrapE_a of
+    p[ry][0]'s FIRST slab (d = 0) — the d-boundary wrap columns arrive
+    via their own DMA slots and a masked select picks them at the
+    d == 0 / d == n1-1 slabs (strip halo slabs hold stale west/east
+    values, discarded by the caller's interior output slice)."""
     if fac is not None:
-        n1f, n2f = fac
-        rows = p[0][0].shape[0]
+        n1f, n2f = fac["n1"], fac["n2"]
+        rows, S, _ = p[0][0].shape
         row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
-        d_io = jax.lax.broadcasted_iota(jnp.int32, (1, n1f, 1), 1)
+        d_io = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) + fac["ds"]
         e_io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n2f), 2)
         gleft = jnp.logical_and(d_io == 0, e_io == 0)
         gright = jnp.logical_and(d_io == n1f - 1, e_io == n2f - 1)
+        wraps = fac.get("wraps")
 
-        def SL(b, ry):
-            # plane col s-1: slab d-1 same lane; the d==0 head comes from
-            # the last slab's lane e-1 (garbage at e==0 — gleft clamps)
-            head = b[:, -1:, :]
-            head = jnp.concatenate([head[..., :1], head[..., :-1]], axis=-1)
-            return jnp.concatenate([head, b[:, :-1]], axis=1)
+        if wraps is None:
 
-        def SR(a, ry):
-            tail = a[:, :1, :]
-            tail = jnp.concatenate([tail[..., 1:], tail[..., -1:]], axis=-1)
-            return jnp.concatenate([a[:, 1:], tail], axis=1)
+            def SL(b, ry):
+                # plane col s-1: slab d-1 same lane; the d==0 head comes
+                # from the last slab's lane e-1 (garbage at e==0 — gleft
+                # clamps)
+                head = b[:, -1:, :]
+                head = jnp.concatenate(
+                    [head[..., :1], head[..., :-1]], axis=-1
+                )
+                return jnp.concatenate([head, b[:, :-1]], axis=1)
+
+            def SR(a, ry):
+                tail = a[:, :1, :]
+                tail = jnp.concatenate(
+                    [tail[..., 1:], tail[..., -1:]], axis=-1
+                )
+                return jnp.concatenate([a[:, 1:], tail], axis=1)
+
+        else:
+
+            def SL(b, ry):
+                base = jnp.concatenate([b[:, :1], b[:, :-1]], axis=1)
+                wW = wraps[ry][0]
+                wW = jnp.concatenate([wW[:, :1], wW[:, :-1]], axis=-1)
+                return jnp.where(d_io == 0, wW[:, None, :], base)
+
+            def SR(a, ry):
+                base = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+                wE = wraps[ry][1]
+                wE = jnp.concatenate([wE[:, 1:], wE[:, -1:]], axis=-1)
+                return jnp.where(d_io == n1f - 1, wE[:, None, :], base)
     else:
         rows, Wsw = p[0][0].shape
         if Wh is None:
@@ -1316,8 +1348,9 @@ def _quad_strip_slots_kernel(
                 [_clip(_tile(wscr[2])), _clip(_tile(wscr[3]))],
             ]
         else:
-            # full width: the d-boundary slabs are resident in-tile
-            wr = [[t[ry][1][:, -1, :], t[ry][0][:, 0, :]] for ry in (0, 1)]
+            # full width: the d-boundary slabs are resident in-tile, so
+            # the shifts wrap via pure concats — no wrap scratch or masks
+            wr = None
         out = _quad_planes(
             t, ts, h, sharpen,
             fac=dict(n1=n1f, n2=n2f, ds=ws // n2f, wraps=wr),
