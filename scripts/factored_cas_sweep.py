@@ -52,10 +52,13 @@ def tf_fac(xx, bb):
     )
 
 
-for rnd in (1, 2):
-    for name, fn in (("T nat", tf_nat), ("T fac", tf_fac)):
-        ms = time_device(fn, x, aux=banks, k1=2, k2=8)
-        print(f"pass{rnd} {name} transform {ms:8.3f} ms", flush=True)
+# SWEEP_TRANSFORM=0 skips the (already-recorded) transform A/B — the 4
+# re-compiles cost minutes of the process budget
+if os.environ.get("SWEEP_TRANSFORM", "1") != "0":
+    for rnd in (1, 2):
+        for name, fn in (("T nat", tf_nat), ("T fac", tf_fac)):
+            ms = time_device(fn, x, aux=banks, k1=2, k2=8)
+            print(f"pass{rnd} {name} transform {ms:8.3f} ms", flush=True)
 
 # prestored planes for the CAS-only stage
 Pn = jax.block_until_ready(jax.jit(tf_nat)(x, banks))
@@ -83,10 +86,10 @@ def cas_fac_mk():
 
 GEOMS = [
     ("nat default ", None, None, False),
+    ("fac 128/1024", 128, 1024, True),
+    ("fac 64/1024 ", 64, 1024, True),
+    ("fac 128/2048", 128, 2048, True),
     ("fac 32/2048 ", 32, 2048, True),
-    ("fac 16/4096 ", 16, 4096, True),
-    ("fac 48/1024 ", 48, 1024, True),
-    ("fac 32/1024 ", 32, 1024, True),
 ]
 
 # compile each geometry ONCE (time_device re-jits per call — 15 Pallas
@@ -131,10 +134,11 @@ for rnd in (1, 2, 3):
         print(f"pass{rnd} CAS {name} {ms:8.3f} ms", flush=True)
 
 # --- isolate the factored arm's one relayout: the on-device u8 P00
-# scramble (factor_cols of the raw image's even columns).  If this is
-# ~the 3 ms transform regression, an ingest-time host view would fix the
-# transform side; if not, the regression is in the conv chain itself.
-xe = jax.device_put(img[..., 0::2])
+# scramble (scramble_cols of the raw image — P00 covers ALL w columns:
+# even OUTPUT cols = every input sample).  If this is ~the 3 ms
+# transform regression plus the ~5 ms S3 saving, the conv chain itself
+# wins and an ingest-time host-side scramble would flip the route.
+xe = jax.device_put(img)
 
 
 def scr(xx, _aux):

@@ -89,6 +89,37 @@ def test_factored_cas_bit_exact(h, Wh, n1, n2, dt):
         ) == 0
 
 
+def test_factored_cas_strips_narrow_window(monkeypatch):
+    """Wsb == chalo (= n2): window ss=1 also lands at ws == 0, so TWO
+    windows carry ds == 0 — pins the static head/tail wrap select (the
+    wrap value at a halo slab must stay harmless) against the natural
+    kernel at the narrowest legal strip."""
+    monkeypatch.setenv("VKRESAMPLE_QUAD_WSB", "128")
+    monkeypatch.setenv("VKRESAMPLE_QUAD_BT", "32")
+    h, Wh, n1, n2 = 64, 8192, 64, 128
+    rng = np.random.default_rng(4)
+    nat = [
+        jnp.asarray(
+            np.clip(
+                np.round((rng.random((1, h, Wh)) * 2 - 0.5) * 16384),
+                -32767,
+                32767,
+            ).astype(np.int16)
+        )
+        for _ in range(4)
+    ]
+    fac = [staged.scramble_cols(x, n1, n2) for x in nat]
+    o_nat = cas_pallas.cas_parity4_planes_u2(*nat, 0.2, interpret=True)
+    o_fac = cas_pallas.cas_parity4_planes_u2(
+        *fac, 0.2, interpret=True, fac_split=(n1, n2)
+    )
+    for a, b in zip(o_nat, o_fac):
+        bd = staged.defactor_cols(b, n1, n2)
+        assert int(
+            np.abs(np.asarray(bd, np.int32) - np.asarray(a, np.int32)).max()
+        ) == 0
+
+
 def test_factored_cas_unsupported_geometry_falls_back():
     """n2 not a lane multiple: the wrapper must decode->natural->encode
     and still return factored-layout planes."""

@@ -880,18 +880,28 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None, fac=None):
                 return jnp.concatenate([a[:, 1:], tail], axis=1)
 
         else:
+            # the wrap slab can only be INTERIOR at a static local
+            # position: global d == 0 lives at local slab 0 (and only in
+            # windows with ds == 0), d == n1-1 at local S-1 (only when
+            # the window ends at the grid edge).  So a tiny (rows, n2)
+            # head/tail select + ONE concat replaces the full-tile
+            # base-concat + masked select — same live temporaries as the
+            # natural lane shift (the old form's ~2x VMEM blowup forced
+            # bt=32 at the 8K geometry).
+            first = fac["ds"] == 0
+            last = fac["ds"] + S == n1f
 
             def SL(b, ry):
-                base = jnp.concatenate([b[:, :1], b[:, :-1]], axis=1)
                 wW = wraps[ry][0]
                 wW = jnp.concatenate([wW[:, :1], wW[:, :-1]], axis=-1)
-                return jnp.where(d_io == 0, wW[:, None, :], base)
+                head = jnp.where(first, wW, b[:, 0])
+                return jnp.concatenate([head[:, None, :], b[:, :-1]], axis=1)
 
             def SR(a, ry):
-                base = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
                 wE = wraps[ry][1]
                 wE = jnp.concatenate([wE[:, 1:], wE[:, -1:]], axis=-1)
-                return jnp.where(d_io == n1f - 1, wE[:, None, :], base)
+                tail = jnp.where(last, wE, a[:, -1])
+                return jnp.concatenate([a[:, 1:], tail[:, None, :]], axis=1)
     else:
         rows, Wsw = p[0][0].shape
         if Wh is None:
