@@ -888,19 +888,26 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None, fac=None):
             # base-concat + masked select — same live temporaries as the
             # natural lane shift (the old form's ~2x VMEM blowup forced
             # bt=32 at the 8K geometry).
+            # scalar-predicate selects don't lower on Mosaic (select_n on
+            # a 0-d pred becomes an unimplemented dynamic_slice): keep the
+            # predicates as broadcast VECTOR masks over the small slab
             first = fac["ds"] == 0
             last = fac["ds"] + S == n1f
 
             def SL(b, ry):
                 wW = wraps[ry][0]
                 wW = jnp.concatenate([wW[:, :1], wW[:, :-1]], axis=-1)
-                head = jnp.where(first, wW, b[:, 0])
+                head = jnp.where(
+                    jnp.broadcast_to(first, wW.shape), wW, b[:, 0]
+                )
                 return jnp.concatenate([head[:, None, :], b[:, :-1]], axis=1)
 
             def SR(a, ry):
                 wE = wraps[ry][1]
                 wE = jnp.concatenate([wE[:, 1:], wE[:, -1:]], axis=-1)
-                tail = jnp.where(last, wE, a[:, -1])
+                tail = jnp.where(
+                    jnp.broadcast_to(last, wE.shape), wE, a[:, -1]
+                )
                 return jnp.concatenate([a[:, 1:], tail[:, None, :]], axis=1)
     else:
         rows, Wsw = p[0][0].shape
