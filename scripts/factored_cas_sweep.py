@@ -127,11 +127,23 @@ for name, bt, wsb, fac in GEOMS:
 os.environ["VKRESAMPLE_QUAD_BT"] = "0"
 os.environ["VKRESAMPLE_QUAD_WSB"] = "0"
 
-for rnd in (1, 2, 3):
+quot = {name: [] for name, _ in runners}
+for rnd in (1, 2, 3, 4):
     for name, m in runners:
         t1, t2 = m(2), m(8)
         ms = max(t2 - t1, 1e-9) * 1000.0 / 6
+        if rnd >= 2:
+            quot[name].append((t1, t2))
         print(f"pass{rnd} CAS {name} {ms:8.3f} ms", flush=True)
+
+# decision number: min t1 / min t2 over passes 2+ separately (a tunnel
+# stall inflates one sample; mins cancel it — time_device's rationale)
+for name, _ in runners:
+    if quot[name]:
+        t1 = min(t for t, _ in quot[name])
+        t2 = min(t for _, t in quot[name])
+        ms = max(t2 - t1, 1e-9) * 1000.0 / 6
+        print(f"DECIDE CAS {name} {ms:8.3f} ms (min-over-pass2+)", flush=True)
 
 # --- isolate the factored arm's one relayout: the on-device u8 P00
 # scramble (scramble_cols of the raw image — P00 covers ALL w columns:

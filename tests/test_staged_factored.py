@@ -89,7 +89,8 @@ def test_factored_cas_bit_exact(h, Wh, n1, n2, dt):
         ) == 0
 
 
-def test_factored_cas_strips_narrow_window(monkeypatch):
+@pytest.mark.parametrize("dt", [jnp.int16, jnp.float32])
+def test_factored_cas_strips_narrow_window(monkeypatch, dt):
     """Wsb == chalo (= n2): window ss=1 also lands at ws == 0, so TWO
     windows carry ds == 0 — pins the static head/tail wrap select (the
     wrap value at a halo slab must stay harmless) against the natural
@@ -99,15 +100,15 @@ def test_factored_cas_strips_narrow_window(monkeypatch):
     h, Wh, n1, n2 = 64, 8192, 64, 128
     rng = np.random.default_rng(4)
     nat = [
-        jnp.asarray(
-            np.clip(
-                np.round((rng.random((1, h, Wh)) * 2 - 0.5) * 16384),
-                -32767,
-                32767,
-            ).astype(np.int16)
-        )
+        (rng.random((1, h, Wh)) * 2 - 0.5).astype(np.float32)
         for _ in range(4)
     ]
+    if dt == jnp.int16:
+        nat = [
+            np.clip(np.round(x * 16384), -32767, 32767).astype(np.int16)
+            for x in nat
+        ]
+    nat = [jnp.asarray(x) for x in nat]
     fac = [staged.scramble_cols(x, n1, n2) for x in nat]
     o_nat = cas_pallas.cas_parity4_planes_u2(*nat, 0.2, interpret=True)
     o_fac = cas_pallas.cas_parity4_planes_u2(
@@ -184,3 +185,32 @@ def test_factored_e2e_vs_oracle():
     ref = oracle.upscale_oracle(img, plan)
     got = np.moveaxis(out, 0, -1)
     assert int(np.abs(got.astype(np.int32) - ref.astype(np.int32)).max()) <= 1
+
+
+@pytest.mark.parametrize(
+    "bt,wsb",
+    [(128, 1024), (32, 2048), (64, 1024)],
+)
+def test_factored_cas_strips_tpu_lowering(monkeypatch, bt, wsb):
+    """Cross-lower the factored strips kernel for TPU on CPU.  Mosaic
+    lowering runs client-side, so this catches unimplemented-primitive
+    breaks (value dynamic_slice, scalar select_n) that interpret-mode
+    tests cannot — the round-3 head/tail-select form shipped green on
+    interpret and failed exactly here on chip."""
+    monkeypatch.setenv("VKRESAMPLE_QUAD_WSB", str(wsb))
+    monkeypatch.setenv("VKRESAMPLE_QUAD_BT", str(bt))
+    h, Wh, n1, n2 = 512, 8192, 64, 128
+    rng = np.random.default_rng(7)
+    fac = [
+        jnp.asarray(rng.integers(-8000, 8000, (1, h, Wh), np.int16))
+        for _ in range(4)
+    ]
+
+    def f(p0, rest):
+        return cas_pallas.cas_parity4_planes_u2(
+            p0, *rest, 0.2, fac_split=(n1, n2)
+        )
+
+    import jax
+
+    jax.jit(f).trace(fac[0], fac[1:]).lower(lowering_platforms=("tpu",))

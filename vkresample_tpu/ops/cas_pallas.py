@@ -888,27 +888,29 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None, fac=None):
             # base-concat + masked select — same live temporaries as the
             # natural lane shift (the old form's ~2x VMEM blowup forced
             # bt=32 at the 8K geometry).
-            # scalar-predicate selects don't lower on Mosaic (select_n on
-            # a 0-d pred becomes an unimplemented dynamic_slice): keep the
-            # predicates as broadcast VECTOR masks over the small slab
+            # Mosaic can't lower scalar-pred select_n OR value
+            # dynamic_slice — and jnp rewrites integer indexing like
+            # b[:, 0] into dynamic_slice even with a constant index.  So:
+            # predicates stay broadcast VECTOR masks, and every value
+            # slice stays a static [:, :1]/[:, -1:] lax.slice.
             first = fac["ds"] == 0
             last = fac["ds"] + S == n1f
 
             def SL(b, ry):
-                wW = wraps[ry][0]
-                wW = jnp.concatenate([wW[:, :1], wW[:, :-1]], axis=-1)
+                wW = wraps[ry][0][:, None, :]
+                wW = jnp.concatenate([wW[..., :1], wW[..., :-1]], axis=-1)
                 head = jnp.where(
-                    jnp.broadcast_to(first, wW.shape), wW, b[:, 0]
+                    jnp.broadcast_to(first, wW.shape), wW, b[:, :1]
                 )
-                return jnp.concatenate([head[:, None, :], b[:, :-1]], axis=1)
+                return jnp.concatenate([head, b[:, :-1]], axis=1)
 
             def SR(a, ry):
-                wE = wraps[ry][1]
-                wE = jnp.concatenate([wE[:, 1:], wE[:, -1:]], axis=-1)
+                wE = wraps[ry][1][:, None, :]
+                wE = jnp.concatenate([wE[..., 1:], wE[..., -1:]], axis=-1)
                 tail = jnp.where(
-                    jnp.broadcast_to(last, wE.shape), wE, a[:, -1]
+                    jnp.broadcast_to(last, wE.shape), wE, a[:, -1:]
                 )
-                return jnp.concatenate([a[:, 1:], tail[:, None, :]], axis=1)
+                return jnp.concatenate([a[:, 1:], tail], axis=1)
     else:
         rows, Wsw = p[0][0].shape
         if Wh is None:
@@ -1537,12 +1539,10 @@ def cas_parity4_planes_u2(
         bt_req = _env_int("VKRESAMPLE_QUAD_BT")
         # factored layout: windows/strips must align with the n2-wide
         # d-slabs so slab shifts stay whole-lane-group moves.  The
-        # factored shifts build ~2x the live f32 temporaries of the
-        # natural lane shifts (slab concat + wrap where per direction),
-        # so the default band geometry shrinks to stay inside the 16 MB
-        # scoped-VMEM stack (bt=128/wsb=1024 measured 28.3 MB): wider
-        # strips amortize the 2-slab column halo, shorter bands cap the
-        # live rows.
+        # strips wrap now rides static head/tail selects on a (rows, n2)
+        # slab (VMEM back in the natural class — the earlier full-tile
+        # masked-select form measured 28.3 MB at bt=128/wsb=1024); the
+        # fac defaults below come from the on-chip (bt, wsb) sweep.
         chalo = fac[1] if fac else _CHALO
         wsb_default = max(2048, 2 * chalo) if fac else current().quad_wsb
         Wsb = _fit_block(wsb_req or wsb_default, Wh, chalo)
