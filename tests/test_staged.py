@@ -458,14 +458,27 @@ def test_decimated_conv_matches_strided_circulant():
 
 
 @pytest.mark.parametrize(
-    "h,w,u", [(64, 256, 1.5), (32, 512, 1.25), (64, 256, 2.5), (64, 512, 1.75)]
+    "h,w,u",
+    [
+        (64, 256, 1.5),
+        (32, 512, 1.25),
+        (64, 256, 2.5),
+        (64, 512, 1.75),
+        (96, 384, 1.3333334),  # non-dyadic q=3 (geometry-derived 4/3)
+        (90, 640, 1.2),  # non-dyadic q=5 (6/5)
+    ],
 )
 def test_frac_staged_matches_oracle(h, w, u):
     """Fractional-factor staged grid transform (u = p/q: p^2 phase planes
     of size (h/q, w/q), stride-q decimation folded into the banks) vs the
     oracle, with the i16 storage codec active.  1.75 = 7/4 pins the
     exotic-fraction case (p = 7 -> 49 phase planes): big exotic frames
-    have no other surviving tier, so the grid must hold there too."""
+    have no other surviving tier, so the grid must hold there too.
+    1.3333334 / 1.2 pin NON-DYADIC q: the fraction comes from the
+    integer geometry (H/h == W/w), not the float bits, and the plan's
+    C-float band edges happen to realize the exact rational keep set on
+    these frames (frames where they don't fall through — see
+    test_big_frac_without_grid_route_fails_clean)."""
     plan = UpscalePlan(
         h=h, w=w, upscale=u, precision=Precision.HALF, engine=Engine.MXU
     )
@@ -488,10 +501,13 @@ def test_frac_staged_matches_oracle(h, w, u):
 
 
 def test_frac_params_rejects_inexact_and_misaligned():
-    # non-dyadic float: astronomical exact denominator, rejected
+    # non-dyadic geometry where the C-float band math drops a y bin
+    # (kept 29+30 != 60): the rational keep-set derivation doesn't hold,
+    # so the route must decline even though H/h == W/w == 6/5
     plan = UpscalePlan(
         h=60, w=640, upscale=1.2, precision=Precision.HALF, engine=Engine.XLA
     )
+    assert plan.H * 5 == plan.h * 6 and plan.W * 5 == plan.w * 6
     assert staged.frac_params(plan) is None
     # dyadic but (w // q) % 128 != 0
     plan = UpscalePlan(
@@ -503,6 +519,28 @@ def test_frac_params_rejects_inexact_and_misaligned():
         h=64, w=256, upscale=2.0, precision=Precision.HALF, engine=Engine.XLA
     )
     assert staged.frac_params(plan) is None
+
+
+def test_big_frac_without_grid_route_fails_clean():
+    """A >DENSE_MAX fractional frame the staged grid cannot take (5/3:
+    the C-float band math drops a y bin) must raise a clean ValueError
+    instead of dispatching into the big-spectrum route, which
+    materializes the full H x W complex spectrum and is recorded as
+    non-surviving beyond the dense cap (docs/STATUS.md)."""
+    from vkresample_tpu.fft import mxu_pipeline
+
+    plan = UpscalePlan(
+        h=6144, w=6144, upscale=1.6666667, precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    assert plan.mxu_mode == "big"  # 10240x10240: 7-smooth, fractional
+    assert staged.frac_params(plan) is None
+    assert mxu_pipeline.make_dense_banks(plan) is None
+    with pytest.raises(ValueError, match="staged fractional grid"):
+        jax.eval_shape(
+            lambda x: mxu_pipeline.upscale_precas_mxu(x, plan),
+            jax.ShapeDtypeStruct((3, 6144, 6144), jnp.float32),
+        )
 
 
 def test_pipeline_frac_banks_route(monkeypatch):
@@ -567,7 +605,15 @@ def _precas_oracle_c2c(img, plan):
 
 
 @pytest.mark.parametrize(
-    "h,w,u", [(48, 256, 2.0), (36, 384, 3.0), (48, 256, 1.5), (32, 512, 1.25)]
+    "h,w,u",
+    [
+        (48, 256, 2.0),
+        (36, 384, 3.0),
+        (48, 256, 1.5),
+        (32, 512, 1.25),
+        (64, 512, 1.75),  # exotic p=7 (49 planes): the >cap c2c grid form
+        (96, 384, 1.3333334),  # non-dyadic q=3 (geometry-derived 4/3)
+    ]
 )
 def test_c2c_grid_staged_matches_oracle(h, w, u):
     """c2c staged grid transform (complex planes via the rank-1 Nyquist

@@ -325,6 +325,24 @@ def _precas_mixed_radix(x: jnp.ndarray, plan: UpscalePlan) -> jnp.ndarray:
             f"plan not MXU-executable (u={plan.upscale}, "
             f"{plan.h}x{plan.w} -> {plan.H}x{plan.W}); use Engine.XLA"
         )
+    if mode == "big" and max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX:
+        # the big-spectrum mode materializes the full H x W complex
+        # spectrum and is recorded as non-surviving beyond the dense cap
+        # (docs/STATUS.md); every surviving big fractional geometry is
+        # claimed by the staged grid tier upstream (H/h == W/w == p/q
+        # with q | dims and the C-float band edges matching the rational
+        # keep set, fft/staged.py frac_params) — reaching here means the
+        # plan has no viable route, so fail clean instead of compiling a
+        # program that exhausts the chip
+        raise ValueError(
+            f"fractional upscale {plan.upscale} at {plan.h}x{plan.w} -> "
+            f"{plan.H}x{plan.W} exceeds the dense-spectrum tier "
+            f"({DENSE_MAX}) and does not match the staged fractional "
+            "grid (needs H/h == W/w == p/q with q dividing both input "
+            "dims, width/q a multiple of 128, and full-band keep); "
+            "choose an upscale whose output dims are exact rational "
+            "multiples, or an integer factor"
+        )
     u2 = jnp.asarray(float(np.float32(plan.upscale)) ** 2, x.dtype)
 
     if plan.r2c:

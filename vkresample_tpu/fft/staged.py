@@ -792,41 +792,42 @@ def r2c_quad_staged(
 
 
 def _exact_fraction(plan):
-    """(p, q) of the plan's upscale as an EXACT dyadic-ish rational, or
-    None.  Every IEEE float is rational (-u 1.5 -> 3/2, -u 1.25 -> 5/4);
-    non-dyadic floats produce astronomical q and are rejected, as are
-    integer factors (q == 1) and geometries where the exact rational
-    doesn't reproduce the plan's truncated output dims.  Shared by
-    frac_params (r2c) and c2c_grid_params so both tiers accept the same
+    """(p, q) of the plan's upscale as an exact rational derived from
+    the INTEGER geometry: H/h == W/w reduced.  None for integer factors
+    (q == 1) or mismatched axis ratios.
+
+    The float u only ever enters the plan through the truncated output
+    dims and the C-float band edges (VkResample.cpp:1491-1502) — both
+    already frozen as integers on the plan — so the route is exact for
+    whatever rational the GEOMETRY realizes, dyadic or not: -u 1.5 on
+    any even frame gives 3/2, and -u 1.3333334 on a 9216-wide frame
+    truncates to 12288 = w*4/3 and gives 4/3 (a float32 just above p/q
+    truncates to exactly p*w/q whenever q | w; a float just below, e.g.
+    -u 1.3333333, lands on a non-7-smooth W and is rejected at the
+    engine gate like any other non-smooth geometry).  The downstream
+    keep-set conditions (frac_params / c2c_grid_params) test the plan's
+    ACTUAL band integers, so a float whose band math deviates from the
+    rational derivation falls through to the dense tiers.  Shared by
+    frac_params (r2c) and c2c_grid_params so both accept the same
     fractional factors."""
     from fractions import Fraction
 
-    try:
-        uf = Fraction(plan.upscale).limit_denominator(64)
-    except (ValueError, OverflowError):
+    uf = Fraction(plan.H, plan.h)
+    if uf != Fraction(plan.W, plan.w) or uf.denominator == 1:
         return None
-    if float(uf) != float(np.float32(plan.upscale)) or uf.denominator == 1:
-        return None
-    p, q = uf.numerator, uf.denominator
-    if (
-        plan.h % q
-        or plan.w % q
-        or plan.H != p * plan.h // q
-        or plan.W != p * plan.w // q
-    ):
-        return None
-    return p, q
+    return uf.numerator, uf.denominator
 
 
 def frac_params(plan):
     """(p, q) for the FRACTIONAL staged grid route, or None.
 
-    A fractional factor u = p/q (exact from the float: every IEEE float
-    is rational, so e.g. -u 1.5 -> 3/2, -u 1.25 -> 5/4; non-dyadic
-    floats produce astronomical q and are rejected) runs as p^2 phase
-    planes of size (h/q, w/q): output pixel (p*my + ry, p*mx + rx) is a
-    pair of staged circulant convolutions sampled at stride q — the
-    stride folds into the middle-stage bank (conv_banks' decimate).
+    A fractional factor u = p/q (exact from the INTEGER geometry the
+    float realizes — H/h == W/w reduced, so -u 1.5 -> 3/2 and
+    -u 1.3333334 -> 4/3 on q-divisible frames; see _exact_fraction)
+    runs as p^2 phase planes of size (h/q, w/q): output pixel
+    (p*my + ry, p*mx + rx) is a pair of staged circulant convolutions
+    sampled at stride q — the stride folds into the middle-stage bank
+    (conv_banks' decimate).
     The u^2 CAS renormalization cancels the (q/p)^2 transform
     normalization exactly, as in the integer case.
 

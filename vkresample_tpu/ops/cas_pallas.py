@@ -834,91 +834,56 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None, fac=None):
     row/col halo is inside the tile (global edges handled by clamps).
 
     fac: FACTORED column geometry (the staged transform's relayout-free
-    layout, fft/staged.py scramble_cols): tiles are 3-D (rows, S, n2)
-    views of memory columns, memory col j = d*n2 + e holds plane col
-    s = e*n1 + d.  fac = dict(n1=, n2=, ds=global d of tile slab 0,
-    wraps=[[wrapW_b, wrapE_a] per ry] or None).
+    layout, fft/staged.py scramble_cols): tiles stay PLAIN 2-D
+    (rows, Wsw) windows of memory columns, memory col j = d*n2 + e holds
+    plane col s = e*n1 + d.  fac = dict(n2=, wraps=[[wrapW_b, wrapE_a]
+    per ry] or None).
 
-    wraps=None (full grid resident, S == n1): plane-col shifts are pure
-    sublane-dim moves with STATIC wrap slabs — west of (0, e) =
-    (n1-1, e-1) (last slab, lane-shifted), east of (n1-1, e) = (0, e+1);
-    two concats per shift, no masks, no wrap scratch.
+    In this geometry plane-col neighbors are whole n2-column shifts of
+    memory (s-1 of (d, e) is (d-1, e) for d > 0), i.e. full-vreg moves
+    with NO lane shuffles and no (rows, S, n2) reshape (the 3-D view
+    forced a Mosaic relayout of every tile — the round-3 form's 2-3x CAS
+    regression).  Only the d == 0 / d == n1-1 boundary slabs wrap, and
+    they can ride UNCONDITIONALLY as the shift's head/tail n2 columns:
 
-    wraps given (column strips, S < n1): wrapW_b is a RAW (rows, n2)
-    tile of plane p[ry][1]'s LAST slab (d = n1-1) and wrapE_a of
-    p[ry][0]'s FIRST slab (d = 0) — the d-boundary wrap columns arrive
-    via their own DMA slots and a masked select picks them at the
-    d == 0 / d == n1-1 slabs (strip halo slabs hold stale west/east
-    values, discarded by the caller's interior output slice)."""
+    wraps=None (full width resident): head = the tile's own last slab
+    lane-shifted (west of (0, e) = (n1-1, e-1)), tail = its first slab
+    lane-shifted the other way.
+
+    wraps given (column strips, chalo == n2): wrapW_b is a RAW
+    (rows, n2) tile of plane p[ry][1]'s LAST slab (d = n1-1) and wrapE_a
+    of p[ry][0]'s FIRST slab (d = 0), DMA'd via their own slots.  No
+    select is needed: a window's leftmost slab is STORED only when it is
+    the global d == 0 slab (windows are n2-aligned; elsewhere it is
+    discarded strip halo), so the wrap head is either exactly right or
+    thrown away — and symmetrically for the tail.
+
+    gleft/gright stay the natural col == 0 / col == Wh-1 masks: plane
+    col s == 0 is memory col 0 and s == Wh-1 is memory col Wh-1."""
+    rows, Wsw = p[0][0].shape
+    if Wh is None:
+        Wh = Wsw
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Wsw), 1) + ws
+    gleft = col == 0
+    gright = col == Wh - 1
     if fac is not None:
-        n1f, n2f = fac["n1"], fac["n2"]
-        rows, S, _ = p[0][0].shape
-        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
-        d_io = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) + fac["ds"]
-        e_io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n2f), 2)
-        gleft = jnp.logical_and(d_io == 0, e_io == 0)
-        gright = jnp.logical_and(d_io == n1f - 1, e_io == n2f - 1)
+        n2f = fac["n2"]
         wraps = fac.get("wraps")
 
-        if wraps is None:
+        def SL(b, ry):
+            head = wraps[ry][0] if wraps is not None else b[:, -n2f:]
+            # lane e-1 within the wrap slab; lane 0 is garbage (s would
+            # be -1) — it lands on memory col 0 only in the d == 0 slab,
+            # where gleft clamps
+            head = jnp.concatenate([head[:, :1], head[:, :-1]], axis=1)
+            return jnp.concatenate([head, b[:, :-n2f]], axis=1)
 
-            def SL(b, ry):
-                # plane col s-1: slab d-1 same lane; the d==0 head comes
-                # from the last slab's lane e-1 (garbage at e==0 — gleft
-                # clamps)
-                head = b[:, -1:, :]
-                head = jnp.concatenate(
-                    [head[..., :1], head[..., :-1]], axis=-1
-                )
-                return jnp.concatenate([head, b[:, :-1]], axis=1)
-
-            def SR(a, ry):
-                tail = a[:, :1, :]
-                tail = jnp.concatenate(
-                    [tail[..., 1:], tail[..., -1:]], axis=-1
-                )
-                return jnp.concatenate([a[:, 1:], tail], axis=1)
-
-        else:
-            # the wrap slab can only be INTERIOR at a static local
-            # position: global d == 0 lives at local slab 0 (and only in
-            # windows with ds == 0), d == n1-1 at local S-1 (only when
-            # the window ends at the grid edge).  So a tiny (rows, n2)
-            # head/tail select + ONE concat replaces the full-tile
-            # base-concat + masked select — same live temporaries as the
-            # natural lane shift (the old form's ~2x VMEM blowup forced
-            # bt=32 at the 8K geometry).
-            # Mosaic can't lower scalar-pred select_n OR value
-            # dynamic_slice — and jnp rewrites integer indexing like
-            # b[:, 0] into dynamic_slice even with a constant index.  So:
-            # predicates stay broadcast VECTOR masks, and every value
-            # slice stays a static [:, :1]/[:, -1:] lax.slice.
-            first = fac["ds"] == 0
-            last = fac["ds"] + S == n1f
-
-            def SL(b, ry):
-                wW = wraps[ry][0][:, None, :]
-                wW = jnp.concatenate([wW[..., :1], wW[..., :-1]], axis=-1)
-                head = jnp.where(
-                    jnp.broadcast_to(first, wW.shape), wW, b[:, :1]
-                )
-                return jnp.concatenate([head, b[:, :-1]], axis=1)
-
-            def SR(a, ry):
-                wE = wraps[ry][1][:, None, :]
-                wE = jnp.concatenate([wE[..., 1:], wE[..., -1:]], axis=-1)
-                tail = jnp.where(
-                    jnp.broadcast_to(last, wE.shape), wE, a[:, -1:]
-                )
-                return jnp.concatenate([a[:, 1:], tail], axis=1)
+        def SR(a, ry):
+            tail = wraps[ry][1] if wraps is not None else a[:, :n2f]
+            tail = jnp.concatenate([tail[:, 1:], tail[:, -1:]], axis=1)
+            return jnp.concatenate([a[:, n2f:], tail], axis=1)
     else:
-        rows, Wsw = p[0][0].shape
-        if Wh is None:
-            Wh = Wsw
-        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, Wsw), 1) + ws
-        gleft = col == 0
-        gright = col == Wh - 1
 
         def SL(b, ry):
             return _shiftL(b)
@@ -1354,13 +1319,11 @@ def _quad_strip_slots_kernel(
     ts = ii * bt - 1  # global plane row of tile row 0 (only feeds the
     # gtop/gbot iota masks; -1 at the top band never matches)
     if fac is not None:
-        n1f, n2f = fac
-        S = Wsw // n2f
-
-        def _t3(sref):
-            return _clip(_tile(sref)).reshape(bt + 2, S, n2f)
-
-        t = [[_t3(scr[0]), _t3(scr[1])], [_t3(scr[2]), _t3(scr[3])]]
+        _, n2f = fac
+        t = [
+            [_clip(_tile(scr[0])), _clip(_tile(scr[1]))],
+            [_clip(_tile(scr[2])), _clip(_tile(scr[3]))],
+        ]
         if strips:
             wr = [
                 [_clip(_tile(wscr[0])), _clip(_tile(wscr[1]))],
@@ -1368,13 +1331,12 @@ def _quad_strip_slots_kernel(
             ]
         else:
             # full width: the d-boundary slabs are resident in-tile, so
-            # the shifts wrap via pure concats — no wrap scratch or masks
+            # the shifts wrap via pure concats — no wrap scratch
             wr = None
         out = _quad_planes(
-            t, ts, h, sharpen,
-            fac=dict(n1=n1f, n2=n2f, ds=ws // n2f, wraps=wr),
+            t, ts, h, sharpen, ws=ws, Wh=Wh,
+            fac=dict(n2=n2f, wraps=wr),
         )
-        out = [[o.reshape(bt + 2, Wsw) for o in row] for row in out]
     elif tree_i16:
         q = [[_tile(scr[0]), _tile(scr[1])], [_tile(scr[2]), _tile(scr[3])]]
         out = _quad_planes_i16(q, ts, h, sharpen, ws=ws, Wh=Wh)
