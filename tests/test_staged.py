@@ -834,3 +834,53 @@ def test_frac_grid_optin_below_cap(monkeypatch):
     got = weave_grid_host([np.asarray(p) for p in outs], 3)
     want = np.moveaxis(oracle.upscale_oracle(img, plan), -1, 0)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_channel_serial_matches_batched(monkeypatch):
+    """VKRESAMPLE_CHANNEL_SERIAL=1 runs channels as a device-side lax.map
+    loop (huge-frame HBM cap, the reference's per-coordinate dispatch loop
+    vkFFT.h:7640-7646); outputs must match the batched route on every
+    output surface (quad planes, woven, non-planar)."""
+    import functools
+
+    from vkresample_tpu.pipeline import upscale as up
+
+    plan = UpscalePlan(
+        h=32, w=128, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    banks = jax.device_put(
+        {k: jnp.asarray(v) for k, v in staged.r2c_quad_staged_banks(plan).items()}
+    )
+    monkeypatch.setattr(up, "_use_pallas_cas", lambda p: True)
+    img = np.random.default_rng(23).integers(0, 256, (32, 128, 3), np.uint8)
+
+    def run(planes_out, planar_out):
+        return jax.jit(
+            functools.partial(
+                up._pipeline, plan=plan, engine=Engine.MXU,
+                planar_out=planar_out, planes_out=planes_out,
+            )
+        )(jnp.asarray(img), banks)
+
+    # fresh closures per env value: the jit cache ignores env changes
+    monkeypatch.delenv("VKRESAMPLE_CHANNEL_SERIAL", raising=False)
+    ref_planes = [np.asarray(p) for p in run(True, True)]
+    ref_woven = np.asarray(run(False, False))
+    monkeypatch.setenv("VKRESAMPLE_CHANNEL_SERIAL", "1")
+    got_planes = [np.asarray(p) for p in run(True, True)]
+    got_woven = np.asarray(run(False, False))
+    for g, r in zip(got_planes, ref_planes):
+        assert g.shape == r.shape
+        np.testing.assert_array_equal(g, r)
+    assert got_woven.shape == ref_woven.shape
+    np.testing.assert_array_equal(got_woven, ref_woven)
+    # the auto gate: tiny frames stay batched, huge products serialize
+    monkeypatch.delenv("VKRESAMPLE_CHANNEL_SERIAL", raising=False)
+    assert not up._channel_serial(plan, jnp.asarray(img))
+    big = UpscalePlan(
+        h=8192, w=16384, upscale=2.0, precision=Precision.HALF,
+        engine=Engine.MXU, channels=3,
+    )
+    assert up._channel_serial(
+        big, jax.ShapeDtypeStruct((8192, 16384, 3), jnp.uint8)
+    )

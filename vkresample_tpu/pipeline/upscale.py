@@ -71,6 +71,32 @@ def _use_pallas_cas(plan: UpscalePlan) -> bool:
         return False
 
 
+# Auto channel-serialization threshold: C * H * W output elements above
+# which the batched (C-leading) program's live set approaches the 16 GB
+# HBM and channels run as a device-side sequential loop instead.  The
+# 3-channel 8K->16K batched program is known-good (~4.0e8); the 3-channel
+# 16K->32K one (~1.6e9) is not.
+CHANNEL_SERIAL_ELEMS = int(1e9)
+
+
+def _channel_serial(plan: UpscalePlan, img_u8) -> bool:
+    """Whether to run channels as a device-side lax.map loop (one channel's
+    working set live at a time) instead of a leading batch dim.
+
+    The reference itself serializes channels on device — VkFFTAppend loops
+    coordinateFeatures re-pushing push constants per dispatch
+    (/root/reference/vkFFT/vkFFT.h:7640-7646) — so huge frames never pay
+    a 3x live-memory batch.  VKRESAMPLE_CHANNEL_SERIAL=1/0 overrides."""
+    import os
+
+    if img_u8.ndim != 3 or img_u8.shape[-1] <= 1:
+        return False
+    v = os.environ.get("VKRESAMPLE_CHANNEL_SERIAL")
+    if v is not None:
+        return v not in ("", "0")
+    return plan.H * plan.W * img_u8.shape[-1] > CHANNEL_SERIAL_ELEMS
+
+
 def _pipeline(
     img_u8: jnp.ndarray,
     banks=None,
@@ -93,6 +119,27 @@ def _pipeline(
     constants.
     """
     import os
+
+    if _channel_serial(plan, img_u8):
+        # sequential per-channel execution inside the one jitted program:
+        # scan compiles the body once and reuses its buffers across
+        # channels, so the live set is ONE channel's transform working
+        # set plus the stacked u8 outputs
+        body = functools.partial(
+            _pipeline, plan=plan, engine=engine,
+            planar_out=True, planes_out=planes_out,
+        )
+
+        def _one(xc):  # (h, w) uint8 -> squeezed per-channel outputs
+            r = body(xc[:, :, None], banks)
+            return jax.tree_util.tree_map(
+                lambda p: p.reshape(p.shape[-2:]), r
+            )
+
+        outs = jax.lax.map(_one, jnp.moveaxis(img_u8, -1, 0))
+        if planes_out or planar_out:
+            return outs
+        return jnp.moveaxis(outs, 0, -1)
 
     cdtype = plan.precision.compute_dtype
     use_pallas = _use_pallas_cas(plan)
