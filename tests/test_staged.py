@@ -874,13 +874,22 @@ def test_channel_serial_matches_batched(monkeypatch):
         np.testing.assert_array_equal(g, r)
     assert got_woven.shape == ref_woven.shape
     np.testing.assert_array_equal(got_woven, ref_woven)
-    # the auto gate: tiny frames stay batched, huge products serialize
+    # the auto gate: frames with on-chip batched evidence stay batched
+    # (3-channel 16K->32K: 127.5 batched vs 131.2 serial, big16k_3ch.py);
+    # the unverified next tier up serializes
     monkeypatch.delenv("VKRESAMPLE_CHANNEL_SERIAL", raising=False)
     assert not up._channel_serial(plan, jnp.asarray(img))
-    big = UpscalePlan(
+    big16 = UpscalePlan(
         h=8192, w=16384, upscale=2.0, precision=Precision.HALF,
         engine=Engine.MXU, channels=3,
     )
+    assert not up._channel_serial(
+        big16, jax.ShapeDtypeStruct((8192, 16384, 3), jnp.uint8)
+    )
+    big32 = UpscalePlan(
+        h=16384, w=32768, upscale=2.0, precision=Precision.HALF,
+        engine=Engine.MXU, channels=3,
+    )
     assert up._channel_serial(
-        big, jax.ShapeDtypeStruct((8192, 16384, 3), jnp.uint8)
+        big32, jax.ShapeDtypeStruct((16384, 32768, 3), jnp.uint8)
     )

@@ -19,12 +19,24 @@ class DeviceTuning:
     ycas_wb: int = 256  # fused y+CAS strip width (i16; 512 OOMs 16M VMEM)
     ycas_bo: int = 128  # fused y+CAS kernel row-band height
     parity_block: int = 64  # per-parity CAS band height (1.62 ms on v5e)
-    quad_block: int = 64  # quad-parity CAS band height (1.57 ms on v5e)
+    quad_block: int = 64  # quad-parity halo-kernel band height (i16; f32
+    # halves it — VMEM is per-byte) (1.57 ms on v5e)
     quad_wmax: int = 4096  # widest full-width quad tile; wider -> col strips
+    # --- geometry-class table, each entry sourced from a recorded
+    # same-process on-chip sweep (the analog of the reference's vendor
+    # tuning rows, VkResample.cpp:1371-1408):
     quad_wsb: int = 1024  # quad column-strip width (with bt=128: 10.7 ms
     # at 8K->16K planes vs 11.6 for bt64/wsb2048, 16.4 for the round-2
     # bt32/wsb2048 — scripts/big_cas_ab.py; wider strips at bt>=128 blow
     # VMEM, narrower raise the column-halo share)
+    quad_strip_block: int = 128  # strip-regime band height (pairs with
+    # quad_wsb; same sweep as above — halo amplification 1.56x vs 2.25x
+    # at the round-2 bt32)
+    quad_fw_slots_block: int = 32  # full-width slot-resident band height
+    # (i16; f32 halves it): freed from the halo tax, shorter bands win on
+    # DMA/compute overlap — flagship CAS 0.29 (bt=32) vs 0.51 (bt=64),
+    # pipeline 1.262 vs 1.459 (scripts/slots_flagship_ab*.py, 3
+    # interleaved passes; bt=128 blows VMEM)
 
 
 _TABLE = {

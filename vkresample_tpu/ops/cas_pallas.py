@@ -1512,11 +1512,9 @@ def cas_parity4_planes_u2(
         # 2.25x at the round-2 bt32/wsb2048 — 10.7 vs 16.4 ms at the
         # 8K->16K plane geometry, bit-identical (scripts/big_cas_ab.py;
         # bt128/wsb2048 and bt256 blow VMEM, XLA full-array is 78 ms).
-        # The strip default derives from the tuned quad_block, not the
-        # (possibly slots-halved) full-width bt.
-        strip_default = (
-            2 * pad if fac else min(current().quad_block * 2, 128)
-        )
+        # The strip default is its own tuning entry, not the (possibly
+        # slots-halved) full-width bt.
+        strip_default = 2 * pad if fac else current().quad_strip_block
         bt = _fit_block(bt_req or strip_default, h, pad)
         if Wsb >= chalo and Wh >= Wsb + 2 * chalo and bt >= pad:
             nb = h // bt
@@ -1604,11 +1602,8 @@ def cas_parity4_planes_u2(
         # full-width slot-resident bands (nsW=1): the flagship-regime
         # version of the same scheme — the halo kernel DMAs and computes
         # (bt + 2*pad) rows per bt-row band (1.5x at bt=64/pad=16).
-        # Freed from the halo tax, shorter bands win (deeper DMA/compute
-        # overlap): flagship CAS 0.29 (bt=32) vs 0.51 (bt=64) vs 0.72
-        # (halo bt=64), pipeline 1.262 vs 1.459, bit-exact
-        # (scripts/slots_flagship_ab.py; bt=128 blows VMEM).
-        # VKRESAMPLE_QUAD_FW_BT overrides for A/B.
+        # Band height from the tuning table (quad_fw_slots_block, sweep
+        # numbers there); VKRESAMPLE_QUAD_FW_BT overrides for A/B.
         try:
             fw_bt = int(os.environ.get("VKRESAMPLE_QUAD_FW_BT", "0"))
         except ValueError:
@@ -1617,7 +1612,10 @@ def cas_parity4_planes_u2(
             bt = _fit_block(fw_bt, h, pad)
             nb = h // bt
         elif default_block and bt > pad:
-            bt = _fit_block(max(pad, bt // 2), h, pad)
+            fw = current().quad_fw_slots_block
+            if dt != jnp.int16:
+                fw = fw // 2
+            bt = _fit_block(max(pad, min(fw, bt)), h, pad)
             nb = h // bt
         kern = functools.partial(
             _quad_strip_slots_kernel, sharpen=float(sharpen), bt=bt, h=h,

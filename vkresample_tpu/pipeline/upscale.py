@@ -74,9 +74,12 @@ def _use_pallas_cas(plan: UpscalePlan) -> bool:
 # Auto channel-serialization threshold: C * H * W output elements above
 # which the batched (C-leading) program's live set approaches the 16 GB
 # HBM and channels run as a device-side sequential loop instead.  The
-# 3-channel 8K->16K batched program is known-good (~4.0e8); the 3-channel
-# 16K->32K one (~1.6e9) is not.
-CHANNEL_SERIAL_ELEMS = int(1e9)
+# 3-channel 16K->32K batched program (~1.6e9) fits and is FASTER than
+# serial on-chip (127.5 vs 131.2 ms, scripts/big16k_3ch.py, maxdiff 1 vs
+# the 1-channel program), so the threshold sits above it; serial remains
+# the capacity fallback for the next tier up (a 3-channel 32K output is
+# ~6.4e9 — no batched evidence there).
+CHANNEL_SERIAL_ELEMS = int(2e9)
 
 
 def _channel_serial(plan: UpscalePlan, img_u8) -> bool:
