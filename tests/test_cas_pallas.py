@@ -577,3 +577,68 @@ def test_grid_parity_xla_fallback_matches(monkeypatch):
         assert (
             np.abs(np.asarray(a, int) - np.asarray(b, int)).max() <= 1
         )
+
+
+def test_grid_geometry_respects_vmem_budget():
+    """The grid CAS geometry stays inside the scoped-VMEM budget at every
+    plane count — including the exotic-fraction counts (p=7 -> 49 planes)
+    whose u=3-tuned defaults OOM'd the real compiler (onchip_r4
+    bigexotic_p7: 28 MB vs the 16 MB limit).  Interpret-mode tests never
+    see Mosaic's limit, so the plan-time estimate is the only gate."""
+    from vkresample_tpu.ops.cas_pallas import (
+        _GRID_VMEM_BUDGET,
+        _CHALO,
+        _grid_geometry,
+        _pad_for,
+    )
+
+    for n, h, Wp, dt in [
+        (49, 128, 2048, np.dtype(np.int16)),  # the failing p=7 c2c geometry
+        (25, 512, 2048, np.dtype(np.int16)),  # p=5 (verified on-chip)
+        (9, 2048, 4096, np.dtype(np.int16)),  # u=3 big tier
+        (49, 128, 2048, np.dtype(np.float32)),
+        (121, 128, 2048, np.dtype(np.int16)),  # p=11 (reference rejects)
+    ]:
+        pad = _pad_for(dt)
+        geom = _grid_geometry(n, h, Wp, pad, dt, 64, 1024)
+        if geom is None:
+            continue  # falls back to XLA — acceptable
+        bt, Wsb, nsW, Wsw = geom
+        est = n * Wsw * bt * (4 * dt.itemsize + 24)
+        assert est <= _GRID_VMEM_BUDGET, (n, h, Wp, dt, geom, est)
+        assert h % bt == 0 and bt % pad == 0
+        assert Wp % Wsb == 0 and (nsW == 1 or Wsb % _CHALO == 0)
+    # the p=7 shape must still take the kernel (not the XLA fallback)
+    assert _grid_geometry(49, 128, 2048, 16, np.dtype(np.int16), 64, 1024) is not None
+
+
+def test_grid_parity_planes_p7_exotic_matches():
+    """49-plane (p=7 exotic fraction) grid CAS at the narrow-strip
+    geometry matches the XLA full-array evaluation within the rsqrt LSB."""
+    from vkresample_tpu.ops import cas as cas_ops
+    from vkresample_tpu.ops.cas_pallas import cas_parity_grid_planes
+
+    u = 7
+    rng = np.random.default_rng(55)
+    v = rng.standard_normal((1, u * 64, u * 256)).astype(np.float32) * 0.6
+    planes = [
+        cas_ops.to_i16_storage(jnp.asarray(v[:, ry::u, rx::u]))
+        for ry in range(u)
+        for rx in range(u)
+    ]
+    outs = cas_parity_grid_planes(planes, u, 0.2, interpret=True)
+    want = np.asarray(
+        cas_ops.quantize_u8(
+            cas_ops.cas_sharpen(
+                jnp.stack(
+                    [cas_ops.from_i16_storage(p) for p in planes], axis=1
+                )
+                .reshape(1, u, u, 64, 256)
+                .transpose(0, 3, 1, 4, 2)
+                .reshape(1, u * 64, u * 256),
+                0.2,
+            )
+        )
+    )
+    got = _weave_u(outs, u, want.shape)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -1922,6 +1922,56 @@ def _grid_strip_slots_kernel(
                 outs[j][0] = out[j // u][j % u][1 : 1 + bt, co : co + Wsb]
 
 
+_GRID_VMEM_BUDGET = 14 * 2**20
+
+
+def _grid_geometry(n, h, Wp, pad, dt, bt_req, wsb_req):
+    """(bt, Wsb, nsW, Wsw) for the grid CAS band kernels, or None when no
+    geometry fits the scoped-VMEM budget (callers fall back to XLA).
+
+    Shrinks the band height first, then the strip width: large plane
+    counts (exotic fractions, e.g. p=7 -> 49 planes) exceed the budget
+    even at bt=pad — the p=7 c2c -validate OOM'd scoped VMEM at the
+    u=3-tuned Wsb=1024 (onchip_r4 bigexotic_p7) because the pre-fix
+    estimate could accept over-budget geometries once bt hit its floor.
+    Enforced here in plan-time Python because interpret-mode tests never
+    see Mosaic's VMEM limit."""
+    bt = _fit_block(bt_req, h, pad)
+    if Wp > wsb_req + 2 * _CHALO:
+        Wsb = _fit_block(wsb_req, Wp, _CHALO)
+        nsW = Wp // Wsb if Wsb else 0
+        Wsw = Wsb + 2 * _CHALO
+    else:
+        Wsb, nsW, Wsw = Wp, 1, Wp
+
+    def est(bt_, Wsw_):
+        # calibrated against the compiler's own scoped-VMEM report at
+        # the p=7 failure (28.05 MB at n=49, bt=16, Wsw=1088, i16):
+        # 4-deep slot scratch + ~6 live f32 band temporaries per plane
+        # = n*Wsw*bt*(4*itemsize + 24), which predicts 27.3 MB there and
+        # stays under the report at the on-chip-verified p=5 and u=3
+        # geometries
+        return n * Wsw_ * bt_ * (4 * dt.itemsize + 24)
+
+    while bt > pad and est(bt, Wsw) > _GRID_VMEM_BUDGET:
+        bt = _fit_block(bt - pad, h, pad)
+    while Wsb > _CHALO and est(bt, Wsw) > _GRID_VMEM_BUDGET:
+        Wsb = _fit_block(Wsb - _CHALO, Wp, _CHALO)
+        if not Wsb:
+            break
+        nsW = Wp // Wsb
+        Wsw = Wsb + 2 * _CHALO
+    if (
+        bt < pad
+        or h < bt + 2 * pad
+        or not Wsb
+        or (nsW > 1 and Wsb < _CHALO)
+        or est(bt, Wsw) > _GRID_VMEM_BUDGET
+    ):
+        return None
+    return bt, Wsb, nsW, Wsw
+
+
 def cas_parity_grid_planes(
     planes, u: int, sharpen: float, interpret: bool = False,
 ):
@@ -1986,23 +2036,11 @@ def cas_parity_grid_planes(
         and all(x.dtype == dt and x.shape == ps[0].shape for x in ps)
     )
     if usable:
-        bt = _fit_block(bt_req, h, pad)
-        if Wp > wsb_req + 2 * _CHALO:
-            Wsb = _fit_block(wsb_req, Wp, _CHALO)
-            nsW = Wp // Wsb if Wsb else 0
-            Wsw = Wsb + 2 * _CHALO
-        else:
-            Wsb, nsW, Wsw = Wp, 1, Wp
-        # working-set estimate: n scratch tiles double-buffered at input
-        # width plus ~4n live f32 tiles in _grid_planes
-        rows = bt + 2 * pad
-        est = n * rows * Wsw * (2 * dt.itemsize + 4 * 4)
-        while bt > pad and est > 12 * 2**20:
-            bt = _fit_block(bt - pad, h, pad)
-            rows = bt + 2 * pad
-            est = n * rows * Wsw * (2 * dt.itemsize + 4 * 4)
-        if bt < pad or h < bt + 2 * pad or (nsW > 1 and Wsb < _CHALO):
+        geom = _grid_geometry(n, h, Wp, pad, dt, bt_req, wsb_req)
+        if geom is None:
             usable = False
+        else:
+            bt, Wsb, nsW, Wsw = geom
     if not usable:
         # degenerate geometry / opted-out: evaluate the XLA CAS on the
         # woven image (same pattern as the quad kernel's fallback — must
