@@ -1,13 +1,18 @@
-"""Factored (relayout-free) staged column layout.
+"""Factored (relayout-free) staged column layout — REJECTED route.
 
 The staged x conv's S3 stage can emit its NATURAL matmul order "...de"
 (memory col j = d*n2 + e holds plane col s = e*n1 + d), which removes
-the transposed-dot relayout XLA pays for the natural "...ed" order
-(on-chip probe5: 4-plane 8K transform 14.0-16.6 vs 19.6-19.9 ms).  The
-y convs treat columns as a pure batch dim, and the quad CAS kernels
-decode neighbors in the factored geometry (west/east = +-n2 memory
-columns with lane-shifted wrap slabs at the d-boundaries).
-Reference bar: the 4-step inter-pass layout freedom of
+the transposed-dot relayout XLA pays for the natural "...ed" order.
+probe5 measured the bare 4-plane transform winning on-chip (14.0-16.6
+vs 19.6-19.9 ms at 8K), but the PRODUCTION form (correction terms +
+int32 colsum in the same program) LOSES: transform 25.5 vs 22.3 ms and
+e2e 42.7 vs 31.0 (scripts/fac_decide_ab.py, 4 interleaved passes), and
+the factored CAS geometry pays ~7 ms over the natural kernel for its
+n2-wide column halo + d-boundary wrap slabs (16.7-17.4 vs 9.6-10.1 ms,
+scripts/factored_cas_sweep.py).  Round 4 pruned the in-kernel factored
+CAS geometry; the transform capability and the decode->natural->encode
+CAS fallback remain for library callers, pinned here.
+Reference bar considered: the 4-step inter-pass layout freedom of
 /root/reference/vkFFT/vkFFT.h:2205-2389 (reorderFourStep).
 """
 import jax
@@ -54,15 +59,14 @@ def test_factored_transform_matches_natural():
 @pytest.mark.parametrize(
     "h,Wh,n1,n2,dt",
     [
-        (64, 256, 2, 128, jnp.int16),  # full-width slots path
-        (64, 8192, 64, 128, jnp.int16),  # column-strip slots path (> wmax)
+        (64, 256, 2, 128, jnp.int16),
         (64, 256, 2, 128, jnp.float32),
-        (32, 384, 3, 128, jnp.int16),  # odd n1 (wrap parity)
+        (64, 256, 4, 64, jnp.int16),  # n2 not a lane multiple
     ],
 )
-def test_factored_cas_bit_exact(h, Wh, n1, n2, dt):
-    """The factored-geometry quad CAS kernel computes the exact same
-    values as the natural kernel on the permuted planes."""
+def test_factored_cas_fallback_bit_exact(h, Wh, n1, n2, dt):
+    """fac_split planes decode to natural, run the natural kernel, and
+    re-encode — bit-identical to the natural kernel on permuted data."""
     rng = np.random.default_rng(1)
     nat = [
         jnp.asarray((rng.random((3, h, Wh)) * 2 - 0.5).astype(np.float32))
@@ -77,65 +81,6 @@ def test_factored_cas_bit_exact(h, Wh, n1, n2, dt):
             )
             for x in nat
         ]
-    fac = [staged.scramble_cols(x, n1, n2) for x in nat]
-    o_nat = cas_pallas.cas_parity4_planes_u2(*nat, 0.2, interpret=True)
-    o_fac = cas_pallas.cas_parity4_planes_u2(
-        *fac, 0.2, interpret=True, fac_split=(n1, n2)
-    )
-    for a, b in zip(o_nat, o_fac):
-        bd = staged.defactor_cols(b, n1, n2)
-        assert int(
-            np.abs(np.asarray(bd, np.int32) - np.asarray(a, np.int32)).max()
-        ) == 0
-
-
-@pytest.mark.parametrize("dt", [jnp.int16, jnp.float32])
-def test_factored_cas_strips_narrow_window(monkeypatch, dt):
-    """Wsb == chalo (= n2): window ss=1 also lands at ws == 0, so TWO
-    windows carry ds == 0 — pins the static head/tail wrap select (the
-    wrap value at a halo slab must stay harmless) against the natural
-    kernel at the narrowest legal strip."""
-    monkeypatch.setenv("VKRESAMPLE_QUAD_WSB", "128")
-    monkeypatch.setenv("VKRESAMPLE_QUAD_BT", "32")
-    h, Wh, n1, n2 = 64, 8192, 64, 128
-    rng = np.random.default_rng(4)
-    nat = [
-        (rng.random((1, h, Wh)) * 2 - 0.5).astype(np.float32)
-        for _ in range(4)
-    ]
-    if dt == jnp.int16:
-        nat = [
-            np.clip(np.round(x * 16384), -32767, 32767).astype(np.int16)
-            for x in nat
-        ]
-    nat = [jnp.asarray(x) for x in nat]
-    fac = [staged.scramble_cols(x, n1, n2) for x in nat]
-    o_nat = cas_pallas.cas_parity4_planes_u2(*nat, 0.2, interpret=True)
-    o_fac = cas_pallas.cas_parity4_planes_u2(
-        *fac, 0.2, interpret=True, fac_split=(n1, n2)
-    )
-    for a, b in zip(o_nat, o_fac):
-        bd = staged.defactor_cols(b, n1, n2)
-        assert int(
-            np.abs(np.asarray(bd, np.int32) - np.asarray(a, np.int32)).max()
-        ) == 0
-
-
-def test_factored_cas_unsupported_geometry_falls_back():
-    """n2 not a lane multiple: the wrapper must decode->natural->encode
-    and still return factored-layout planes."""
-    h, Wh, n1, n2 = 64, 256, 4, 64
-    rng = np.random.default_rng(2)
-    nat = [
-        jnp.asarray(
-            np.clip(
-                np.round((rng.random((3, h, Wh)) * 2 - 0.5) * 16384),
-                -32767,
-                32767,
-            ).astype(np.int16)
-        )
-        for _ in range(4)
-    ]
     fac = [staged.scramble_cols(x, n1, n2) for x in nat]
     o_nat = cas_pallas.cas_parity4_planes_u2(*nat, 0.2, interpret=True)
     o_fac = cas_pallas.cas_parity4_planes_u2(
@@ -185,32 +130,3 @@ def test_factored_e2e_vs_oracle():
     ref = oracle.upscale_oracle(img, plan)
     got = np.moveaxis(out, 0, -1)
     assert int(np.abs(got.astype(np.int32) - ref.astype(np.int32)).max()) <= 1
-
-
-@pytest.mark.parametrize(
-    "bt,wsb",
-    [(128, 1024), (32, 2048), (64, 1024)],
-)
-def test_factored_cas_strips_tpu_lowering(monkeypatch, bt, wsb):
-    """Cross-lower the factored strips kernel for TPU on CPU.  Mosaic
-    lowering runs client-side, so this catches unimplemented-primitive
-    breaks (value dynamic_slice, scalar select_n) that interpret-mode
-    tests cannot — the round-3 head/tail-select form shipped green on
-    interpret and failed exactly here on chip."""
-    monkeypatch.setenv("VKRESAMPLE_QUAD_WSB", str(wsb))
-    monkeypatch.setenv("VKRESAMPLE_QUAD_BT", str(bt))
-    h, Wh, n1, n2 = 512, 8192, 64, 128
-    rng = np.random.default_rng(7)
-    fac = [
-        jnp.asarray(rng.integers(-8000, 8000, (1, h, Wh), np.int16))
-        for _ in range(4)
-    ]
-
-    def f(p0, rest):
-        return cas_pallas.cas_parity4_planes_u2(
-            p0, *rest, 0.2, fac_split=(n1, n2)
-        )
-
-    import jax
-
-    jax.jit(f).trace(fac[0], fac[1:]).lower(lowering_platforms=("tpu",))

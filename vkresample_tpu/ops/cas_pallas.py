@@ -827,39 +827,13 @@ def _shiftR(t):
     return jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
 
 
-def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None, fac=None):
+def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None):
     """p[ry][rx]: clipped tiles covering global rows [ts, ts+rows) and
     global columns [ws, ws+Wsw) of the four parity planes (each h x Wh
     globally).  Returns the four uint8 output tiles; valid wherever the
     row/col halo is inside the tile (global edges handled by clamps).
 
-    fac: FACTORED column geometry (the staged transform's relayout-free
-    layout, fft/staged.py scramble_cols): tiles stay PLAIN 2-D
-    (rows, Wsw) windows of memory columns, memory col j = d*n2 + e holds
-    plane col s = e*n1 + d.  fac = dict(n2=, wraps=[[wrapW_b, wrapE_a]
-    per ry] or None).
-
-    In this geometry plane-col neighbors are whole n2-column shifts of
-    memory (s-1 of (d, e) is (d-1, e) for d > 0), i.e. full-vreg moves
-    with NO lane shuffles and no (rows, S, n2) reshape (the 3-D view
-    forced a Mosaic relayout of every tile — the round-3 form's 2-3x CAS
-    regression).  Only the d == 0 / d == n1-1 boundary slabs wrap, and
-    they can ride UNCONDITIONALLY as the shift's head/tail n2 columns:
-
-    wraps=None (full width resident): head = the tile's own last slab
-    lane-shifted (west of (0, e) = (n1-1, e-1)), tail = its first slab
-    lane-shifted the other way.
-
-    wraps given (column strips, chalo == n2): wrapW_b is a RAW
-    (rows, n2) tile of plane p[ry][1]'s LAST slab (d = n1-1) and wrapE_a
-    of p[ry][0]'s FIRST slab (d = 0), DMA'd via their own slots.  No
-    select is needed: a window's leftmost slab is STORED only when it is
-    the global d == 0 slab (windows are n2-aligned; elsewhere it is
-    discarded strip halo), so the wrap head is either exactly right or
-    thrown away — and symmetrically for the tail.
-
-    gleft/gright stay the natural col == 0 / col == Wh-1 masks: plane
-    col s == 0 is memory col 0 and s == Wh-1 is memory col Wh-1."""
+    gleft/gright are the col == 0 / col == Wh-1 clamp masks."""
     rows, Wsw = p[0][0].shape
     if Wh is None:
         Wh = Wsw
@@ -867,30 +841,6 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None, fac=None):
     col = jax.lax.broadcasted_iota(jnp.int32, (1, Wsw), 1) + ws
     gleft = col == 0
     gright = col == Wh - 1
-    if fac is not None:
-        n2f = fac["n2"]
-        wraps = fac.get("wraps")
-
-        def SL(b, ry):
-            head = wraps[ry][0] if wraps is not None else b[:, -n2f:]
-            # lane e-1 within the wrap slab; lane 0 is garbage (s would
-            # be -1) — it lands on memory col 0 only in the d == 0 slab,
-            # where gleft clamps
-            head = jnp.concatenate([head[:, :1], head[:, :-1]], axis=1)
-            return jnp.concatenate([head, b[:, :-n2f]], axis=1)
-
-        def SR(a, ry):
-            tail = wraps[ry][1] if wraps is not None else a[:, :n2f]
-            tail = jnp.concatenate([tail[:, 1:], tail[:, -1:]], axis=1)
-            return jnp.concatenate([a[:, n2f:], tail], axis=1)
-    else:
-
-        def SL(b, ry):
-            return _shiftL(b)
-
-        def SR(a, ry):
-            return _shiftR(a)
-
     gtop = (row + ts) == 0
     gbot = (row + ts) == h - 1
 
@@ -902,10 +852,10 @@ def _quad_planes(p, ts, h, sharpen, ws=0, Wh=None, fac=None):
     wpe = [[None, None], [None, None]]
     for ry in (0, 1):
         a, b = p[ry][0], p[ry][1]
-        wv[ry][0] = jnp.where(gleft, a, SL(b, ry))
+        wv[ry][0] = jnp.where(gleft, a, _shiftL(b))
         ev[ry][0] = b
         wv[ry][1] = a
-        ev[ry][1] = jnp.where(gright, b, SR(a, ry))
+        ev[ry][1] = jnp.where(gright, b, _shiftR(a))
         for rx in (0, 1):
             xmin[ry][rx] = jnp.minimum(wv[ry][rx], ev[ry][rx])
             xmax[ry][rx] = jnp.maximum(wv[ry][rx], ev[ry][rx])
@@ -1224,7 +1174,6 @@ def _quad_strip_slots_kernel(
     *scr_all,
     sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
     Wh: int, Wsb: int, nsW: int, tree_i16: bool = False,
-    chalo: int = _CHALO, fac: tuple = None,
 ):
     """Slot-resident column-strip variant: bands are DMA'd WITHOUT row
     halos (exactly bt rows each) into a 4-deep rotating buffer, and the
@@ -1238,21 +1187,13 @@ def _quad_strip_slots_kernel(
     Strip-edge slots hold garbage rows (previous strip / uninitialized),
     but those rows coincide exactly with the image top/bottom, where
     _quad_planes' gtop/gbot clamp masks discard them.  nsW == 1 runs
-    full-width tiles (no column halo) — the flagship regime.
-
-    fac=(n1, n2): planes are in the staged transform's FACTORED column
-    layout (see _quad_planes' fac).  chalo (the column halo / window
-    alignment) must then be n2 so halo slabs align with d-groups; in
-    strips mode four extra (4, bt, n2) scratch slots carry the
-    d-boundary wrap slabs (the planes' first/last n2 memory columns),
-    full-width slices them from the resident tiles."""
+    full-width tiles (no column halo) — the flagship regime."""
     g = pl.program_id(0)
     strips = nsW > 1
-    Wsw = Wsb + 2 * chalo if strips else Wh
+    Wsw = Wsb + 2 * _CHALO if strips else Wh
     ins = (p00_hbm, p01_hbm, p10_hbm, p11_hbm)
     scr = scr_all[:4]
     sems = scr_all[-1]
-    wscr = scr_all[4:-1]  # fac strips: wrapW_b0, wrapE_a0, wrapW_b1, wrapE_a1
 
     def window(gg):
         cc = gg // (nb * nsW)
@@ -1260,7 +1201,7 @@ def _quad_strip_slots_kernel(
         ii = gg % nb
         if strips:
             ws = pl.multiple_of(
-                jnp.clip(ss * Wsb - chalo, 0, Wh - Wsw), chalo
+                jnp.clip(ss * Wsb - _CHALO, 0, Wh - Wsw), _CHALO
             )
         else:
             ws = 0
@@ -1276,25 +1217,10 @@ def _quad_strip_slots_kernel(
             ]
         else:
             srcs = [ins[j].at[cc, pl.ds(ts, bt), :] for j in range(4)]
-        copies = [
+        return [
             pltpu.make_async_copy(srcs[j], scr[j].at[slot], sems.at[slot, j])
             for j in range(4)
         ]
-        if wscr:
-            n2f = fac[1]
-            wsrcs = [
-                ins[1].at[cc, pl.ds(ts, bt), pl.ds(Wh - n2f, n2f)],
-                ins[0].at[cc, pl.ds(ts, bt), pl.ds(0, n2f)],
-                ins[3].at[cc, pl.ds(ts, bt), pl.ds(Wh - n2f, n2f)],
-                ins[2].at[cc, pl.ds(ts, bt), pl.ds(0, n2f)],
-            ]
-            copies += [
-                pltpu.make_async_copy(
-                    wsrcs[j], wscr[j].at[slot], sems.at[slot, 4 + j]
-                )
-                for j in range(4)
-            ]
-        return copies
 
     sp, sc, sn = _slot_schedule(g, dmas)
     _, ii, ss, ws = window(g)
@@ -1318,26 +1244,7 @@ def _quad_strip_slots_kernel(
 
     ts = ii * bt - 1  # global plane row of tile row 0 (only feeds the
     # gtop/gbot iota masks; -1 at the top band never matches)
-    if fac is not None:
-        _, n2f = fac
-        t = [
-            [_clip(_tile(scr[0])), _clip(_tile(scr[1]))],
-            [_clip(_tile(scr[2])), _clip(_tile(scr[3]))],
-        ]
-        if strips:
-            wr = [
-                [_clip(_tile(wscr[0])), _clip(_tile(wscr[1]))],
-                [_clip(_tile(wscr[2])), _clip(_tile(wscr[3]))],
-            ]
-        else:
-            # full width: the d-boundary slabs are resident in-tile, so
-            # the shifts wrap via pure concats — no wrap scratch
-            wr = None
-        out = _quad_planes(
-            t, ts, h, sharpen, ws=ws, Wh=Wh,
-            fac=dict(n2=n2f, wraps=wr),
-        )
-    elif tree_i16:
+    if tree_i16:
         q = [[_tile(scr[0]), _tile(scr[1])], [_tile(scr[2]), _tile(scr[3])]]
         out = _quad_planes_i16(q, ts, h, sharpen, ws=ws, Wh=Wh)
     else:
@@ -1350,7 +1257,7 @@ def _quad_strip_slots_kernel(
     coffset = ss * Wsb - ws
     refs = (o00_ref, o01_ref, o10_ref, o11_ref)
 
-    for co in (0, chalo, 2 * chalo) if strips else (0,):
+    for co in (0, _CHALO, 2 * _CHALO) if strips else (0,):
         @pl.when(coffset == co)
         def _(co=co):
             for ref, (ry, rx) in zip(
@@ -1370,9 +1277,14 @@ def cas_parity4_planes_u2(
 
     fac_split=(n1, n2): the planes arrive (and the u8 outputs return) in
     the staged transform's FACTORED column layout (fft/staged.py
-    scramble_cols).  Requires 128 | n2 and the slot-resident kernels;
-    other geometries/envs decode to natural, run the natural kernel, and
-    re-encode (correctness-only fallback)."""
+    scramble_cols, r2c_quad_staged(factored=True)).  Correctness-only:
+    decodes to natural, runs the natural kernel, re-encodes.  The
+    in-kernel factored geometry was REJECTED on-chip in round 4 and
+    pruned — the d-boundary wrap slabs and the n2-wide column halo cost
+    ~7 ms over the natural kernel at the 8K strips geometry (fac CAS
+    16.7-17.4 vs nat 9.6-10.1 ms, scripts/factored_cas_sweep.py) while
+    the production factored transform also lost (25.5 vs 22.3 ms,
+    scripts/fac_decide_ab.py; e2e 42.7 vs 31.0) — see docs/STATUS.md."""
     import os
 
     lead = P00.shape[:-2]
@@ -1381,34 +1293,18 @@ def cas_parity4_planes_u2(
     dt = planes[0].dtype
     pad = _pad_for(dt)
 
-    fac = None
     if fac_split is not None:
+        from ..fft import staged as _staged
+
         n1f, n2f = int(fac_split[0]), int(fac_split[1])
-
-        def _via_natural():
-            from ..fft import staged as _staged
-
-            nat = cas_parity4_planes_u2(
-                *(
-                    _staged.defactor_cols(x, n1f, n2f)
-                    for x in (P00, P01, P10, P11)
-                ),
-                sharpen, block_rows=block_rows, interpret=interpret,
-            )
-            return tuple(_staged.scramble_cols(x, n1f, n2f) for x in nat)
-
-        if (
-            n2f % 128 == 0
-            and n1f >= 2
-            and n1f * n2f == Wh
-            and dt in (jnp.float32, jnp.int16)
-            and not _use_i16_tree(dt)
-            and os.environ.get("VKRESAMPLE_QUAD_CAS") != "xla"
-            and os.environ.get("VKRESAMPLE_QUAD_STRIP", "slots") == "slots"
-        ):
-            fac = (n1f, n2f)
-        else:
-            return _via_natural()
+        nat = cas_parity4_planes_u2(
+            *(
+                _staged.defactor_cols(x, n1f, n2f)
+                for x in (P00, P01, P10, P11)
+            ),
+            sharpen, block_rows=block_rows, interpret=interpret,
+        )
+        return tuple(_staged.scramble_cols(x, n1f, n2f) for x in nat)
     if os.environ.get("VKRESAMPLE_QUAD_CAS") == "xla":
         # full-array XLA evaluation of the same quad stencil (A/B knob:
         # lets XLA's own fusion/tiling compete with the Pallas band
@@ -1452,8 +1348,6 @@ def cas_parity4_planes_u2(
         or dt not in (jnp.float32, jnp.int16)
         or any(x.dtype != dt or x.shape != planes[0].shape for x in planes)
     ):
-        if fac is not None:
-            return _via_natural()
         # degenerate geometry: evaluate via the XLA CAS on the woven image
         from . import cas as cas_ops
 
@@ -1499,24 +1393,15 @@ def cas_parity4_planes_u2(
 
         wsb_req = _env_int("VKRESAMPLE_QUAD_WSB")
         bt_req = _env_int("VKRESAMPLE_QUAD_BT")
-        # factored layout: windows/strips must align with the n2-wide
-        # d-slabs so slab shifts stay whole-lane-group moves.  The
-        # strips wrap now rides static head/tail selects on a (rows, n2)
-        # slab (VMEM back in the natural class — the earlier full-tile
-        # masked-select form measured 28.3 MB at bt=128/wsb=1024); the
-        # fac defaults below come from the on-chip (bt, wsb) sweep.
-        chalo = fac[1] if fac else _CHALO
-        wsb_default = max(2048, 2 * chalo) if fac else current().quad_wsb
-        Wsb = _fit_block(wsb_req or wsb_default, Wh, chalo)
+        Wsb = _fit_block(wsb_req or current().quad_wsb, Wh, _CHALO)
         # bt=128 with wsb=1024 (rows=160): halo amplification 1.56x vs
         # 2.25x at the round-2 bt32/wsb2048 — 10.7 vs 16.4 ms at the
         # 8K->16K plane geometry, bit-identical (scripts/big_cas_ab.py;
         # bt128/wsb2048 and bt256 blow VMEM, XLA full-array is 78 ms).
         # The strip default is its own tuning entry, not the (possibly
         # slots-halved) full-width bt.
-        strip_default = 2 * pad if fac else current().quad_strip_block
-        bt = _fit_block(bt_req or strip_default, h, pad)
-        if Wsb >= chalo and Wh >= Wsb + 2 * chalo and bt >= pad:
+        bt = _fit_block(bt_req or current().quad_strip_block, h, pad)
+        if Wsb >= _CHALO and Wh >= Wsb + 2 * _CHALO and bt >= pad:
             nb = h // bt
             rows = bt + 2 * pad
             nsW = Wh // Wsb
@@ -1529,8 +1414,6 @@ def cas_parity4_planes_u2(
                 os.environ.get("VKRESAMPLE_QUAD_STRIP", "slots") == "slots"
                 and nb >= 2
             )
-            if fac is not None and not slots:
-                return _via_natural()
             if slots:
                 # slot-resident bands: row halos come from neighbor
                 # slots instead of re-DMA'd pad-aligned windows; the
@@ -1539,7 +1422,6 @@ def cas_parity4_planes_u2(
                     _quad_strip_slots_kernel, sharpen=float(sharpen),
                     bt=bt, h=h, nb=nb, pad=pad, scale=_in_scale_for(dt),
                     Wh=Wh, Wsb=Wsb, nsW=nsW, tree_i16=_use_i16_tree(dt),
-                    chalo=chalo, fac=fac,
                 )
                 ospec = pl.BlockSpec(
                     (1, bt, Wsb),
@@ -1550,12 +1432,8 @@ def cas_parity4_planes_u2(
                     ),
                     memory_space=pltpu.VMEM,
                 )
-                scratch = [pltpu.VMEM((4, bt, Wsb + 2 * chalo), dt)] * 4
-                if fac is not None:
-                    # d-boundary wrap slabs ride their own slots
-                    scratch += [pltpu.VMEM((4, bt, fac[1]), dt)] * 4
-                scratch += [
-                    pltpu.SemaphoreType.DMA((4, 8 if fac is not None else 4))
+                scratch = [pltpu.VMEM((4, bt, Wsb + 2 * _CHALO), dt)] * 4 + [
+                    pltpu.SemaphoreType.DMA((4, 4))
                 ]
             else:
                 kern = functools.partial(
@@ -1592,7 +1470,6 @@ def cas_parity4_planes_u2(
         return cas_parity4_planes_u2(
             *(p.reshape(lead + (h, Wh)) for p in planes),
             sharpen, block_rows=1, interpret=interpret,
-            fac_split=fac_split,
         )
 
     if (
@@ -1620,7 +1497,7 @@ def cas_parity4_planes_u2(
         kern = functools.partial(
             _quad_strip_slots_kernel, sharpen=float(sharpen), bt=bt, h=h,
             nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh, Wsb=Wh,
-            nsW=1, tree_i16=_use_i16_tree(dt), fac=fac,
+            nsW=1, tree_i16=_use_i16_tree(dt),
         )
         ospec = pl.BlockSpec(
             (1, bt, Wh), lambda g, nb=nb: (g // nb, g % nb, 0),
@@ -1641,9 +1518,6 @@ def cas_parity4_planes_u2(
         )(*planes)
         return tuple(x.reshape(lead + (h, Wh)) for x in outs)
 
-    if fac is not None:
-        # the aligned-halo full-width kernel has no factored geometry
-        return _via_natural()
     kern = functools.partial(
         _quad_kernel, sharpen=float(sharpen), bt=bt, h=h, nb=nb, pad=pad,
         scale=_in_scale_for(dt), tree_i16=_use_i16_tree(dt),
