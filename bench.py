@@ -36,6 +36,12 @@ def main() -> int:
     h, w, u = 1024, 2048, 2.0
     baseline_ms = 2.0
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--full" in sys.argv[1:]:
+        # every opt-in field in one process: the round's committed bench
+        # record (BENCH_FULL_rXX.json) so non-flagship tiers can't
+        # regress invisibly round-over-round
+        sys.argv += ["--matrix", "--big", "--bigfrac", "--bigc2c",
+                     "--grid", "--big16k"]
     stages = "--stages" in sys.argv[1:]
     matrix = "--matrix" in sys.argv[1:]
     k2 = int(args[0]) if args else 40
@@ -196,6 +202,27 @@ def main() -> int:
         )
         result["bigc2c_8k_to_16k_ms"] = round(
             time_device(cfn, cx, aux=cbanks, k1=2, k2=8), 4
+        )
+
+    if "--big16k" in sys.argv[1:]:
+        # 16K->32K 3-channel (opt-in): the largest user-surface frame —
+        # 8192x16384 -> 16384x32768 half, batched channels (127.5 ms
+        # on-chip = exactly 3x the 1-channel program, scripts/
+        # big16k_3ch.py; ~1.6e9 output elements fit HBM)
+        kplan = UpscalePlan(
+            h=8192, w=16384, upscale=2.0, precision=Precision.HALF,
+            sharpen=0.2, engine=Engine.AUTO, channels=3,
+        )
+        keng = kplan.resolve_engine()
+        kbanks = make_device_banks(kplan, keng, planes=True)
+        kx = jax.device_put(
+            rng.integers(0, 256, size=(8192, 16384, 3), dtype=np.uint8)
+        )
+        kfn = functools.partial(
+            _pipeline, plan=kplan, engine=keng, planes_out=True
+        )
+        result["big16k_to_32k_3ch_ms"] = round(
+            time_device(kfn, kx, aux=kbanks, k1=1, k2=4), 4
         )
 
     if "--grid" in sys.argv[1:]:

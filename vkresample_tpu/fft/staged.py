@@ -443,13 +443,12 @@ def conv_apply_lanes(
 
     factored=True emits S3 in its NATURAL matmul order "...de" and
     flattens, so output memory column j = d*n2 + e holds conv output
-    s = e*n1 + d (the FACTORED/scrambled column layout).  This removes
-    the transposed-dot relayout XLA pays for the "...ed" order (~3.75 ms
-    of copy+reshape at the 8K x->y conv boundary; on-chip probe5:
-    4-plane transform 14.0-16.6 vs 19.6-19.9 ms) — downstream row convs
-    treat columns as a pure batch dim, and the factored CAS geometry
-    decodes neighbors (see ops/cas_pallas).  Requires decimate=1 banks
-    (nd == n1)."""
+    s = e*n1 + d (the FACTORED/scrambled column layout) — downstream row
+    convs treat columns as a pure batch dim.  Requires decimate=1 banks
+    (nd == n1).  NOTE: the factored ROUTE was rejected in round 4 — the
+    production transform loses 25.5 vs 22.3 ms at 8K and the factored
+    CAS geometry was pruned (scripts/fac_decide_ab.py, docs/STATUS.md);
+    this stays as a library capability (pure output permutation)."""
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
     b1 = banks[prefix + "b1"]
@@ -653,8 +652,9 @@ def r2c_quad_staged(
     factored_split(banks)): the x conv's S3 writes its natural matmul
     order (no relayout), the y convs are order-blind, P00 is a scrambled
     u8 view + scrambled signs, and the tiny correction rows scramble
-    post-hoc.  Consumers decode via defactor_cols or the factored CAS
-    geometry."""
+    post-hoc.  Consumers decode via defactor_cols (the factored CAS
+    geometry was rejected + pruned in round 4: fac_split now decodes to
+    the natural kernel — scripts/fac_decide_ab.py, docs/STATUS.md)."""
     variant = _quad_variant()
     w = x_raw.shape[-1]
     h = x_raw.shape[-2]
