@@ -30,7 +30,10 @@ import numpy as np
 # v3: staged conv_banks actually inherits the balanced n1<=64 split
 #     default (v2 intended this but conv_banks' own prefer=128 won)
 # v5: staged banks carry dc0 kernel DC gains (bf16c)
-CACHE_VERSION = 6  # v6: y digit banks default to the 3-digit yq3 form
+# v7: staged x (lanes) convs prefer n1 = 128*q — lane-exact composed
+#     layout (the x->y boundary relayout disappears; round-4 HLO
+#     attribution)
+CACHE_VERSION = 7
 
 # cache only geometries where host staging is actually noticeable; small
 # banks rebuild in well under a second and aren't worth the disk churn
@@ -44,6 +47,7 @@ _CONTENT_KNOBS = (
     "VKRESAMPLE_HALF_STORAGE",
     "VKRESAMPLE_MM_PRECISION",
     "VKRESAMPLE_Y_DIGITS",
+    "VKRESAMPLE_XSPLIT",
 )
 
 

@@ -214,6 +214,31 @@ def split_factors(n: int, prefer: int = None, multiple_of: int = 1):
     return n1, n // n1
 
 
+def x_split_prefer(decimate: int = 1) -> int:
+    """Preferred middle factor n1 for the LANES (x-axis) staged convs.
+
+    The balanced n1<=64 split wins the ISOLATED conv A/B
+    (scripts/staged_split_ab.py), but in the COMPOSED program the x
+    conv's S3 output view (..., n2, n1) with n1=64 leaves every 128-lane
+    vreg half-used, and XLA pays a full relayout copy+reshape at the
+    x->y boundary (copy.69 + reshape.151 = 3.75 ms of the 30.8 ms
+    8K->16K pipeline, round-4 HLO attribution).  n1=128 makes BOTH the
+    input view (..., n2, 128) and the natural "...ed" output lane-exact,
+    so the flatten is sublane-only and the relayout disappears.
+    Decimated (fractional) banks emit nd = n1/q output columns, so the
+    lane-exact preference scales to n1 = 128*q: the input view's minor
+    dim stays a multiple of 128 and the output's nd lands exactly on
+    128.  VKRESAMPLE_XSPLIT overrides the base (pre-q) preference for
+    A/B (scripts/xsplit_ab.py)."""
+    import os
+
+    base = 128
+    v = os.environ.get("VKRESAMPLE_XSPLIT")
+    if v:
+        base = int(v)
+    return base * decimate
+
+
 def conv_banks(
     kernel: np.ndarray,
     prefix: str,
@@ -422,11 +447,30 @@ def conv_apply_rows(
     y = _store(y, 0)
     # S2: per-k2 2x2-block n1 matmul -> (..., 2, k2, t1', L)
     y = jnp.einsum("cjbkd,...jcbL->...kcdL", mb, y, precision=prec23, **kw)
+    dc_post = None
     if dc_add is not None:
-        y = y.at[..., 0, 0, :, :].add(n2 * dc_add)
+        import os
+
+        if (mode == "i16" and qb is not None) or os.environ.get(
+            "VKRESAMPLE_DC"
+        ) == "scatter":
+            # inject into the DC bin so the i16 store absorbs the term
+            y = y.at[..., 0, 0, :, :].add(n2 * dc_add)
+        else:
+            dc_post = dc_add
     y = _store(y, 1)
     # S3: contract (re/im, k2) -> (..., t2', t1', L), real output
     y = jnp.einsum("kce,...kcdL->...edL", b3, y, precision=prec23, **kw)
+    if dc_post is not None:
+        # b3[0, 0, e] == 1/n2 for EVERY e, so the DC-bin injection is
+        # exactly a broadcast add of dc_add[d, L] over the t2' groups —
+        # emit it as S3's fused elementwise epilogue instead of a
+        # scatter-add on the spectral intermediate: the .at[].add form
+        # materializes a full layout-permuted copy of each S2 output
+        # (2x 1.24 ms at 8K->16K, copy.256/257 in the round-4 HLO
+        # attribution).  The i16 branch above keeps the in-spectrum
+        # injection so the narrow store absorbs the term.
+        y = y + dc_post[..., None, :, :]
     y = y.reshape(lead + (n2 * nd, L))
     if cm is not None:
         # exact DC add-back: conv(x) = conv(x - cm) + cm * sum(kernel)
@@ -559,7 +603,9 @@ def r2c_quad_staged_banks(plan, dtype: str = "float32") -> dict:
     cy, a0 = y_kernel(h, plan.kept_lo_y, plan.kept_hi_y)
     psi_o, chi_o, chi_e = x_kernels(w, plan.kept_lo_x)
     banks = {}
-    banks.update(conv_banks(psi_o / 255.0, "stx_", dtype=dtype))  # /255 folded
+    banks.update(
+        conv_banks(psi_o / 255.0, "stx_", dtype=dtype, prefer=x_split_prefer())
+    )  # /255 folded
     banks.update(conv_banks(cy, "sty_", dtype=dtype))
     if a0 != 0.0:
         # rank-1 relocated y-Nyquist residue: Iy = outer((-1)^t, a0(-1)^s)
@@ -921,7 +967,10 @@ def r2c_grid_staged_banks(plan, dtype: str = "float32") -> dict:
     for rx in range(1, p):
         psi, _ = phase_x_kernels(w, plan.kept_lo_x, rx, uf)
         banks.update(
-            conv_banks(psi / 255.0, f"sgx{rx}_", dtype=dtype, decimate=q)
+            conv_banks(
+                psi / 255.0, f"sgx{rx}_", dtype=dtype, decimate=q,
+                prefer=x_split_prefer(q),
+            )
         )
     if any(a0 != 0.0 for a0 in a0s.values()):
         banks["sg_y1n"] = (
@@ -1122,7 +1171,10 @@ def c2c_grid_staged_banks(plan, dtype: str = "float32") -> dict:
             plan.w, plan.kept_lo_x, plan.kept_hi_x, r, uf
         )
         banks.update(
-            conv_banks(cx / 255.0, f"cgx{r}_", dtype=dtype, decimate=q)
+            conv_banks(
+                cx / 255.0, f"cgx{r}_", dtype=dtype, decimate=q,
+                prefer=x_split_prefer(q),
+            )
         )
         ax[r] = a0x
     banks["cg_ay"] = ay.astype(dtype)
