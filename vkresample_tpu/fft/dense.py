@@ -914,8 +914,17 @@ def r2c_quad(x_raw: jnp.ndarray, banks: dict, precision, store=None, load=None):
     else:
         P00s, P01s = store(P00), store(P01)
     if int8_route:
-        P10 = _quad_int8_y(P00s, banks)
-        P11 = _quad_int8_y(P01s, banks)
+        import os
+
+        if os.environ.get("VKRESAMPLE_DENSE_YBATCH") == "1":
+            # item-7 experiment: one batched digit-dot set over the two
+            # planes (5 MXU dispatches instead of 10) — the stack is a
+            # 12.6 MB i16 copy at the flagship shape
+            Pb = _quad_int8_y(jnp.stack([P00s, P01s]), banks)
+            P10, P11 = Pb[0], Pb[1]
+        else:
+            P10 = _quad_int8_y(P00s, banks)
+            P11 = _quad_int8_y(P01s, banks)
     else:
         P00m = P00 if store is None else load(P00s)
         P01m = P01 if store is None else load(P01s)
