@@ -893,3 +893,29 @@ def test_channel_serial_matches_batched(monkeypatch):
     assert up._channel_serial(
         big32, jax.ShapeDtypeStruct((16384, 32768, 3), jnp.uint8)
     )
+
+
+def test_x_split_prefer_lane_exact(monkeypatch):
+    """The staged x (lanes) convs prefer n1 = 128*q so BOTH the input
+    view (..., n2, n1) and S3's natural "...ed" output view are
+    lane-exact — the composed-program layout win behind the round-4
+    8K->16K 31.1 -> 25.4 ms fix (scripts/xsplit_ab.py).  Pins the
+    preference, the q scaling, and the env override."""
+    monkeypatch.delenv("VKRESAMPLE_XSPLIT", raising=False)
+    assert staged.x_split_prefer() == 128
+    assert staged.x_split_prefer(4) == 512
+    assert staged.split_factors(8192, staged.x_split_prefer()) == (128, 64)
+    # decimated: n1 = 128*q keeps nd = n1/q on exactly 128 lanes
+    n1, n2 = staged.split_factors(
+        8192, staged.x_split_prefer(4), multiple_of=4
+    )
+    assert n1 == 512 and n1 // 4 == 128
+    # quad banks land the preference end to end
+    plan = UpscalePlan(
+        h=256, w=1024, upscale=2.0, precision=Precision.HALF,
+        engine=Engine.MXU,
+    )
+    banks = staged.r2c_quad_staged_banks(plan)
+    assert staged.factored_split(banks) == (128, 8)
+    monkeypatch.setenv("VKRESAMPLE_XSPLIT", "64")
+    assert staged.x_split_prefer() == 64

@@ -390,7 +390,8 @@ def _i16_store(y, bound):
 
 
 def conv_apply_rows(
-    x, banks: dict, prefix: str, precision=None, dc_add=None, in_max=None
+    x, banks: dict, prefix: str, precision=None, dc_add=None, in_max=None,
+    load=None,
 ):
     """Staged circular convolution over axis -2 of a REAL array
     (..., n, L) -> (..., n, L).
@@ -400,7 +401,15 @@ def conv_apply_rows(
     t2' (b3[0, 0, e] = 1/n2 for all e).  Used to fold the rank-1
     y-Nyquist correction into the SMALL spectral intermediate so the i16
     store can fuse into S3's epilogue instead of paying a full-size
-    post-add pass."""
+    post-add pass.
+
+    load: optional storage-codec decode — x arrives in STORED form
+    (e.g. int16 Q2.14) and is decoded AFTER the internal row-split
+    reshape.  load(reshape(x)) == reshape(load(x)) bit-exactly
+    (elementwise op), but the deferred order halves the relayout bytes
+    when the reshape materializes and lets the dequant fuse into S1's
+    operand read — the early-load form paid a 1.22 ms full-size
+    dequant pass at 8K->16K (reshape.60, round-4 HLO attribution)."""
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
     b1 = banks[prefix + "b1"]
@@ -409,6 +418,11 @@ def conv_apply_rows(
     kw = {}
     prec23 = precision
     mode = _intermediate_mode(b1)
+    if load is not None and mode in ("bf16", "bf16c"):
+        # these modes transform x globally (cast / centering) before the
+        # split — decode up front, exactly as the caller used to
+        x = load(x)
+        load = None
     cm = None
     if mode == "bf16":
         cb = jnp.bfloat16
@@ -442,6 +456,8 @@ def conv_apply_rows(
     L = x.shape[-1]
     lead = x.shape[:-2]
     x = x.reshape(lead + (n2, n1, L))
+    if load is not None:
+        x = load(x)
     # S1: contract t2 -> (..., 2, k2, t1, L)
     y = jnp.einsum("ajc,...abL->...jcbL", b1, x, precision=precision, **kw)
     y = _store(y, 0)
@@ -765,6 +781,7 @@ def r2c_quad_staged(
             # negligible next to the full-size planes
             t2o = scramble_cols(t2o, n1x, n2x)
             t2e = scramble_cols(t2e, n1x, n2x)
+    yload = None
     if store is None:
         P00s, P01s = P00, P01
         P00m, P01m = P00, P01
@@ -774,8 +791,16 @@ def r2c_quad_staged(
             P00s, P01s = jax.lax.optimization_barrier((P00s, P01s))
         if "f32y" in variant:
             P00m, P01m = P00, P01
-        else:
+        elif "dqearly" in variant or "batchy" in variant:
+            # early decode: the y convs read full-size dequantized
+            # planes ("dqearly" restores the pre-round-4 order for A/B;
+            # "batchy" stacks the planes before the conv)
             P00m, P01m = load(P00s), load(P01s)
+        else:
+            # defer the Q2.14 decode into conv_apply_rows, after its
+            # row-split reshape (bit-exact; see conv_apply_rows)
+            P00m, P01m = P00s, P01s
+            yload = load
     # y conv over rows, one per even-row plane.  The rank-1 y-Nyquist
     # correction Iy_odd[t, s] = yc*(-1)^(s-t) (Y1n carries (-1)^t) rides
     # the shared even/odd-n1 injection rule (ynyq_dc_or_post): DC-bin
@@ -804,10 +829,12 @@ def r2c_quad_staged(
         P10, P11 = Pyt[0], Pyt[1]
     else:
         P10 = conv_apply_rows(
-            P00m, banks, "sty_", precision, dc_add=dc_e, in_max=2.0
+            P00m, banks, "sty_", precision, dc_add=dc_e, in_max=2.0,
+            load=yload,
         )
         P11 = conv_apply_rows(
-            P01m, banks, "sty_", precision, dc_add=dc_o, in_max=2.0
+            P01m, banks, "sty_", precision, dc_add=dc_o, in_max=2.0,
+            load=yload,
         )
     if post is not None:
         P10 = P10 + post * t2e
@@ -1044,11 +1071,14 @@ def r2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
             conv_apply_lanes(tcorr, banks, f"sgb{rx}_", precision)
             for rx in range(u)
         ]
+    gload = None
     if store is None:
         P0s, P0m = P0, P0
     else:
         P0s = [store(p) for p in P0]
-        P0m = [load(p) for p in P0s]
+        # decode deferred into conv_apply_rows (bit-exact; the i16
+        # reshape + fused dequant replace a full-size decode pass)
+        P0m, gload = P0s, load
     # ry = 0 output planes: the identity y roundtrip sampled at rows
     # qd*m — a row subsample of the (full-height) x-phase planes
     planes = (
@@ -1065,7 +1095,8 @@ def r2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
         for rx in range(u):
             dc = dcf * tc[rx] if dcf is not None else None
             P = conv_apply_rows(
-                P0m[rx], banks, f"sgy{ry}_", precision, dc_add=dc
+                P0m[rx], banks, f"sgy{ry}_", precision, dc_add=dc,
+                load=gload,
             )
             if postf is not None:
                 P = P + postf * tc[rx]
