@@ -642,3 +642,60 @@ def test_grid_parity_planes_p7_exotic_matches():
     )
     got = _weave_u(outs, u, want.shape)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize(
+    "dtname,lo,hi",
+    [("int16", -18000, 18000), ("float32", 0, 0)],
+)
+def test_quad_y4d_transposed_rows_bit_exact(monkeypatch, dtname, lo, hi):
+    """P10/P11 in the staged transform's transposed-row 4D form
+    (..., nd, n2, W) — natural row e*nd + d at [d, e] — through the slot
+    kernels' e-slice DMAs reproduce the flat-plane result bit-exactly:
+    strips regime (Wh > wmax), full-width regime (Wh <= wmax), and the
+    no-usable-strip decode fallback."""
+    import dataclasses
+
+    from vkresample_tpu.core import tuning
+    from vkresample_tpu.ops.cas_pallas import cas_parity4_planes_u2
+
+    rng = np.random.default_rng(5)
+    C, nd, n2 = 2, 16, 8
+    h = nd * n2
+    t = tuning.current()
+    old = tuning.current
+    try:
+        tuning.current = lambda: dataclasses.replace(t, quad_wmax=256)
+        for Wh, wsb_env in ((512, "256"), (256, None), (512, None)):
+            if wsb_env is not None:
+                monkeypatch.setenv("VKRESAMPLE_QUAD_WSB", wsb_env)
+            else:
+                monkeypatch.delenv("VKRESAMPLE_QUAD_WSB", raising=False)
+            if dtname == "int16":
+                flat = [
+                    rng.integers(lo, hi, (C, h, Wh)).astype(np.int16)
+                    for _ in range(4)
+                ]
+            else:
+                flat = [
+                    rng.random((C, h, Wh)).astype(np.float32)
+                    for _ in range(4)
+                ]
+            # 4D form: p4[c, d, e] == flat[c, e*nd + d]
+            p4 = [
+                p.reshape(C, n2, nd, Wh).transpose(0, 2, 1, 3).copy()
+                for p in flat[2:]
+            ]
+            ref = cas_parity4_planes_u2(
+                *[jnp.asarray(p) for p in flat], 0.2,
+                block_rows=1, interpret=True,
+            )
+            got = cas_parity4_planes_u2(
+                jnp.asarray(flat[0]), jnp.asarray(flat[1]),
+                jnp.asarray(p4[0]), jnp.asarray(p4[1]), 0.2,
+                interpret=True, y4d=(nd, n2),
+            )
+            for a, b in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        tuning.current = old

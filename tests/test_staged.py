@@ -919,3 +919,57 @@ def test_x_split_prefer_lane_exact(monkeypatch):
     assert staged.factored_split(banks) == (128, 8)
     monkeypatch.setenv("VKRESAMPLE_XSPLIT", "64")
     assert staged.x_split_prefer() == 64
+
+
+def test_conv_apply_rows_emit4d_bit_exact():
+    """emit4d returns the transposed-row 4D form: out4[..., d, e, :] ==
+    flat[..., e*nd + d, :] bit-exactly, including the dc_add epilogue."""
+    rng = np.random.default_rng(7)
+    k = rng.random(64)
+    banks = {
+        key: jnp.asarray(v) for key, v in staged.conv_banks(k, "t_").items()
+    }
+    x = jnp.asarray(rng.random((3, 64, 128)).astype(np.float32))
+    dc = jnp.asarray(
+        rng.random((3, banks["t_m"].shape[4], 128)).astype(np.float32)
+    )
+    hi = jax.lax.Precision.HIGHEST
+    for dca in (None, dc):
+        flat = staged.conv_apply_rows(x, banks, "t_", hi, dc_add=dca)
+        four = staged.conv_apply_rows(
+            x, banks, "t_", hi, dc_add=dca, emit4d=True
+        )
+        nd, n2 = four.shape[-3], four.shape[-2]
+        np.testing.assert_array_equal(
+            np.asarray(flat),
+            np.asarray(four).swapaxes(-3, -2).reshape(np.asarray(flat).shape),
+        )
+
+
+def test_quad_staged_rows4d_matches_flat():
+    """r2c_quad_staged(rows4d=True) returns P10/P11 in the 4D form with
+    IDENTICAL stored values to the flat run (pure output permutation)."""
+    from vkresample_tpu.ops import cas as cas_ops
+
+    plan = UpscalePlan(
+        h=64, w=256, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    assert staged.staged_supported(plan)
+    banks = {
+        k: jnp.asarray(v)
+        for k, v in staged.r2c_quad_staged_banks(plan).items()
+    }
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 256, (3, 64, 256), np.uint8))
+    codec = dict(store=cas_ops.to_i16_storage, load=cas_ops.from_i16_storage)
+    hi = jax.lax.Precision.HIGHEST
+    Pf = staged.r2c_quad_staged(x, banks, hi, **codec)
+    P4 = staged.r2c_quad_staged(x, banks, hi, rows4d=True, **codec)
+    np.testing.assert_array_equal(np.asarray(Pf[0]), np.asarray(P4[0]))
+    np.testing.assert_array_equal(np.asarray(Pf[1]), np.asarray(P4[1]))
+    for j in (2, 3):
+        p4 = np.asarray(P4[j])
+        assert p4.ndim == np.asarray(Pf[j]).ndim + 1
+        nd, n2 = p4.shape[-3], p4.shape[-2]
+        flat = p4.swapaxes(-3, -2).reshape(p4.shape[:-3] + (nd * n2, p4.shape[-1]))
+        np.testing.assert_array_equal(np.asarray(Pf[j]), flat)

@@ -391,7 +391,7 @@ def _i16_store(y, bound):
 
 def conv_apply_rows(
     x, banks: dict, prefix: str, precision=None, dc_add=None, in_max=None,
-    load=None,
+    load=None, emit4d=False,
 ):
     """Staged circular convolution over axis -2 of a REAL array
     (..., n, L) -> (..., n, L).
@@ -409,7 +409,18 @@ def conv_apply_rows(
     (elementwise op), but the deferred order halves the relayout bytes
     when the reshape materializes and lets the dequant fuse into S1's
     operand read — the early-load form paid a 1.22 ms full-size
-    dequant pass at 8K->16K (reshape.60, round-4 HLO attribution)."""
+    dequant pass at 8K->16K (reshape.60, round-4 HLO attribution).
+
+    emit4d: return the TRANSPOSED-ROW 4D form (..., t1', t2', L) =
+    (nd, n2, L) instead of the flattened (..., n, L).  Output row
+    s = t1' + n1*t2' lives at [d, e] — so the natural nd-row band
+    [e*nd, (e+1)*nd) is exactly the contiguous e-slice [:, e, :].
+    This logical shape's canonical layout IS the S3 dot's natural
+    emission order (MXU M dim = e on the sublanes): requesting the
+    flattened natural order instead forces a full sublane-transpose
+    copy of each stored plane (copy.66/52 = 1.2 ms at 8K->16K,
+    round-4 HLO attribution).  Consumers that read row bands (the
+    slot CAS kernels) take the e-slices directly."""
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
     b1 = banks[prefix + "b1"]
@@ -475,8 +486,12 @@ def conv_apply_rows(
         else:
             dc_post = dc_add
     y = _store(y, 1)
-    # S3: contract (re/im, k2) -> (..., t2', t1', L), real output
-    y = jnp.einsum("kce,...kcdL->...edL", b3, y, precision=prec23, **kw)
+    # S3: contract (re/im, k2) -> real output; "...edL" flattened, or
+    # the transposed-row "...deL" 4D form (see emit4d in the docstring)
+    if emit4d:
+        y = jnp.einsum("kce,...kcdL->...deL", b3, y, precision=prec23, **kw)
+    else:
+        y = jnp.einsum("kce,...kcdL->...edL", b3, y, precision=prec23, **kw)
     if dc_post is not None:
         # b3[0, 0, e] == 1/n2 for EVERY e, so the DC-bin injection is
         # exactly a broadcast add of dc_add[d, L] over the t2' groups —
@@ -486,11 +501,15 @@ def conv_apply_rows(
         # (2x 1.24 ms at 8K->16K, copy.256/257 in the round-4 HLO
         # attribution).  The i16 branch above keeps the in-spectrum
         # injection so the narrow store absorbs the term.
-        y = y + dc_post[..., None, :, :]
-    y = y.reshape(lead + (n2 * nd, L))
+        if emit4d:
+            y = y + dc_post[..., :, None, :]
+        else:
+            y = y + dc_post[..., None, :, :]
+    if not emit4d:
+        y = y.reshape(lead + (n2 * nd, L))
     if cm is not None:
         # exact DC add-back: conv(x) = conv(x - cm) + cm * sum(kernel)
-        y = y + cm * banks[prefix + "dc0"]
+        y = y + (cm[..., None, :, :] if emit4d else cm) * banks[prefix + "dc0"]
     return y
 
 
@@ -701,7 +720,8 @@ def ynyq_dc_or_post(yc, n1: int, nd: int, qd: int, h_out: int, acc):
 
 
 def r2c_quad_staged(
-    x_raw, banks: dict, precision, store=None, load=None, factored=False
+    x_raw, banks: dict, precision, store=None, load=None, factored=False,
+    rows4d=False,
 ):
     """Quad-parity u=2 transform on staged circulant convolutions.
     Same contract as dense.r2c_quad: x_raw holds RAW uint8 pixel values
@@ -716,7 +736,14 @@ def r2c_quad_staged(
     u8 view + scrambled signs, and the tiny correction rows scramble
     post-hoc.  Consumers decode via defactor_cols (the factored CAS
     geometry was rejected + pruned in round 4: fac_split now decodes to
-    the natural kernel — scripts/fac_decide_ab.py, docs/STATUS.md)."""
+    the natural kernel — scripts/fac_decide_ab.py, docs/STATUS.md).
+
+    rows4d=True asks for P10/P11 in conv_apply_rows' transposed-row 4D
+    form (..., nd, n2, L) — the S3 dot's copy-free emission order; the
+    slot CAS kernels consume the e-slices as natural row bands.  Only
+    honored when the composition allows (even y n1 so the correction
+    rides the DC bin, no batchy stacking, not factored); callers detect
+    by ndim (P10.ndim == P00.ndim + 1)."""
     variant = _quad_variant()
     w = x_raw.shape[-1]
     h = x_raw.shape[-2]
@@ -828,13 +855,16 @@ def r2c_quad_staged(
         )
         P10, P11 = Pyt[0], Pyt[1]
     else:
+        # transposed-row 4D emission: only when the odd-n1 post path is
+        # off (its row signs address flattened rows) and not factored
+        emit4d = rows4d and post is None and not factored
         P10 = conv_apply_rows(
             P00m, banks, "sty_", precision, dc_add=dc_e, in_max=2.0,
-            load=yload,
+            load=yload, emit4d=emit4d,
         )
         P11 = conv_apply_rows(
             P01m, banks, "sty_", precision, dc_add=dc_o, in_max=2.0,
-            load=yload,
+            load=yload, emit4d=emit4d,
         )
     if post is not None:
         P10 = P10 + post * t2e

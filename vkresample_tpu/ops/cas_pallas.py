@@ -1173,11 +1173,17 @@ def _quad_strip_slots_kernel(
     o00_ref, o01_ref, o10_ref, o11_ref,
     *scr_all,
     sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
-    Wh: int, Wsb: int, nsW: int, tree_i16: bool = False,
+    Wh: int, Wsb: int, nsW: int, tree_i16: bool = False, y4d_nd: int = 0,
 ):
     """Slot-resident column-strip variant: bands are DMA'd WITHOUT row
     halos (exactly bt rows each) into a 4-deep rotating buffer, and the
     one-row halos come from the neighbor bands' still-resident slots.
+
+    y4d_nd: P10/P11 arrive in the staged transform's transposed-row 4D
+    form (C, nd, n2, Wh) — natural row e*nd + d lives at [d, e], so the
+    natural nd-row band ii is exactly the contiguous e-slice [:, ii, :].
+    Requires bt == nd (asserted at trace); the VMEM slot contents are
+    IDENTICAL to the flat form, so the stencil below never changes.
     The grid sweeps bands vertically within each column strip (ii
     fastest), so vertical neighbors occupy adjacent slots; 4 slots cover
     the {prev, current, next, inflight} working set.  This removes the
@@ -1194,6 +1200,8 @@ def _quad_strip_slots_kernel(
     ins = (p00_hbm, p01_hbm, p10_hbm, p11_hbm)
     scr = scr_all[:4]
     sems = scr_all[-1]
+    if y4d_nd:
+        assert y4d_nd == bt, "transposed-row consumption requires bt == nd"
 
     def window(gg):
         cc = gg // (nb * nsW)
@@ -1210,13 +1218,20 @@ def _quad_strip_slots_kernel(
     def dmas(gg, slot):
         cc, ii, _, ws = window(gg)
         ts = pl.multiple_of(ii * bt, pad)
-        if strips:
-            srcs = [
-                ins[j].at[cc, pl.ds(ts, bt), pl.ds(ws, Wsw)]
-                for j in range(4)
-            ]
-        else:
-            srcs = [ins[j].at[cc, pl.ds(ts, bt), :] for j in range(4)]
+        srcs = []
+        for j in range(4):
+            if y4d_nd and j >= 2:
+                # transposed-row plane flattened to (C, nd, n2*Wh):
+                # natural band ii == lane window [ii*Wh + ws, +Wsw).
+                # (Slicing the unflattened e axis is Mosaic-illegal —
+                # sublane slices need 8-row alignment; the flatten is
+                # free and turns it into an aligned lane slice.)
+                off = pl.multiple_of(ii * Wh + ws, _CHALO)
+                srcs.append(ins[j].at[cc, :, pl.ds(off, Wsw)])
+            elif strips:
+                srcs.append(ins[j].at[cc, pl.ds(ts, bt), pl.ds(ws, Wsw)])
+            else:
+                srcs.append(ins[j].at[cc, pl.ds(ts, bt), :])
         return [
             pltpu.make_async_copy(srcs[j], scr[j].at[slot], sems.at[slot, j])
             for j in range(4)
@@ -1268,7 +1283,7 @@ def _quad_strip_slots_kernel(
 
 def cas_parity4_planes_u2(
     P00, P01, P10, P11, sharpen: float, block_rows: int = None,
-    interpret: bool = False, fac_split: tuple = None,
+    interpret: bool = False, fac_split: tuple = None, y4d: tuple = None,
 ):
     """u=2 quad-parity fused CAS: four pre-CAS planes (..., h, Wh) — rows
     split by output row parity, columns by output column parity (see
@@ -1284,11 +1299,65 @@ def cas_parity4_planes_u2(
     ~7 ms over the natural kernel at the 8K strips geometry (fac CAS
     16.7-17.4 vs nat 9.6-10.1 ms, scripts/factored_cas_sweep.py) while
     the production factored transform also lost (25.5 vs 22.3 ms,
-    scripts/fac_decide_ab.py; e2e 42.7 vs 31.0) — see docs/STATUS.md."""
+    scripts/fac_decide_ab.py; e2e 42.7 vs 31.0) — see docs/STATUS.md.
+
+    y4d=(nd, n2): P10/P11 arrive in the staged transform's
+    TRANSPOSED-ROW 4D form (..., nd, n2, Wh) — natural row e*nd + d at
+    [d, e] (fft/staged.py conv_apply_rows emit4d, the S3 dot's
+    copy-free emission).  The slot kernels consume the e-slices
+    directly as natural nd-row bands (bt = nd); any path that can't
+    (halo/XLA variants, degenerate geometry) decodes to flat rows
+    first — paying exactly the transpose this layout avoids."""
     import os
 
     lead = P00.shape[:-2]
-    planes = [x.reshape((-1,) + x.shape[-2:]) for x in (P00, P01, P10, P11)]
+    ynd = 0
+    if y4d is not None:
+        nd4, n24 = int(y4d[0]), int(y4d[1])
+        pad4 = _pad_for(P00.dtype)
+
+        def _flat_rows(p):
+            # (..., nd, n2, W) -> (..., nd*n2, W), row e*nd + d
+            return p.swapaxes(-3, -2).reshape(
+                p.shape[:-3] + (nd4 * n24, p.shape[-1])
+            )
+
+        native = (
+            fac_split is None
+            and block_rows is None
+            and os.environ.get("VKRESAMPLE_QUAD_CAS") != "xla"
+            and os.environ.get("VKRESAMPLE_QUAD_STRIP", "slots") == "slots"
+            and P10.shape[-3:-1] == (nd4, n24)
+            and P11.shape[-3:-1] == (nd4, n24)
+            and P00.shape[-2] == nd4 * n24
+            and n24 >= 2
+            and nd4 >= pad4
+            and nd4 % pad4 == 0
+            and nd4 * n24 >= nd4 + 2 * pad4
+            and P00.dtype in (jnp.float32, jnp.int16)
+            and all(x.dtype == P00.dtype for x in (P01, P10, P11))
+            and P00.shape[-1] % 128 == 0
+        )
+        if not native:
+            return cas_parity4_planes_u2(
+                P00, P01, _flat_rows(P10), _flat_rows(P11), sharpen,
+                block_rows=block_rows, interpret=interpret,
+                fac_split=fac_split,
+            )
+        ynd = nd4
+        # flatten (..., nd, n2, W) -> (C, nd, n2*W): free (the two minor
+        # dims merge in canonical layout) and it turns the kernel's
+        # e-slice DMA into an aligned lane-window slice
+        planes = [
+            P00.reshape((-1,) + P00.shape[-2:]),
+            P01.reshape((-1,) + P01.shape[-2:]),
+            P10.reshape((-1, nd4, n24 * P10.shape[-1])),
+            P11.reshape((-1, nd4, n24 * P11.shape[-1])),
+        ]
+    else:
+        planes = [
+            x.reshape((-1,) + x.shape[-2:]) for x in (P00, P01, P10, P11)
+        ]
     C, h, Wh = planes[0].shape
     dt = planes[0].dtype
     pad = _pad_for(dt)
@@ -1340,8 +1409,8 @@ def cas_parity4_planes_u2(
         block_rows = current().quad_block
         if dt != jnp.int16:
             block_rows = max(pad, block_rows // 2)
-    bt = _fit_block(block_rows, h, pad)
-    if (
+    bt = _fit_block(ynd or block_rows, h, pad)
+    if ynd == 0 and (
         bt < pad
         or Wh % 128
         or h < bt + 2 * pad
@@ -1393,6 +1462,11 @@ def cas_parity4_planes_u2(
 
         wsb_req = _env_int("VKRESAMPLE_QUAD_WSB")
         bt_req = _env_int("VKRESAMPLE_QUAD_BT")
+        if ynd:
+            # transposed-row planes: bands ARE the e-slices, so bt = nd;
+            # at bt=64 the wider strip wins the slots-era sweep
+            # (bt64/wsb2048 9.19 ~ bt128/wsb1024 9.17, cas_sweep8k.py)
+            bt_req, wsb_req = ynd, wsb_req or 2048
         Wsb = _fit_block(wsb_req or current().quad_wsb, Wh, _CHALO)
         # bt=128 with wsb=1024 (rows=160): halo amplification 1.56x vs
         # 2.25x at the round-2 bt32/wsb2048 — 10.7 vs 16.4 ms at the
@@ -1422,6 +1496,7 @@ def cas_parity4_planes_u2(
                     _quad_strip_slots_kernel, sharpen=float(sharpen),
                     bt=bt, h=h, nb=nb, pad=pad, scale=_in_scale_for(dt),
                     Wh=Wh, Wsb=Wsb, nsW=nsW, tree_i16=_use_i16_tree(dt),
+                    y4d_nd=ynd,
                 )
                 ospec = pl.BlockSpec(
                     (1, bt, Wsb),
@@ -1467,8 +1542,18 @@ def cas_parity4_planes_u2(
             )(*planes)
             return tuple(x.reshape(lead + (h, Wh)) for x in outs)
         # no usable strip width: degrade to the XLA fallback
+        # (transposed-row planes decode to flat natural rows first)
+        def _unflat(p):
+            if ynd and p.shape[-2] == ynd:
+                return (
+                    p.reshape(C, ynd, -1, Wh)
+                    .swapaxes(-3, -2)
+                    .reshape(C, h, Wh)
+                )
+            return p
+
         return cas_parity4_planes_u2(
-            *(p.reshape(lead + (h, Wh)) for p in planes),
+            *(_unflat(p).reshape(lead + (h, Wh)) for p in planes),
             sharpen, block_rows=1, interpret=interpret,
         )
 
@@ -1485,7 +1570,9 @@ def cas_parity4_planes_u2(
             fw_bt = int(os.environ.get("VKRESAMPLE_QUAD_FW_BT", "0"))
         except ValueError:
             fw_bt = 0
-        if fw_bt:
+        if ynd:
+            pass  # bands are the e-slices: bt pinned to nd
+        elif fw_bt:
             bt = _fit_block(fw_bt, h, pad)
             nb = h // bt
         elif default_block and bt > pad:
@@ -1497,7 +1584,7 @@ def cas_parity4_planes_u2(
         kern = functools.partial(
             _quad_strip_slots_kernel, sharpen=float(sharpen), bt=bt, h=h,
             nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh, Wsb=Wh,
-            nsW=1, tree_i16=_use_i16_tree(dt),
+            nsW=1, tree_i16=_use_i16_tree(dt), y4d_nd=ynd,
         )
         ospec = pl.BlockSpec(
             (1, bt, Wh), lambda g, nb=nb: (g // nb, g % nb, 0),

@@ -345,19 +345,36 @@ def _pipeline(
             from ..ops.cas_pallas import cas_parity4_planes_u2
 
             if use_staged:
+                import os
+
                 from ..fft import staged
 
                 # staged convs need f32-grade stage matmuls regardless of
                 # the mode's matmul default (three chained stages; bf16
-                # operand rounding would cost whole u8 LSBs)
+                # operand rounding would cost whole u8 LSBs).  rows4d
+                # (opt-in): P10/P11 ride the S3 dot's copy-free
+                # transposed-row emission straight into the slot CAS
+                # kernel's lane-window DMAs.  REJECTED as default in
+                # round 4: bit-exact but 26.05 vs 25.36 ms e2e at
+                # 8K->16K — consuming the e-slices pins the CAS to the
+                # bt = nd = 64 band regime, which costs more than the
+                # 1.2 ms of sublane-transpose copies it avoids
+                # (scripts/rows4d_ab.py, docs/STATUS.md)
                 Ps = staged.r2c_quad_staged(
-                    x_raw, banks, staged.staged_precision(), **_codec
+                    x_raw, banks, staged.staged_precision(),
+                    rows4d=os.environ.get("VKRESAMPLE_ROWS4D") == "1",
+                    **_codec,
                 )
             else:
                 Ps = dense.r2c_quad(x_raw, banks, prec, **_codec)
             if not _i16_mode:
                 Ps = [_store16(p) for p in Ps]
-            Pu8 = cas_parity4_planes_u2(*Ps, plan.sharpen)
+            y4d = (
+                Ps[2].shape[-3:-1]
+                if Ps[2].ndim == Ps[0].ndim + 1
+                else None
+            )
+            Pu8 = cas_parity4_planes_u2(*Ps, plan.sharpen, y4d=y4d)
             if planes_out:
                 return Pu8
             from ..ops.weave import weave_quad_u8
