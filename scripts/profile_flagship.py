@@ -28,8 +28,9 @@ from vkresample_tpu.pipeline.upscale import (
 )
 
 h, w = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (1024, 2048)
+u = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 plan = UpscalePlan(
-    h=h, w=w, upscale=2.0, precision=Precision.HALF, sharpen=0.2,
+    h=h, w=w, upscale=u, precision=Precision.HALF, sharpen=0.2,
     engine=Engine.AUTO,
 )
 engine = plan.resolve_engine()

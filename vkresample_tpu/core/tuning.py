@@ -37,6 +37,11 @@ class DeviceTuning:
     # DMA/compute overlap — flagship CAS 0.29 (bt=32) vs 0.51 (bt=64),
     # pipeline 1.262 vs 1.459 (scripts/slots_flagship_ab*.py, 3
     # interleaved passes; bt=128 blows VMEM)
+    grid_block: int = 32  # u>=3 grid-CAS band height request (i16, u=3
+    # class): 7.88 ms vs 9.07 for the old (quad_block*4)/u^2 heuristic
+    # (=16) at big u=3, min-over-pass2+, 3 interleaved passes, all
+    # geometries bit-identical (scripts/grid_cas_sweep.py); larger plane
+    # counts (exotic fractions) are shrunk to budget by _grid_geometry
 
 
 _TABLE = {

@@ -1982,11 +1982,13 @@ def cas_parity_grid_planes(
         except ValueError:
             return 0
 
-    # VMEM working set ~ (2 double-buffered scratch + ~4 live f32 temps)
-    # per plane per row: pick (bt, Wsb) so u^2 planes fit the ~12 MB
-    # budget; quad-tuned defaults scale down by (2/u)^2
+    # band-height request comes from the tuning table's grid row (sweep-
+    # sourced, scripts/grid_cas_sweep.py: bt=32/wsb=1024 beats the old
+    # (quad_block*4)/n heuristic 7.88 vs 9.07 ms at big u=3, bit-exact);
+    # _grid_geometry shrinks to the scoped-VMEM budget for larger plane
+    # counts (exotic fractions, e.g. p=7 -> 49 planes)
     bt_req = _env_int("VKRESAMPLE_GRID_BT") or max(
-        pad, _fit_block((current().quad_block * 4) // n, h, pad)
+        pad, _fit_block(current().grid_block, h, pad)
     )
     wsb_req = _env_int("VKRESAMPLE_GRID_WSB") or current().quad_wsb
 
