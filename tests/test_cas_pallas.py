@@ -610,6 +610,14 @@ def test_grid_geometry_respects_vmem_budget():
         assert Wp % Wsb == 0 and (nsW == 1 or Wsb % _CHALO == 0)
     # the p=7 shape must still take the kernel (not the XLA fallback)
     assert _grid_geometry(49, 128, 2048, 16, np.dtype(np.int16), 64, 1024) is not None
+    # the sweep-tuned default request (tuning.grid_block=32, wsb=1024:
+    # 7.88 vs 9.07 ms for bt=16, scripts/grid_cas_sweep.py) must survive
+    # the budget UNSHRUNKEN at the u=3 big class it was measured on
+    from vkresample_tpu.core.tuning import DeviceTuning
+
+    gb = DeviceTuning().grid_block
+    geom = _grid_geometry(9, 2048, 4096, 16, np.dtype(np.int16), gb, 1024)
+    assert geom is not None and geom[0] == gb, geom
 
 
 def test_grid_parity_planes_p7_exotic_matches():

@@ -239,6 +239,19 @@ def x_split_prefer(decimate: int = 1) -> int:
     return base * decimate
 
 
+def y_split_prefer():
+    """Preferred middle factor n1 for the ROWS (y-axis) staged convs —
+    None keeps split_factors' balanced default (sqrt capped 64, the
+    measured best at 4K/8K heights).  VKRESAMPLE_YSPLIT overrides for
+    A/B at geometries whose row count makes n2 large (h=8192 gives
+    n2=128 at the default; scripts/split16k_ab.py probes whether the
+    16K tier's extra boundary relayouts follow the split)."""
+    import os
+
+    v = os.environ.get("VKRESAMPLE_YSPLIT")
+    return int(v) if v else None
+
+
 def conv_banks(
     kernel: np.ndarray,
     prefix: str,
@@ -391,7 +404,7 @@ def _i16_store(y, bound):
 
 def conv_apply_rows(
     x, banks: dict, prefix: str, precision=None, dc_add=None, in_max=None,
-    load=None, emit4d=False,
+    load=None, emit4d=False, epilogue=None,
 ):
     """Staged circular convolution over axis -2 of a REAL array
     (..., n, L) -> (..., n, L).
@@ -410,6 +423,18 @@ def conv_apply_rows(
     when the reshape materializes and lets the dequant fuse into S1's
     operand read — the early-load form paid a 1.22 ms full-size
     dequant pass at 8K->16K (reshape.60, round-4 HLO attribution).
+
+    epilogue: optional elementwise function applied to the output in
+    its pre-flatten 4D view (..., e, d, L), e of size n2 (row-group)
+    and d of size nd, output row s = e*nd + d.  Runs AFTER dc_add/the
+    bf16c DC add-back.  Broadcast terms indexed by output row must be
+    reshaped to (n2, nd, 1) by the caller.  Fusing row-broadcast math
+    (and a storage encode) here instead of post-flatten lets it ride
+    S3's emission BEFORE the sublane-transpose layout copy the flatten
+    pays, so the copy moves to the (narrow) epilogue output — the c2c
+    magnitude pass previously paid 2.45 ms of materialized f32
+    reshapes + a 2.78 ms separate encode pass at 8K (round-4 HLO
+    attribution of the bigc2c tier).
 
     emit4d: return the TRANSPOSED-ROW 4D form (..., t1', t2', L) =
     (nd, n2, L) instead of the flattened (..., n, L).  Output row
@@ -505,11 +530,17 @@ def conv_apply_rows(
             y = y + dc_post[..., :, None, :]
         else:
             y = y + dc_post[..., None, :, :]
+    if cm is not None and (emit4d or epilogue is not None):
+        # exact DC add-back: conv(x) = conv(x - cm) + cm * sum(kernel)
+        # (in the 4D view so the epilogue sees the finished value)
+        y = y + cm[..., None, :, :] * banks[prefix + "dc0"]
+        cm = None
+    if epilogue is not None:
+        y = epilogue(y)
     if not emit4d:
         y = y.reshape(lead + (n2 * nd, L))
     if cm is not None:
-        # exact DC add-back: conv(x) = conv(x - cm) + cm * sum(kernel)
-        y = y + (cm[..., None, :, :] if emit4d else cm) * banks[prefix + "dc0"]
+        y = y + cm * banks[prefix + "dc0"]
     return y
 
 
@@ -641,7 +672,7 @@ def r2c_quad_staged_banks(plan, dtype: str = "float32") -> dict:
     banks.update(
         conv_banks(psi_o / 255.0, "stx_", dtype=dtype, prefer=x_split_prefer())
     )  # /255 folded
-    banks.update(conv_banks(cy, "sty_", dtype=dtype))
+    banks.update(conv_banks(cy, "sty_", dtype=dtype, prefer=y_split_prefer()))
     if a0 != 0.0:
         # rank-1 relocated y-Nyquist residue: Iy = outer((-1)^t, a0(-1)^s)
         # on the odd-row lattice; applied to the beta x-pass of the image.
@@ -1304,20 +1335,24 @@ def c2c_grid_staged(x_raw, banks: dict, precision, store=None, load=None):
         Wv.append(
             conv_apply_rows(prow, banks, f"cgy{ry}_", precision) * inv255
         )
-    if store is None:
-        As, Am = A, A
-    else:
-        As = [store(a) for a in A]
-        Am = [load(a) for a in As]
+    # x planes stored ONCE; the y convs decode them inside their own
+    # row-split view (the dqlate deferral — see conv_apply_rows' load)
+    # and the ry=0 magnitudes use the raw f32 values (raws), so neither
+    # a full-size dequant pass nor a decode->re-encode roundtrip ever
+    # materializes (reshape.72 + part of clamp_convert in the round-4
+    # bigc2c HLO attribution)
+    Pcols = A if store is None else [store(a) for a in A]
     sYo = jnp.asarray((-1.0) ** (qd * np.arange(h // qd)), acc)[:, None]
     sXo = jnp.asarray((-1.0) ** (qd * np.arange(w // qd)), acc)
     return c2c_planes_from_pencils(
-        Am, V, Wv, S * inv255, banks, precision, sYo, sXo, qd, store=store
+        Pcols, V, Wv, S * inv255, banks, precision, sYo, sXo, qd,
+        store=store, raws=A, load=load,
     )
 
 
 def c2c_planes_from_pencils(
-    Pcols, V, Wv, Sn, banks, precision, sYo, sXo, qd, store=None
+    Pcols, V, Wv, Sn, banks, precision, sYo, sXo, qd, store=None,
+    raws=None, load=None,
 ):
     """Assemble the p^2 c2c magnitude planes from the column-pencil
     x-phase planes and rank-1 Nyquist pieces.  Shared by the
@@ -1326,39 +1361,95 @@ def c2c_planes_from_pencils(
     pre-sliced to its local columns) so the re/im algebra lives in ONE
     place.
 
-    Pcols: p x-phase planes, full rows (cols possibly sharded).
+    Pcols: p x-phase planes, full rows (cols possibly sharded).  When
+           `load` is given these are in STORED form (the y convs decode
+           them inside their row-split view).
     V:     p rank-1 column vectors C_x (X^T s_y), (..., 1, cols).
     Wv:    p rank-1 row vectors C_y (X s_x), (..., rows_out, 1).
     Sn:    the signed double sum (s_y^T X s_x) / 255, (..., 1, 1).
-    """
+    raws:  optional p RAW f32 x-phase planes (pre-codec) for the ry=0
+           magnitudes — sqrt on the pre-store value differs from the
+           legacy decode->magnitude->re-encode order by <= the Q2.14
+           codec step (~0.008 u8 LSB), and lets the magnitude+encode
+           fuse into the x convs' epilogues instead of a separate
+           full-size pass.
+
+    The ry>=1 magnitudes (re from the y convs) compute INSIDE
+    conv_apply_rows' pre-flatten 4D epilogue: the rank-1 im terms and
+    the Sn correction are row-broadcasts, exactly representable with
+    sYo/Wv reshaped to the (n2, nd) row split — so the sqrt AND the
+    storage encode ride S3's emission, and the flatten's sublane-
+    transpose copy moves to the narrow stored dtype (2.45 ms of f32
+    reshapes + a 2.78 ms encode pass at 8K, round-4 bigc2c HLO
+    attribution)."""
+    import os
+
     u = c2c_grid_u(banks)
     planes = []
+    _enc = (lambda t: t) if store is None else store
+    if os.environ.get("VKRESAMPLE_C2C_FUSE") == "0":
+        # legacy A/B arm: post-codec ry=0 magnitudes, flattened ry>=1
+        # magnitude + encode as a separate full-size pass
+        Pf = [load(p) for p in Pcols] if load is not None else Pcols
+        for ry in range(u):
+            ayv = banks["cg_ay"][ry]
+            for rx in range(u):
+                axv = banks["cg_ax"][rx]
+                if ry == 0:
+                    re = Pf[rx] if qd == 1 else Pf[rx][..., ::qd, :]
+                else:
+                    re = conv_apply_rows(Pf[rx], banks, f"cgy{ry}_", precision)
+                    if rx:
+                        re = re - (ayv * axv) * Sn * (sYo * sXo)
+                if ry == 0 and rx == 0:
+                    P = jnp.abs(re)
+                else:
+                    if ry and rx:
+                        im = axv * sXo * Wv[ry] + ayv * sYo * V[rx]
+                    elif rx:
+                        im = axv * sXo * Wv[ry]
+                    else:
+                        im = ayv * sYo * V[rx]
+                    P = jnp.sqrt(re * re + im * im)
+                planes.append(_enc(P))
+        return tuple(planes)
     for ry in range(u):
         ayv = banks["cg_ay"][ry]
+        if ry:
+            n2 = banks[f"cgy{ry}_b1"].shape[0]
+            nd = banks[f"cgy{ry}_m"].shape[4]
+            sY4 = sYo.reshape(n2, nd, 1)
         for rx in range(u):
             axv = banks["cg_ax"][rx]
             if ry == 0:
-                # identity y roundtrip: a row subsample of the (stored)
-                # x-phase plane — re-derived from the loaded value so the
-                # magnitude applies post-codec, like every other plane
-                re = Pcols[rx] if qd == 1 else Pcols[rx][..., ::qd, :]
-            else:
-                re = conv_apply_rows(
-                    Pcols[rx], banks, f"cgy{ry}_", precision
-                )
-                if rx:
-                    re = re - (ayv * axv) * Sn * (sYo * sXo)
-            if ry == 0 and rx == 0:
-                P = jnp.abs(re)
-            else:
-                # a_0 == 0 exactly: gate the rank-1 terms statically so
-                # the identity phases don't trace dead broadcasts
-                if ry and rx:
-                    im = axv * sXo * Wv[ry] + ayv * sYo * V[rx]
-                elif rx:
-                    im = axv * sXo * Wv[ry]
+                src = raws[rx] if raws is not None else Pcols[rx]
+                re = src if qd == 1 else src[..., ::qd, :]
+                if rx == 0:
+                    # abs(re) == re: the identity plane is raw u8 * 1/255
+                    P = jnp.abs(re)
                 else:
-                    im = ayv * sYo * V[rx]
-                P = jnp.sqrt(re * re + im * im)
-            planes.append(P if store is None else store(P))
+                    im = axv * sXo * Wv[0]
+                    P = jnp.sqrt(re * re + im * im)
+                planes.append(_enc(P))
+                continue
+
+            # a_0 == 0 exactly: gate the rank-1 terms statically so the
+            # identity phases don't trace dead broadcasts
+            def _mag(y4, ry=ry, rx=rx, ayv=ayv, axv=axv, sY4=sY4):
+                re4 = y4
+                if rx:
+                    re4 = re4 - (ayv * axv) * Sn[..., None] * (sY4 * sXo)
+                W4 = Wv[ry].reshape(Wv[ry].shape[:-2] + sY4.shape)
+                if rx:
+                    im4 = axv * sXo * W4 + ayv * sY4 * V[rx][..., None, :, :]
+                else:
+                    im4 = ayv * sY4 * V[rx][..., None, :, :]
+                return _enc(jnp.sqrt(re4 * re4 + im4 * im4))
+
+            planes.append(
+                conv_apply_rows(
+                    Pcols[rx], banks, f"cgy{ry}_", precision,
+                    load=load, epilogue=_mag,
+                )
+            )
     return tuple(planes)
