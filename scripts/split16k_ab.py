@@ -36,12 +36,15 @@ eng = plan.resolve_engine()
 rng = np.random.default_rng(0)
 x = jax.device_put(rng.integers(0, 256, (h, w, 3), np.uint8))
 
+# Round 1 of this sweep (pre-auto-rule): X256 108.4 / X128 112.1 /
+# X64 117.4 min-over-pass2+; the Y128 arms were cache-duplicates of
+# Ydef (VKRESAMPLE_YSPLIT missing from the bankcache key — fixed).
+# Round 2 arms: the auto default (X doubles until n2<=64 -> 256 here)
+# vs the y-split analog (y n1=128 -> n2=64) vs the old X128 control.
 GEOMS = [
-    ("X128 Ydef (default)", "", ""),
-    ("X64  Ydef", "64", ""),
-    ("X256 Ydef", "256", ""),
-    ("X128 Y128", "", "128"),
-    ("X256 Y128", "256", "128"),
+    ("Xauto Ydef (default)", "", ""),
+    ("Xauto Y128", "", "128"),
+    ("X128  Ydef (old)", "128", ""),
 ]
 
 BANKS = {}

@@ -946,6 +946,41 @@ def test_conv_apply_rows_emit4d_bit_exact():
         )
 
 
+def test_conv_apply_rows_epilogue_bit_exact():
+    """The pre-flatten 4D epilogue is bit-identical to applying the same
+    elementwise function (with row-broadcasts reshaped to the (n2, nd)
+    split) on the flattened output — the contract the c2c magnitude
+    fusion relies on (fft/staged.py c2c_planes_from_pencils)."""
+    rng = np.random.default_rng(11)
+    k = rng.random(64)
+    banks = {
+        key: jnp.asarray(v) for key, v in staged.conv_banks(k, "t_").items()
+    }
+    n2 = banks["t_b1"].shape[0]
+    nd = banks["t_m"].shape[4]
+    x = jnp.asarray(rng.random((3, 64, 128)).astype(np.float32))
+    rowv = jnp.asarray(rng.random((64, 1)).astype(np.float32))  # per-row
+    lanev = jnp.asarray(rng.random((128,)).astype(np.float32))
+
+    def g4(y4):  # (..., e=n2, d=nd, L) view
+        return jnp.sqrt(y4 * y4 + (rowv.reshape(n2, nd, 1) * lanev) ** 2)
+
+    hi = jax.lax.Precision.HIGHEST
+    fused = staged.conv_apply_rows(x, banks, "t_", hi, epilogue=g4)
+    flat = staged.conv_apply_rows(x, banks, "t_", hi)
+    want = jnp.sqrt(flat * flat + (rowv * lanev) ** 2)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(want))
+    # deferred-load composition: load applies inside the split view
+    enc = lambda t: (t * 16384.0).astype(jnp.int16)
+    dec = lambda t: t.astype(jnp.float32) * (1.0 / 16384.0)
+    fused2 = staged.conv_apply_rows(
+        enc(x), banks, "t_", hi, load=dec, epilogue=g4
+    )
+    flat2 = staged.conv_apply_rows(dec(enc(x)), banks, "t_", hi)
+    want2 = jnp.sqrt(flat2 * flat2 + (rowv * lanev) ** 2)
+    np.testing.assert_array_equal(np.asarray(fused2), np.asarray(want2))
+
+
 def test_quad_staged_rows4d_matches_flat():
     """r2c_quad_staged(rows4d=True) returns P10/P11 in the 4D form with
     IDENTICAL stored values to the flat run (pure output permutation)."""

@@ -33,7 +33,9 @@ import numpy as np
 # v7: staged x (lanes) convs prefer n1 = 128*q — lane-exact composed
 #     layout (the x->y boundary relayout disappears; round-4 HLO
 #     attribution)
-CACHE_VERSION = 7
+# v8: x prefer additionally doubles until n2 <= 64 (the w=16384
+#     boundary relayouts; scripts/split16k_ab.py)
+CACHE_VERSION = 8
 
 # cache only geometries where host staging is actually noticeable; small
 # banks rebuild in well under a second and aren't worth the disk churn
@@ -48,6 +50,7 @@ _CONTENT_KNOBS = (
     "VKRESAMPLE_MM_PRECISION",
     "VKRESAMPLE_Y_DIGITS",
     "VKRESAMPLE_XSPLIT",
+    "VKRESAMPLE_YSPLIT",
 )
 
 

@@ -214,7 +214,7 @@ def split_factors(n: int, prefer: int = None, multiple_of: int = 1):
     return n1, n // n1
 
 
-def x_split_prefer(decimate: int = 1) -> int:
+def x_split_prefer(decimate: int = 1, n: int = None) -> int:
     """Preferred middle factor n1 for the LANES (x-axis) staged convs.
 
     The balanced n1<=64 split wins the ISOLATED conv A/B
@@ -228,15 +228,26 @@ def x_split_prefer(decimate: int = 1) -> int:
     Decimated (fractional) banks emit nd = n1/q output columns, so the
     lane-exact preference scales to n1 = 128*q: the input view's minor
     dim stays a multiple of 128 and the output's nd lands exactly on
-    128.  VKRESAMPLE_XSPLIT overrides the base (pre-q) preference for
-    A/B (scripts/xsplit_ab.py)."""
+    128.
+
+    When the axis length `n` is given, n1 additionally doubles (staying
+    a divisor) until n2 = n/n1 <= 64: at w=16384 the n1=128 split's
+    n2=128 re-introduces the boundary relayouts (two materialized f32
+    dequants + an s16 encode copy, ~7.3 ms of the 16K->32K program) and
+    n1=256 measures 108.4 vs 112.1 ms (scripts/split16k_ab.py,
+    min-over-pass2+, maxdiff 1).  VKRESAMPLE_XSPLIT overrides the base
+    (pre-q) preference for A/B (scripts/xsplit_ab.py)."""
     import os
 
     base = 128
     v = os.environ.get("VKRESAMPLE_XSPLIT")
     if v:
-        base = int(v)
-    return base * decimate
+        return int(v) * decimate
+    n1 = base * decimate
+    if n:
+        while n % n1 == 0 and n % (2 * n1) == 0 and n // n1 > 64:
+            n1 *= 2
+    return n1
 
 
 def y_split_prefer():
@@ -670,7 +681,9 @@ def r2c_quad_staged_banks(plan, dtype: str = "float32") -> dict:
     psi_o, chi_o, chi_e = x_kernels(w, plan.kept_lo_x)
     banks = {}
     banks.update(
-        conv_banks(psi_o / 255.0, "stx_", dtype=dtype, prefer=x_split_prefer())
+        conv_banks(
+            psi_o / 255.0, "stx_", dtype=dtype, prefer=x_split_prefer(n=w)
+        )
     )  # /255 folded
     banks.update(conv_banks(cy, "sty_", dtype=dtype, prefer=y_split_prefer()))
     if a0 != 0.0:
@@ -1057,7 +1070,7 @@ def r2c_grid_staged_banks(plan, dtype: str = "float32") -> dict:
         banks.update(
             conv_banks(
                 psi / 255.0, f"sgx{rx}_", dtype=dtype, decimate=q,
-                prefer=x_split_prefer(q),
+                prefer=x_split_prefer(q, n=w),
             )
         )
     if any(a0 != 0.0 for a0 in a0s.values()):
@@ -1265,7 +1278,7 @@ def c2c_grid_staged_banks(plan, dtype: str = "float32") -> dict:
         banks.update(
             conv_banks(
                 cx / 255.0, f"cgx{r}_", dtype=dtype, decimate=q,
-                prefer=x_split_prefer(q),
+                prefer=x_split_prefer(q, n=plan.w),
             )
         )
         ax[r] = a0x
