@@ -459,6 +459,14 @@ def conv_apply_rows(
     slot CAS kernels) take the e-slices directly."""
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
+    if emit4d and epilogue is not None:
+        # the epilogue contract is the (..., e, d, L) view; emit4d's S3
+        # emits (..., d, e, L) — no caller combines them, and doing so
+        # would silently hand the epilogue transposed row axes
+        raise ValueError(
+            "conv_apply_rows: epilogue and emit4d are mutually exclusive "
+            "(the epilogue is defined on the (..., e, d, L) view)"
+        )
     b1 = banks[prefix + "b1"]
     mb = banks[prefix + "m"]
     b3 = banks[prefix + "b3"]
@@ -569,7 +577,13 @@ def conv_apply_lanes(
     (nd == n1).  NOTE: the factored ROUTE was rejected in round 4 — the
     production transform loses 25.5 vs 22.3 ms at 8K and the factored
     CAS geometry was pruned (scripts/fac_decide_ab.py, docs/STATUS.md);
-    this stays as a library capability (pure output permutation)."""
+    this stays as a library capability (pure output permutation).
+    RE-ENTRY CONDITION: none for the route — the loss is inherent to
+    the scrambled CAS neighborhoods (west/east = ±n2 memory columns),
+    not to a missing compiler feature.  The kwarg remains only because
+    it is a zero-maintenance output permutation pinned bit-exact by
+    tests/test_staged_factored.py; remove it if that test ever becomes
+    a burden."""
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
     b1 = banks[prefix + "b1"]

@@ -1329,6 +1329,9 @@ def cas_parity4_planes_u2(
             and os.environ.get("VKRESAMPLE_QUAD_STRIP", "slots") == "slots"
             and P10.shape[-3:-1] == (nd4, n24)
             and P11.shape[-3:-1] == (nd4, n24)
+            and P10.shape[-1] == P00.shape[-1]
+            and P11.shape[-1] == P00.shape[-1]
+            and P01.shape == P00.shape
             and P00.shape[-2] == nd4 * n24
             and n24 >= 2
             and nd4 >= pad4
@@ -1927,6 +1930,11 @@ def _grid_geometry(n, h, Wp, pad, dt, bt_req, wsb_req):
         or h < bt + 2 * pad
         or not Wsb
         or (nsW > 1 and Wsb < _CHALO)
+        # the width-shrink loop can strip-ify a full-width origin
+        # (nsW 1 -> >1) on a plane too narrow to hold a halo'd strip
+        # window; the strip kernel's window start clip(ss*Wsb - _CHALO,
+        # 0, Wp - Wsw) would then get a negative upper bound
+        or (nsW > 1 and Wsw > Wp)
         or est(bt, Wsw) > _GRID_VMEM_BUDGET
     ):
         return None

@@ -30,6 +30,21 @@ precision (exact, ~2x the passes).
 Replaces the reference's separate [inverse-FFT y axis] + [sharpen pass]
 dispatches (VkResample.cpp:1264, 819-925) with one fused device pass —
 the TPU analog of VkFFT's fused post-processing hooks (vkFFT.h:45-48).
+
+STATUS: NON-SHIPPING (rejected experiment, kept with a pinned-test
+re-entry condition).  Measured on-chip: ycas_u2 4.1 ms (in-kernel
+sublane interleave is poison) and ycas_parity_u2 2.3-2.8 ms vs 0.3 ms
+for the XLA matmuls at the flagship geometry — per-row Mosaic dots
+lose to XLA's MXU scheduling by ~10x (docs/STATUS.md round-2).  The
+same regime blocks the fused 3-stage staged conv (19k Mosaic dots per
+conv, round-4 analysis).  RE-ENTRY CONDITION: Mosaic grows a batched /
+grouped dot_general (one instruction issuing many small dots at MXU
+rate).  When that lands, re-run scripts/parity_ab.py — if the in-kernel
+dots reach within ~2x of XLA matmuls, this kernel's fusion structure
+(U read once, O and the woven image never in HBM) is the shape of a
+~1.3-1.6 ms/conv win at the big tiers (round-4 HBM-floor numbers).
+Until then the banks stay gated behind VKRESAMPLE_YCAS_BANKS and
+tests/test_ycas_pallas.py pins interpret-mode correctness.
 """
 from __future__ import annotations
 

@@ -612,8 +612,9 @@ def _sp_grid_body(
 def build_sp_upscale_grid(
     plan: UpscalePlan, mesh: Mesh, axis_name: str = "sp"
 ) -> Callable:
-    """Grid staged pencil pipeline (r2c, any integer u >= 2 or dyadic
-    fractional p/q): one frame rows-sharded in, columns-sharded out.
+    """Grid staged pencil pipeline (r2c, any integer u >= 2 or
+    fractional p/q — any exact rational the integer geometry realizes
+    with q | dims): one frame rows-sharded in, columns-sharded out.
     One all-to-all + a tiny psum, O(p*n*n1) banks — the u-generic
     any-size cross-chip tier."""
     from ..fft import staged as staged_mod
@@ -623,7 +624,8 @@ def build_sp_upscale_grid(
     if params is None:
         raise ValueError(
             "grid pencil pipeline requires a grid-staged-executable r2c "
-            "plan (integer u >= 2 or dyadic fractional, usable splits)"
+            "plan (integer u >= 2 or exact rational p/q with q | dims "
+            "and matching band keep-set, usable splits)"
         )
     p, qd = params
     if plan.h % S or (plan.w // qd) % S:
@@ -755,7 +757,8 @@ def build_sp_upscale_c2c_grid(
     if params is None:
         raise ValueError(
             "c2c grid pencil pipeline requires a c2c-grid-staged-"
-            "executable plan (integer u >= 2 or dyadic fractional)"
+            "executable plan (integer u >= 2 or exact rational p/q "
+            "with q | dims and matching band keep-set)"
         )
     p, qd = params
     if plan.h % S or (plan.w // qd) % S:
