@@ -208,7 +208,6 @@ def make_dense_banks(
         quad_geom = (
             plan.r2c
             and plan.integer_upscale == 2
-            and plan.w % 128 == 0
             and not os.environ.get("VKRESAMPLE_NO_PARITY")
             and os.environ.get("VKRESAMPLE_HALF_STORAGE") != "bf16"
             and dense.r2c_rows_supported(plan)
@@ -229,6 +228,7 @@ def make_dense_banks(
         if (
             planes
             and quad_geom
+            and plan.w % 128 == 0  # int8 digit banks keep the hard gate
             and max(plan.h, plan.w, plan.H, plan.W) <= DENSE_INT8_MAX
             and dense._int8_banks_wanted(plan)
         ):

@@ -236,7 +236,20 @@ def x_split_prefer(decimate: int = 1, n: int = None) -> int:
     dequants + an s16 encode copy, ~7.3 ms of the 16K->32K program) and
     n1=256 measures 108.4 vs 112.1 ms (scripts/split16k_ab.py,
     min-over-pass2+, maxdiff 1).  VKRESAMPLE_XSPLIT overrides the base
-    (pre-q) preference for A/B (scripts/xsplit_ab.py)."""
+    (pre-q) preference for A/B (scripts/xsplit_ab.py).
+
+    Widths 128*q does NOT divide (e.g. 8640 = 2^6*3^3*5 — no divisor is
+    a multiple of 128): no lane-exact split exists, so pick the divisor
+    whose padded-vreg waste is smallest — each stage view's minor dim
+    (n1 on the input/S1 side, nd = n1/q on the output/S3 side) rounds up
+    to the next 128 lanes, so the wasted-lane fraction is
+    (ceil(d/128)*128 - d)/d summed over both views; ties break toward
+    the value closest to 128*q, then larger.  At 8640 this lands on
+    n1=120 (pads to 128, 6.7% per view) instead of split_factors'
+    closest-divisor default of 135 (pads to 256, 90%).  The reference
+    schedules any 7-smooth size without an alignment requirement
+    (vkFFT.h:4707-5189); this keeps such widths on the staged tier at a
+    modest lane-padding tax instead of the ~7x phases route."""
     import os
 
     base = 128
@@ -245,8 +258,28 @@ def x_split_prefer(decimate: int = 1, n: int = None) -> int:
         return int(v) * decimate
     n1 = base * decimate
     if n:
-        while n % n1 == 0 and n % (2 * n1) == 0 and n // n1 > 64:
-            n1 *= 2
+        if n % n1 == 0:
+            while n % (2 * n1) == 0 and n // n1 > 64:
+                n1 *= 2
+        else:
+            # restrict to the MXU-efficient window (S2's FLOPs are
+            # n1-linear per element and its banks O(n1^2) bytes, so huge
+            # divisors minimize relative padding while losing outright
+            # on work); outside the window fall back to split_factors'
+            # closest-to-128q default
+            best = None
+            lo, hi = 64 * decimate, 320 * decimate
+            for d in range(decimate, n + 1, decimate):
+                if n % d or d < max(8, lo) or d > hi or n // d < 4:
+                    continue
+                waste = (-d % 128) / d + (-(d // decimate) % 128) / (
+                    d // decimate
+                )
+                score = (round(waste, 6), abs(d - 128 * decimate), -d)
+                if best is None or score < best[0]:
+                    best = (score, d)
+            if best is not None:
+                n1 = best[1]
     return n1
 
 
@@ -667,8 +700,13 @@ def factored_split(banks: dict, prefix: str = "stx_"):
 
 
 def staged_supported(plan) -> bool:
-    """Staged route applies to u=2 r2c plans with even h and usable
-    Cooley-Tukey splits on both axes (any smooth size — no dense cap)."""
+    """Staged route applies to u=2 r2c plans with even dims and usable
+    Cooley-Tukey splits on both axes (any smooth size — no dense cap).
+    Widths that are not 128-aligned run at a lane-padding tax (see
+    x_split_prefer) with the CAS kernels' own alignment gates deciding
+    Pallas vs the XLA fallback — still far ahead of the phases route
+    the class previously fell to (the reference runs ANY 7-smooth size
+    at full speed, vkFFT.h:4707-5189)."""
     from . import dense
 
     return (
@@ -676,7 +714,7 @@ def staged_supported(plan) -> bool:
         and plan.integer_upscale == 2
         and dense.r2c_rows_supported(plan)
         and plan.h % 2 == 0
-        and plan.w % 128 == 0
+        and plan.w % 2 == 0
         and split_factors(plan.h) is not None
         and split_factors(plan.w) is not None
     )
@@ -1014,7 +1052,6 @@ def frac_params(plan):
         or plan.kept_lo_y + plan.kept_hi_y != plan.h
         or plan.kept_lo_x != plan.w // 2
         or plan.kept_hi_x != 0
-        or (plan.w // q) % 128
         or split_factors(plan.h, multiple_of=q) is None
         or split_factors(plan.w, multiple_of=q) is None
     ):
@@ -1033,7 +1070,7 @@ def grid_params(plan):
         and plan.integer_upscale >= 2
         and dense.r2c_rows_supported(plan)
         and plan.h % 2 == 0
-        and plan.w % 128 == 0
+        and plan.w % 2 == 0
         and split_factors(plan.h) is not None
         and split_factors(plan.w) is not None
     ):
@@ -1248,7 +1285,6 @@ def c2c_grid_params(plan):
         or plan.kept_lo_x + plan.kept_hi_x != plan.w
         or plan.h % 2
         or plan.w % 2
-        or (plan.w // q) % 128
         or split_factors(plan.h, multiple_of=q) is None
         or split_factors(plan.w, multiple_of=q) is None
     ):

@@ -452,8 +452,19 @@ def _parity_route(plan: UpscalePlan):
 
     if plan.integer_upscale != 2 or os.environ.get("VKRESAMPLE_NO_PARITY"):
         return None
+    from ..fft.mxu_pipeline import DENSE_MAX
+
+    # quad needs 128-aligned widths in the small dense tier (the Pallas
+    # quad CAS geometries are measured there and the rows route is the
+    # established non-aligned fallback); ABOVE the dense cap no rows
+    # route exists, so quad serves every even width — the staged tier's
+    # lane-padding tax plus the CAS kernels' own XLA fallback still beat
+    # the phases route by ~7x (see staged.staged_supported)
     if (
-        plan.w % 128 == 0
+        (
+            plan.w % 128 == 0
+            or max(plan.h, plan.w, plan.H, plan.W) > DENSE_MAX
+        )
         and os.environ.get("VKRESAMPLE_HALF_STORAGE") != "bf16"
     ):
         return "quad"
