@@ -8,6 +8,14 @@ chained data dependency) and a forced scalar readback as the fence — see
 vkresample_tpu/pipeline/bench_util.py for why host-side dispatch loops are
 not trustworthy on tunneled PJRT backends.
 
+Officials protocol (round 5): measurements are thunks run in INTERLEAVED
+passes — every tier measured once per pass, in order, and each reported
+value is the min across passes.  The device warms up over a process
+(whatever runs last looks fastest), so single-sequential officials under-
+or over-state tiers by order; interleaving + min gives every tier at least
+one warmed measurement.  --full runs 2 passes (compiles are cached after
+pass 1, so pass 2 costs only execution); --passes N overrides.
+
 Prints ONE JSON line:
   {"metric": ..., "value": ms_per_frame, "unit": "ms", "vs_baseline": x}
 vs_baseline = baseline_ms / measured_ms  (>1 means faster than the 2 ms
@@ -45,6 +53,10 @@ def main() -> int:
     stages = "--stages" in sys.argv[1:]
     matrix = "--matrix" in sys.argv[1:]
     k2 = int(args[0]) if args else 40
+    passes = 2 if "--full" in sys.argv[1:] else 1
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--passes":
+            passes = int(sys.argv[1:][i + 1])
 
     plan = UpscalePlan(
         h=h,
@@ -69,14 +81,15 @@ def main() -> int:
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     x = jax.device_put(img, jax.devices()[0])
 
-    ms = time_device(pipeline, x, aux=banks, k1=max(2, k2 // 5), k2=k2, reps=3)
-
-    result = {
-        "metric": "upscale_2048x1024_to_4096x2048_fp16_ms_per_frame",
-        "value": round(ms, 4),
-        "unit": "ms",
-        "vs_baseline": round(baseline_ms / ms, 3),
-    }
+    # (key, thunk) measurement list, executed in interleaved passes below
+    jobs: list = [
+        (
+            "__flagship__",
+            lambda: time_device(
+                pipeline, x, aux=banks, k1=max(2, k2 // 5), k2=k2, reps=3
+            ),
+        )
+    ]
 
     if stages:
         # per-stage split (each an extra compile; opt-in): x stage alone,
@@ -102,11 +115,14 @@ def main() -> int:
             xr = jnp.moveaxis(xx, -1, 0)
             return dense.r2c_quad(xr, bb, prec, **codec)
 
-        ms_x = time_device(x_only, x, aux=banks, k1=max(2, k2 // 5), k2=k2)
-        ms_xy = time_device(xy, x, aux=banks, k1=max(2, k2 // 5), k2=k2)
-        result["stage_x_matmul_ms"] = round(ms_x, 4)
-        result["stage_y_matmul_ms"] = round(ms_xy - ms_x, 4)
-        result["stage_cas_ms"] = round(ms - ms_xy, 4)
+        jobs.append((
+            "__stage_x__",
+            lambda: time_device(x_only, x, aux=banks, k1=max(2, k2 // 5), k2=k2),
+        ))
+        jobs.append((
+            "__stage_xy__",
+            lambda: time_device(xy, x, aux=banks, k1=max(2, k2 // 5), k2=k2),
+        ))
 
     if matrix:
         # non-flagship tiers (each an extra compile; opt-in) so the c2c,
@@ -114,94 +130,82 @@ def main() -> int:
         # regress invisibly (round-2 verdict weak #5)
         km = max(6, k2 // 4)
 
-        def _measure(key, mplan, planes_out_, planar=True):
+        def _job(key, mplan, planes_out_, planar=True):
             eng = mplan.resolve_engine()
             bb = make_device_banks(mplan, eng, planes=planes_out_)
             fn = functools.partial(
                 _pipeline, plan=mplan, engine=eng, planar_out=planar,
                 planes_out=planes_out_,
             )
-            result[key] = round(
-                time_device(fn, x, aux=bb, k1=max(2, km // 3), k2=km), 4
-            )
+            jobs.append((
+                key,
+                lambda: time_device(fn, x, aux=bb, k1=max(2, km // 3), k2=km),
+            ))
 
-        _measure(
+        _job(
             "single_fp32_ms",
             UpscalePlan(h=h, w=w, upscale=u, precision=Precision.SINGLE,
                         sharpen=0.2, engine=Engine.AUTO),
             planes,
         )
-        _measure(
+        _job(
             "c2c_ms",
             UpscalePlan(h=h, w=w, upscale=u, precision=Precision.HALF,
                         sharpen=0.2, r2c=False, engine=Engine.AUTO),
             False,
         )
-        _measure(
+        _job(
             "frac_u1_5_ms",
             UpscalePlan(h=h, w=w, upscale=1.5, precision=Precision.HALF,
                         sharpen=0.2, engine=Engine.AUTO),
             False,
         )
-        _measure("woven_half_ms", plan, False)
+        _job("woven_half_ms", plan, False)
 
-    if "--big" in sys.argv[1:]:
-        # staged big tier (opt-in: ~2-3 min extra compile): the 8K->16K
-        # frame that headlines the round-3 staged circulant work
-        bplan = UpscalePlan(
-            h=4096, w=8192, upscale=2.0, precision=Precision.HALF,
-            sharpen=0.2, engine=Engine.AUTO,
-        )
+    def _big_job(key, bplan, hw, k1, k2_, seed=1):
         beng = bplan.resolve_engine()
         bbanks = make_device_banks(bplan, beng, planes=True)
         bx = jax.device_put(
-            rng.integers(0, 256, size=(4096, 8192, 3), dtype=np.uint8)
+            rng.integers(0, 256, size=hw + (3,), dtype=np.uint8)
         )
         bfn = functools.partial(
             _pipeline, plan=bplan, engine=beng, planes_out=True
         )
-        result["big_8k_to_16k_ms"] = round(
-            time_device(bfn, bx, aux=bbanks, k1=2, k2=8), 4
+        jobs.append((
+            key,
+            lambda: time_device(bfn, bx, aux=bbanks, k1=k1, k2=k2_),
+        ))
+
+    if "--big" in sys.argv[1:]:
+        # staged big tier (opt-in: ~2-3 min extra compile): the 8K->16K
+        # frame that headlines the round-3 staged circulant work
+        _big_job(
+            "big_8k_to_16k_ms",
+            UpscalePlan(h=4096, w=8192, upscale=2.0, precision=Precision.HALF,
+                        sharpen=0.2, engine=Engine.AUTO),
+            (4096, 8192), 2, 8,
         )
 
     if "--bigfrac" in sys.argv[1:]:
         # fractional big tier (opt-in): 4608x6144 -u 1.5 -> 6912x9216 on
         # the decimated staged grid route (round-3; previously fell to
         # the big-spectrum route, which does not survive >8K)
-        fplan = UpscalePlan(
-            h=4608, w=6144, upscale=1.5, precision=Precision.HALF,
-            sharpen=0.2, engine=Engine.AUTO,
-        )
-        feng = fplan.resolve_engine()
-        fbanks = make_device_banks(fplan, feng, planes=True)
-        fx = jax.device_put(
-            rng.integers(0, 256, size=(4608, 6144, 3), dtype=np.uint8)
-        )
-        ffn = functools.partial(
-            _pipeline, plan=fplan, engine=feng, planes_out=True
-        )
-        result["bigfrac_u1_5_to_9216_ms"] = round(
-            time_device(ffn, fx, aux=fbanks, k1=2, k2=8), 4
+        _big_job(
+            "bigfrac_u1_5_to_9216_ms",
+            UpscalePlan(h=4608, w=6144, upscale=1.5, precision=Precision.HALF,
+                        sharpen=0.2, engine=Engine.AUTO),
+            (4608, 6144), 2, 8,
         )
 
     if "--bigc2c" in sys.argv[1:]:
         # c2c big tier (opt-in): 4096x8192 -c2c 2x half on the complex
         # staged grid route (round-3; previously the ~3x slower phases
         # route)
-        cplan = UpscalePlan(
-            h=4096, w=8192, upscale=2.0, precision=Precision.HALF,
-            sharpen=0.2, r2c=False, engine=Engine.AUTO,
-        )
-        ceng = cplan.resolve_engine()
-        cbanks = make_device_banks(cplan, ceng, planes=True)
-        cx = jax.device_put(
-            rng.integers(0, 256, size=(4096, 8192, 3), dtype=np.uint8)
-        )
-        cfn = functools.partial(
-            _pipeline, plan=cplan, engine=ceng, planes_out=True
-        )
-        result["bigc2c_8k_to_16k_ms"] = round(
-            time_device(cfn, cx, aux=cbanks, k1=2, k2=8), 4
+        _big_job(
+            "bigc2c_8k_to_16k_ms",
+            UpscalePlan(h=4096, w=8192, upscale=2.0, precision=Precision.HALF,
+                        sharpen=0.2, r2c=False, engine=Engine.AUTO),
+            (4096, 8192), 2, 8,
         )
 
     if "--big16k" in sys.argv[1:]:
@@ -209,41 +213,52 @@ def main() -> int:
         # 8192x16384 -> 16384x32768 half, batched channels (127.5 ms
         # on-chip = exactly 3x the 1-channel program, scripts/
         # big16k_3ch.py; ~1.6e9 output elements fit HBM)
-        kplan = UpscalePlan(
-            h=8192, w=16384, upscale=2.0, precision=Precision.HALF,
-            sharpen=0.2, engine=Engine.AUTO, channels=3,
-        )
-        keng = kplan.resolve_engine()
-        kbanks = make_device_banks(kplan, keng, planes=True)
-        kx = jax.device_put(
-            rng.integers(0, 256, size=(8192, 16384, 3), dtype=np.uint8)
-        )
-        kfn = functools.partial(
-            _pipeline, plan=kplan, engine=keng, planes_out=True
-        )
-        result["big16k_to_32k_3ch_ms"] = round(
-            time_device(kfn, kx, aux=kbanks, k1=1, k2=4), 4
+        _big_job(
+            "big16k_to_32k_3ch_ms",
+            UpscalePlan(h=8192, w=16384, upscale=2.0, precision=Precision.HALF,
+                        sharpen=0.2, engine=Engine.AUTO, channels=3),
+            (8192, 16384), 1, 4,
         )
 
     if "--grid" in sys.argv[1:]:
         # u=3 big grid tier (opt-in): 2048x4096 -> 6144x12288 3x half on
         # the u-generic staged grid route (round-3; the pre-grid phases
         # route measured ~6.6 s on this frame)
-        gplan = UpscalePlan(
-            h=2048, w=4096, upscale=3.0, precision=Precision.HALF,
-            sharpen=0.2, engine=Engine.AUTO,
+        _big_job(
+            "grid_u3_to_12288_ms",
+            UpscalePlan(h=2048, w=4096, upscale=3.0, precision=Precision.HALF,
+                        sharpen=0.2, engine=Engine.AUTO),
+            (2048, 4096), 2, 8,
         )
-        geng = gplan.resolve_engine()
-        gbanks = make_device_banks(gplan, geng, planes=True)
-        gx = jax.device_put(
-            rng.integers(0, 256, size=(2048, 4096, 3), dtype=np.uint8)
-        )
-        gfn = functools.partial(
-            _pipeline, plan=gplan, engine=geng, planes_out=True
-        )
-        result["grid_u3_to_12288_ms"] = round(
-            time_device(gfn, gx, aux=gbanks, k1=2, k2=8), 4
-        )
+
+    # interleaved passes: every tier each pass, value = min across passes
+    # (pass 1 also pays the compiles; pass 2+ rides the jit cache)
+    vals: dict = {}
+    for p in range(max(1, passes)):
+        for key, th in jobs:
+            v = th()
+            vals[key] = min(v, vals.get(key, float("inf")))
+            if passes > 1:
+                print(
+                    f"# pass {p + 1} {key} {v:.4f} ms", file=sys.stderr,
+                    flush=True,
+                )
+
+    ms = vals.pop("__flagship__")
+    result = {
+        "metric": "upscale_2048x1024_to_4096x2048_fp16_ms_per_frame",
+        "value": round(ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms, 3),
+    }
+    if stages:
+        ms_x = vals.pop("__stage_x__")
+        ms_xy = vals.pop("__stage_xy__")
+        result["stage_x_matmul_ms"] = round(ms_x, 4)
+        result["stage_y_matmul_ms"] = round(ms_xy - ms_x, 4)
+        result["stage_cas_ms"] = round(ms - ms_xy, 4)
+    for key, v in vals.items():
+        result[key] = round(v, 4)
 
     print(json.dumps(result))
     return 0

@@ -314,6 +314,70 @@ def test_quad_parity_fallback_degenerate():
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_quad_parity_nonaligned_pad_path():
+    """Non-128-aligned Wh plus non-sublane-aligned h ride the Pallas
+    kernel via the replicate-pad path (round 5) instead of the woven
+    XLA fallback, whose (C, h, 2, Wh, 2) stack lane-pads 64x on TPU
+    (a 229 GB allocation at 8640).  The padded kernel must agree with
+    the woven-stencil evaluation on every real cell."""
+    import os
+
+    from vkresample_tpu.ops.cas import to_i16_storage
+    from vkresample_tpu.ops.cas_pallas import cas_parity4_planes_u2
+
+    rng = np.random.default_rng(48)
+    h, Wh = 44, 180  # f32 hpad=4 / i16 hpad=4, wpad=76
+    planes_f = [
+        jnp.asarray(rng.random((2, h, Wh), np.float32) * 1.2 - 0.1)
+        for _ in range(4)
+    ]
+    for planes in (planes_f, [to_i16_storage(p) for p in planes_f]):
+        got = cas_parity4_planes_u2(
+            *planes, 0.2, block_rows=16, interpret=True
+        )
+        assert all(o.shape == (2, h, Wh) for o in got)
+        os.environ["VKRESAMPLE_QUAD_CAS"] = "xla"
+        try:
+            want = cas_parity4_planes_u2(*planes, 0.2, interpret=True)
+        finally:
+            del os.environ["VKRESAMPLE_QUAD_CAS"]
+        for a, b in zip(got, want):
+            d = np.abs(
+                np.asarray(a).astype(int) - np.asarray(b).astype(int)
+            ).max()
+            assert d <= 1, d
+
+
+def test_grid_parity_nonaligned_pad_path():
+    """u=3 grid planes with non-aligned width/height ride the Pallas
+    kernel via the generalized replicate-pad path (round 5); must agree
+    with the woven-stencil evaluation on every real cell."""
+    import os
+
+    from vkresample_tpu.ops.cas import to_i16_storage
+    from vkresample_tpu.ops.cas_pallas import cas_parity_grid_planes
+
+    rng = np.random.default_rng(49)
+    u, h, Wp = 3, 68, 200
+    planes_f = [
+        jnp.asarray(rng.random((2, h, Wp), np.float32) * 1.2 - 0.1)
+        for _ in range(u * u)
+    ]
+    for planes in (planes_f, [to_i16_storage(p) for p in planes_f]):
+        got = cas_parity_grid_planes(planes, u, 0.2, interpret=True)
+        assert all(o.shape == (2, h, Wp) for o in got)
+        os.environ["VKRESAMPLE_GRID_CAS"] = "xla"
+        try:
+            want = cas_parity_grid_planes(planes, u, 0.2, interpret=True)
+        finally:
+            del os.environ["VKRESAMPLE_GRID_CAS"]
+        for a, b in zip(got, want):
+            d = np.abs(
+                np.asarray(a).astype(int) - np.asarray(b).astype(int)
+            ).max()
+            assert d <= 1, d
+
+
 def test_quad_parity_column_strips():
     """Wide planes route through the column-strip kernel (Wh > quad_wmax);
     strip halos must reproduce the full-width result exactly."""

@@ -409,12 +409,15 @@ def _intermediate_mode(b1):
                   input max): ABSOLUTE resolution, so the error does
                   not follow the DC bins' magnitude the way bf16's
                   relative rounding does — measured 0.33-0.55 u8 LSB on
-                  CPU at small sizes.  REJECTED on speed: on-chip at
-                  8K→16K the transform is ~5% SLOWER (24.8 vs 23.7 ms)
-                  and the composed pipeline ~45% slower (33.4 vs 23.0)
-                  — the round/clip/cast traffic and the broken fusion
-                  cost far more than the halved inter-stage bytes
-                  (scripts/i16mid_ab.py).
+                  CPU at small sizes.  Round-3 layout measured it
+                  SLOWER (33.4 vs 23.0 ms composed at 8K→16K,
+                  scripts/i16mid_ab.py); re-measured at the round-4/5
+                  fused-epilogue lane-exact layout by
+                  scripts/i16mid_ab2.py (interleaved multi-pass
+                  protocol) — see docs/STATUS.md round 5 for the
+                  standing decision.  VKRESAMPLE_I16_STAGES
+                  ("01"/"0"/"1") selects which inter-stage boundaries
+                  quantize, for attribution.
 
     'bf16c'     — CENTERED bf16: subtract the per-column (rows conv) /
                   per-row (lanes conv) mean before the stages, run the
@@ -444,6 +447,16 @@ def _i16_store(y, bound):
     s = 32767.0 / bound.astype(jnp.float32)
     q = jnp.clip(jnp.round(y * s), -32767.0, 32767.0).astype(jnp.int16)
     return q.astype(jnp.float32) / s
+
+
+def _i16_stages():
+    """Which inter-stage boundaries the i16 mode quantizes (trace-time
+    env VKRESAMPLE_I16_STAGES, default both): "01", "0" (S1->S2 only)
+    or "1" (S2->S3 only) — per-boundary attribution for the A/B."""
+    import os
+
+    v = os.environ.get("VKRESAMPLE_I16_STAGES", "01")
+    return {int(c) for c in v if c in "01"}
 
 
 def conv_apply_rows(
@@ -535,7 +548,7 @@ def conv_apply_rows(
             return y.astype(jnp.bfloat16)
         if mode == "bf16store":
             return y.astype(jnp.bfloat16).astype(jnp.float32)
-        if mode == "i16" and qb is not None:
+        if mode == "i16" and qb is not None and stage in _i16_stages():
             return _i16_store(y, qb[stage] * jnp.float32(in_max))
         return y
 
@@ -644,7 +657,7 @@ def conv_apply_lanes(
             return y.astype(jnp.bfloat16)
         if mode == "bf16store":
             return y.astype(jnp.bfloat16).astype(jnp.float32)
-        if mode == "i16" and qb is not None:
+        if mode == "i16" and qb is not None and stage in _i16_stages():
             return _i16_store(y, qb[stage] * jnp.float32(in_max))
         return y
 

@@ -36,6 +36,19 @@ def _pad_for(dtype) -> int:
     return 16 if dtype in (jnp.bfloat16, jnp.float16, jnp.int16) else 8
 
 
+def _pallas_platform(interpret: bool) -> bool:
+    """Whether a (compiled or interpret) pallas_call can actually run —
+    gates the replicate-pad reroutes, which must fall through to the
+    XLA fallbacks on CPU where compiled Mosaic kernels cannot lower
+    (and where the woven stack's 64x lane padding costs nothing)."""
+    if interpret:
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 _PAD = 8  # f32 sublane alignment (kept for the rows kernel)
 
 
@@ -1405,6 +1418,54 @@ def cas_parity4_planes_u2(
             outs[ry][rx].reshape(lead + (h, Wh))
             for ry, rx in ((0, 0), (0, 1), (1, 0), (1, 1))
         )
+    wpadq = -Wh % 128
+    hpadq = -h % pad
+    if (
+        (wpadq or hpadq)
+        and ynd == 0
+        and _pallas_platform(interpret)
+        and dt in (jnp.float32, jnp.int16)
+        and all(x.dtype == dt and x.shape == planes[0].shape for x in planes)
+    ):
+        # Lane/sublane-pad to kernel alignment and crop after (round 5:
+        # serves the non-128-aligned big widths the route gates now
+        # admit).  CAS is a 3x3 clamp-to-edge stencil on the WOVEN
+        # image, so a real output cell reads at most the FIRST pad
+        # column/row, whose correct clamped value is the wrap-partner
+        # plane's last column/row: east of woven col 2*Wh-1 clamps to
+        # itself = P*1[:, Wh-1], which the kernel reads as P*0[:, Wh];
+        # south of woven row 2*h-1 clamps to P1*[h-1, :], read as
+        # P0*[h, :].  Deeper pad cells are replicate fill no real
+        # output ever reads (the corner composes: row-pad of the
+        # col-padded planes).  Without this, misaligned planes fell to
+        # the woven XLA fallback, whose (C, h, 2, Wh, 2) stack
+        # lane-pads 64x on TPU (a 229 GB allocation at 8640).
+        def _cpad(p, first):
+            fill = jnp.broadcast_to(first, p.shape[:-1] + (wpadq,))
+            return jnp.concatenate([p, fill], axis=-1)
+
+        def _rpad(p, first):
+            fill = jnp.broadcast_to(
+                first, p.shape[:-2] + (hpadq, p.shape[-1])
+            )
+            return jnp.concatenate([p, fill], axis=-2)
+
+        q00, q01, q10, q11 = planes
+        if wpadq:
+            q00 = _cpad(q00, q01[..., -1:])
+            q01 = _cpad(q01, q01[..., -1:])
+            q10 = _cpad(q10, q11[..., -1:])
+            q11 = _cpad(q11, q11[..., -1:])
+        if hpadq:
+            q00 = _rpad(q00, q10[..., -1:, :])
+            q01 = _rpad(q01, q11[..., -1:, :])
+            q10 = _rpad(q10, q10[..., -1:, :])
+            q11 = _rpad(q11, q11[..., -1:, :])
+        outs = cas_parity4_planes_u2(
+            q00, q01, q10, q11, sharpen, block_rows=block_rows,
+            interpret=interpret,
+        )
+        return tuple(o[..., :h, :Wh].reshape(lead + (h, Wh)) for o in outs)
     default_block = block_rows is None
     if default_block:
         from ..core.tuning import current
@@ -1981,6 +2042,60 @@ def cas_parity_grid_planes(
             for ry in range(u)
             for rx in range(u)
         )
+
+    wpadq = -Wp % 128
+    hpadq = -h % pad
+    if (
+        (wpadq or hpadq)
+        and os.environ.get("VKRESAMPLE_GRID_CAS") != "xla"
+        and _pallas_platform(interpret)
+        and dt in (jnp.float32, jnp.int16)
+        and all(x.dtype == dt and x.shape == ps[0].shape for x in ps)
+    ):
+        # Lane/sublane-pad to kernel alignment and crop after (round 5:
+        # the quad kernel's replicate-pad path generalized to u x u —
+        # see cas_parity4_planes_u2).  Plane (ry, rx) holds woven cells
+        # [ry::u, rx::u] of the (u*h, u*Wp) image; the 3x3 clamp-to-
+        # edge stencil makes a real cell read at most the FIRST pad
+        # column/row: east of woven col u*Wp-1 clamps to itself =
+        # P[ry][u-1][:, Wp-1], which the kernel reads as P[ry][0][:,
+        # Wp]; south of woven row u*h-1 clamps to P[u-1][rx][h-1, :],
+        # read as P[0][rx][h, :].  Deeper pad cells are replicate fill
+        # no real output reads (the corner composes: row-pad of the
+        # col-padded planes).  Without this, non-128-aligned widths
+        # fell to the woven XLA fallback whose stack lane-pads u*64x
+        # on TPU.
+        def _cpad(p, first):
+            fill = jnp.broadcast_to(first, p.shape[:-1] + (wpadq,))
+            return jnp.concatenate([p, fill], axis=-1)
+
+        def _rpad(p, first):
+            fill = jnp.broadcast_to(
+                first, p.shape[:-2] + (hpadq, p.shape[-1])
+            )
+            return jnp.concatenate([p, fill], axis=-2)
+
+        qs = list(ps)
+        if wpadq:
+            qs = [
+                _cpad(
+                    p,
+                    qs[(i // u) * u + (u - 1)][..., -1:]
+                    if i % u == 0 else p[..., -1:],
+                )
+                for i, p in enumerate(qs)
+            ]
+        if hpadq:
+            qs = [
+                _rpad(
+                    p,
+                    qs[(u - 1) * u + (i % u)][..., -1:, :]
+                    if i // u == 0 else p[..., -1:, :],
+                )
+                for i, p in enumerate(qs)
+            ]
+        outs = cas_parity_grid_planes(qs, u, sharpen, interpret=interpret)
+        return tuple(o[..., :h, :Wp].reshape(lead + (h, Wp)) for o in outs)
 
     from ..core.tuning import current
 
