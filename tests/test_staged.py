@@ -915,6 +915,50 @@ def test_channel_serial_matches_batched(monkeypatch):
     assert up._channel_serial(
         big32, jax.ShapeDtypeStruct((16384, 32768, 3), jnp.uint8)
     )
+    # batched (leading-dim) inputs take the same gate (round 5: a pod's
+    # dp-sharded huge frames run channel-serial per chip)
+    assert up._channel_serial(
+        big32, jax.ShapeDtypeStruct((4, 16384, 32768, 3), jnp.uint8)
+    )
+
+
+def test_channel_serial_batched_matches(monkeypatch):
+    """The channel-serial lax.map route is batch-polymorphic (round 5):
+    with a leading frame dim, every output surface must match the
+    batched-channels route elementwise and keep the (N, C, ...) planar
+    axis order."""
+    import functools
+
+    from vkresample_tpu.pipeline import upscale as up
+
+    plan = UpscalePlan(
+        h=32, w=128, upscale=2.0, precision=Precision.HALF, engine=Engine.MXU
+    )
+    banks = jax.device_put(
+        {k: jnp.asarray(v) for k, v in staged.r2c_quad_staged_banks(plan).items()}
+    )
+    monkeypatch.setattr(up, "_use_pallas_cas", lambda p: True)
+    imgs = np.random.default_rng(29).integers(0, 256, (2, 32, 128, 3), np.uint8)
+
+    def run(planes_out, planar_out):
+        return jax.jit(
+            functools.partial(
+                up._pipeline, plan=plan, engine=Engine.MXU,
+                planar_out=planar_out, planes_out=planes_out,
+            )
+        )(jnp.asarray(imgs), banks)
+
+    monkeypatch.delenv("VKRESAMPLE_CHANNEL_SERIAL", raising=False)
+    ref_planes = [np.asarray(p) for p in run(True, True)]
+    ref_woven = np.asarray(run(False, False))
+    monkeypatch.setenv("VKRESAMPLE_CHANNEL_SERIAL", "1")
+    got_planes = [np.asarray(p) for p in run(True, True)]
+    got_woven = np.asarray(run(False, False))
+    for g, r in zip(got_planes, ref_planes):
+        assert g.shape == r.shape  # (N, C, H', W')
+        np.testing.assert_array_equal(g, r)
+    assert got_woven.shape == ref_woven.shape  # (N, H, W, C)
+    np.testing.assert_array_equal(got_woven, ref_woven)
 
 
 def test_x_split_prefer_lane_exact(monkeypatch):

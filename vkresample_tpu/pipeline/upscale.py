@@ -92,7 +92,7 @@ def _channel_serial(plan: UpscalePlan, img_u8) -> bool:
     a 3x live-memory batch.  VKRESAMPLE_CHANNEL_SERIAL=1/0 overrides."""
     import os
 
-    if img_u8.ndim != 3 or img_u8.shape[-1] <= 1:
+    if img_u8.ndim < 3 or img_u8.shape[-1] <= 1:
         return False
     v = os.environ.get("VKRESAMPLE_CHANNEL_SERIAL")
     if v is not None:
@@ -133,15 +133,20 @@ def _pipeline(
             planar_out=True, planes_out=planes_out,
         )
 
-        def _one(xc):  # (h, w) uint8 -> squeezed per-channel outputs
-            r = body(xc[:, :, None], banks)
+        def _one(xc):  # (..., h, w) uint8 -> squeezed per-channel outputs
+            r = body(xc[..., None], banks)
             return jax.tree_util.tree_map(
-                lambda p: p.reshape(p.shape[-2:]), r
+                lambda p: p.reshape(p.shape[:-3] + p.shape[-2:]), r
             )
 
         outs = jax.lax.map(_one, jnp.moveaxis(img_u8, -1, 0))
         if planes_out or planar_out:
-            return outs
+            # channel axis maps leading; the planar contract wants it
+            # just before the two image dims ((C, H', W') single-frame,
+            # (N, C, H', W') batched — identity for the former)
+            return jax.tree_util.tree_map(
+                lambda p: jnp.moveaxis(p, 0, -3), outs
+            )
         return jnp.moveaxis(outs, 0, -1)
 
     cdtype = plan.precision.compute_dtype
