@@ -49,7 +49,7 @@ def main() -> int:
         # record (BENCH_FULL_rXX.json) so non-flagship tiers can't
         # regress invisibly round-over-round
         sys.argv += ["--matrix", "--big", "--bigfrac", "--bigc2c",
-                     "--grid", "--big16k"]
+                     "--grid", "--big16k", "--na8640"]
     stages = "--stages" in sys.argv[1:]
     matrix = "--matrix" in sys.argv[1:]
     k2 = int(args[0]) if args else 40
@@ -218,6 +218,19 @@ def main() -> int:
             UpscalePlan(h=8192, w=16384, upscale=2.0, precision=Precision.HALF,
                         sharpen=0.2, engine=Engine.AUTO, channels=3),
             (8192, 16384), 1, 4,
+        )
+
+    if "--na8640" in sys.argv[1:]:
+        # non-128-aligned 7-smooth big tier (opt-in): 8640 = 2^6*3^3*5,
+        # above the dense cap with no 128-multiple divisor — rides the
+        # staged tier via x_split_prefer's padded-vreg window (n1=120)
+        # and the CAS replicate-pad path (round 5; previously the ~7x
+        # phases cliff, VERDICT r4 missing #1)
+        _big_job(
+            "na8640_to_17280_ms",
+            UpscalePlan(h=8640, w=8640, upscale=2.0, precision=Precision.HALF,
+                        sharpen=0.2, engine=Engine.AUTO),
+            (8640, 8640), 1, 4,
         )
 
     if "--grid" in sys.argv[1:]:

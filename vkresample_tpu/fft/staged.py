@@ -568,10 +568,12 @@ def conv_apply_rows(
     if dc_add is not None:
         import os
 
-        if (mode == "i16" and qb is not None) or os.environ.get(
-            "VKRESAMPLE_DC"
-        ) == "scatter":
+        if (
+            mode == "i16" and qb is not None and 1 in _i16_stages()
+        ) or os.environ.get("VKRESAMPLE_DC") == "scatter":
             # inject into the DC bin so the i16 store absorbs the term
+            # (only needed when the S2->S3 boundary actually quantizes;
+            # otherwise keep the fused S3-epilogue form)
             y = y.at[..., 0, 0, :, :].add(n2 * dc_add)
         else:
             dc_post = dc_add

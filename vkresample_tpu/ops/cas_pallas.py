@@ -1011,12 +1011,108 @@ def _quad_planes_i16(q, ts, h, sharpen, ws=0, Wh=None):
     return out
 
 
-def _use_i16_tree(dt) -> bool:
-    """Opt-in (env VKRESAMPLE_CAS_TREE=i16) int16 extremes tree for the
-    quad kernels; read at trace time, A/B'd by scripts/cas_tree_ab.py."""
+def _quad_planes_i32(q, ts, h, sharpen, ws=0, Wh=None):
+    """i32 extremes tree: sign-extend the int16 Q2.14 tiles to i32 and
+    run the min/max tree with NATIVE i32 vector min/max — Mosaic lowers
+    `arith.minsi/maxsi` on i32 (the i16 forms do not legalize on v5e,
+    and the cmp+select rewrite has no 16-bit vector compare either, see
+    docs/STATUS.md round 2).  Same lane width as f32 but the decode
+    shrinks: no per-input f32 convert/scale — only c, nsum and the two
+    window lengths cross to f32, and the neighbor sums stay EXACT in
+    i32 (<= 4*16384).  The clipped codes and all their <=17-bit sums are
+    exactly representable in f32, so every selection and all blend
+    INPUTS agree with the f32 tree to the bit; outputs can still shift
+    by 1 u8 LSB on quantization-boundary pixels where the compiler
+    contracts the blend's c + sc*nsum to an FMA in one lowering and not
+    the other (tests/test_cas_tree.py pins <=1).
+
+    Per-tile-set VPU op count vs the f32 tree (recorded for the verdict
+    r4 item-7 adjudication): decode 4->8 tiles x (convert,mul,abs,min)=
+    16 ops -> 4 x (widen,abs,min)=12; tree identical shape (34 min/max
+    + shifts/selects) in i32; boundary crossings grow from 0 to 4 x
+    (3 widened adds + 4 convert+mul pairs) = ~44; net ~+40 integer ops
+    per 4-plane tile set against 4 saved f32 muls — the measurement
+    decides (scripts/cas_tree_ab.py)."""
+    rows, Wsw = q[0][0].shape
+    if Wh is None:
+        Wh = Wsw
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    gtop = (row + ts) == 0
+    gbot = (row + ts) == h - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Wsw), 1) + ws
+    gleft = col == 0
+    gright = col == Wh - 1
+
+    CLIP = jnp.int32(16384)
+    scale = jnp.float32(1.0 / 16384.0)
+    ci = [
+        [jnp.minimum(jnp.abs(t.astype(jnp.int32)), CLIP) for t in rowq]
+        for rowq in q
+    ]
+
+    wvi = [[None, None], [None, None]]
+    evi = [[None, None], [None, None]]
+    xmin = [[None, None], [None, None]]
+    xmax = [[None, None], [None, None]]
+    wpe = [[None, None], [None, None]]
+    for ry in (0, 1):
+        ai, bi = ci[ry][0], ci[ry][1]
+        wvi[ry][0] = jnp.where(gleft, ai, _shiftL(bi))
+        evi[ry][0] = bi
+        wvi[ry][1] = ai
+        evi[ry][1] = jnp.where(gright, bi, _shiftR(ai))
+        for rx in (0, 1):
+            xmin[ry][rx] = jnp.minimum(wvi[ry][rx], evi[ry][rx])
+            xmax[ry][rx] = jnp.maximum(wvi[ry][rx], evi[ry][rx])
+            wpe[ry][rx] = wvi[ry][rx] + evi[ry][rx]  # exact in i32
+
+    out = [[None, None], [None, None]]
+    for ry in (0, 1):
+        for rx in (0, 1):
+            c_i = ci[ry][rx]
+            sib_i = ci[1 - ry][rx]
+            if ry == 0:
+                n_i = jnp.where(gtop, c_i, _yshift_up(sib_i))
+                s_i = sib_i
+                nmin = jnp.where(gtop, xmin[0][rx], _yshift_up(xmin[1][rx]))
+                nmax = jnp.where(gtop, xmax[0][rx], _yshift_up(xmax[1][rx]))
+                smin, smax = xmin[1][rx], xmax[1][rx]
+            else:
+                n_i = sib_i
+                s_i = jnp.where(gbot, c_i, _yshift_dn(sib_i))
+                nmin, nmax = xmin[0][rx], xmax[0][rx]
+                smin = jnp.where(gbot, xmin[1][rx], _yshift_dn(xmin[0][rx]))
+                smax = jnp.where(gbot, xmax[1][rx], _yshift_dn(xmax[0][rx]))
+            min_cross = jnp.minimum(
+                jnp.minimum(n_i, s_i), jnp.minimum(c_i, xmin[ry][rx])
+            )
+            max_cross = jnp.maximum(
+                jnp.maximum(n_i, s_i), jnp.maximum(c_i, xmax[ry][rx])
+            )
+            min_all = jnp.minimum(min_cross, jnp.minimum(nmin, smin))
+            max_all = jnp.maximum(max_cross, jnp.maximum(nmax, smax))
+            minlen = (min_cross + min_all).astype(jnp.float32) * (0.5 * scale)
+            maxlen = (max_cross + max_all).astype(jnp.float32) * (0.5 * scale)
+            nsum = (n_i + s_i + wpe[ry][rx]).astype(jnp.float32) * scale
+            out[ry][rx] = _cas_blend(
+                c_i.astype(jnp.float32) * scale, nsum, minlen, maxlen,
+                sharpen,
+            )
+    return out
+
+
+_TREE_PLANES = {"i16": _quad_planes_i16, "i32": _quad_planes_i32}
+
+
+def _tree_mode(dt) -> str:
+    """Quad-kernel extremes-tree selection (trace-time env
+    VKRESAMPLE_CAS_TREE): 'f32' default; 'i16' (cmp+select codes, does
+    NOT lower on v5e — kept for future backends); 'i32' (native integer
+    min/max on sign-extended codes).  A/B'd by scripts/cas_tree_ab.py."""
     import os
 
-    return dt == jnp.int16 and os.environ.get("VKRESAMPLE_CAS_TREE") == "i16"
+    v = os.environ.get("VKRESAMPLE_CAS_TREE", "f32")
+    return v if dt == jnp.int16 and v in _TREE_PLANES else "f32"
 
 
 def _quad_kernel(
@@ -1024,7 +1120,7 @@ def _quad_kernel(
     o00_ref, o01_ref, o10_ref, o11_ref,
     s00, s01, s10, s11, sems,
     *, sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
-    tree_i16: bool = False,
+    tree: str = "f32",
 ):
     g = pl.program_id(0)
     rows = bt + 2 * pad
@@ -1070,9 +1166,9 @@ def _quad_kernel(
             f = f * jnp.float32(scale)
         return jnp.minimum(jnp.abs(f), 1.0)  # abs>=0: the 0-clamp is dead
 
-    if tree_i16:
+    if tree != "f32":
         q = [[s00[slot], s01[slot]], [s10[slot], s11[slot]]]
-        out = _quad_planes_i16(q, ts, h, sharpen)
+        out = _TREE_PLANES[tree](q, ts, h, sharpen)
     else:
         p = [
             [_clip(s00[slot]), _clip(s01[slot])],
@@ -1103,7 +1199,7 @@ def _quad_strip_kernel(
     o00_ref, o01_ref, o10_ref, o11_ref,
     s00, s01, s10, s11, sems,
     *, sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
-    Wh: int, Wsb: int, nsW: int, tree_i16: bool = False,
+    Wh: int, Wsb: int, nsW: int, tree: str = "f32",
 ):
     """Column-strip variant for planes too wide for full-width tiles
     (Wh * band bytes would blow VMEM): 1-D grid over (C, row band, col
@@ -1157,9 +1253,9 @@ def _quad_strip_kernel(
             f = f * jnp.float32(scale)
         return jnp.minimum(jnp.abs(f), 1.0)  # abs>=0: the 0-clamp is dead
 
-    if tree_i16:
+    if tree != "f32":
         q = [[s00[slot], s01[slot]], [s10[slot], s11[slot]]]
-        out = _quad_planes_i16(q, ts, h, sharpen, ws=ws, Wh=Wh)
+        out = _TREE_PLANES[tree](q, ts, h, sharpen, ws=ws, Wh=Wh)
     else:
         p = [
             [_clip(s00[slot]), _clip(s01[slot])],
@@ -1186,7 +1282,7 @@ def _quad_strip_slots_kernel(
     o00_ref, o01_ref, o10_ref, o11_ref,
     *scr_all,
     sharpen: float, bt: int, h: int, nb: int, pad: int, scale: float,
-    Wh: int, Wsb: int, nsW: int, tree_i16: bool = False, y4d_nd: int = 0,
+    Wh: int, Wsb: int, nsW: int, tree: str = "f32", y4d_nd: int = 0,
 ):
     """Slot-resident column-strip variant: bands are DMA'd WITHOUT row
     halos (exactly bt rows each) into a 4-deep rotating buffer, and the
@@ -1272,9 +1368,9 @@ def _quad_strip_slots_kernel(
 
     ts = ii * bt - 1  # global plane row of tile row 0 (only feeds the
     # gtop/gbot iota masks; -1 at the top band never matches)
-    if tree_i16:
+    if tree != "f32":
         q = [[_tile(scr[0]), _tile(scr[1])], [_tile(scr[2]), _tile(scr[3])]]
-        out = _quad_planes_i16(q, ts, h, sharpen, ws=ws, Wh=Wh)
+        out = _TREE_PLANES[tree](q, ts, h, sharpen, ws=ws, Wh=Wh)
     else:
         p = [
             [_clip(_tile(scr[0])), _clip(_tile(scr[1]))],
@@ -1559,7 +1655,7 @@ def cas_parity4_planes_u2(
                 kern = functools.partial(
                     _quad_strip_slots_kernel, sharpen=float(sharpen),
                     bt=bt, h=h, nb=nb, pad=pad, scale=_in_scale_for(dt),
-                    Wh=Wh, Wsb=Wsb, nsW=nsW, tree_i16=_use_i16_tree(dt),
+                    Wh=Wh, Wsb=Wsb, nsW=nsW, tree=_tree_mode(dt),
                     y4d_nd=ynd,
                 )
                 ospec = pl.BlockSpec(
@@ -1578,7 +1674,7 @@ def cas_parity4_planes_u2(
                 kern = functools.partial(
                     _quad_strip_kernel, sharpen=float(sharpen), bt=bt,
                     h=h, nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh,
-                    Wsb=Wsb, nsW=nsW, tree_i16=_use_i16_tree(dt),
+                    Wsb=Wsb, nsW=nsW, tree=_tree_mode(dt),
                 )
                 ospec = pl.BlockSpec(
                     (1, bt, Wsb),
@@ -1648,7 +1744,7 @@ def cas_parity4_planes_u2(
         kern = functools.partial(
             _quad_strip_slots_kernel, sharpen=float(sharpen), bt=bt, h=h,
             nb=nb, pad=pad, scale=_in_scale_for(dt), Wh=Wh, Wsb=Wh,
-            nsW=1, tree_i16=_use_i16_tree(dt), y4d_nd=ynd,
+            nsW=1, tree=_tree_mode(dt), y4d_nd=ynd,
         )
         ospec = pl.BlockSpec(
             (1, bt, Wh), lambda g, nb=nb: (g // nb, g % nb, 0),
@@ -1671,7 +1767,7 @@ def cas_parity4_planes_u2(
 
     kern = functools.partial(
         _quad_kernel, sharpen=float(sharpen), bt=bt, h=h, nb=nb, pad=pad,
-        scale=_in_scale_for(dt), tree_i16=_use_i16_tree(dt),
+        scale=_in_scale_for(dt), tree=_tree_mode(dt),
     )
     ospec = pl.BlockSpec(
         (1, bt, Wh), lambda g, nb=nb: (g // nb, g % nb, 0),
