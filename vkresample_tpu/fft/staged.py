@@ -409,15 +409,20 @@ def _intermediate_mode(b1):
                   input max): ABSOLUTE resolution, so the error does
                   not follow the DC bins' magnitude the way bf16's
                   relative rounding does — measured 0.33-0.55 u8 LSB on
-                  CPU at small sizes.  Round-3 layout measured it
-                  SLOWER (33.4 vs 23.0 ms composed at 8K→16K,
-                  scripts/i16mid_ab.py); re-measured at the round-4/5
-                  fused-epilogue lane-exact layout by
-                  scripts/i16mid_ab2.py (interleaved multi-pass
-                  protocol) — see docs/STATUS.md round 5 for the
-                  standing decision.  VKRESAMPLE_I16_STAGES
-                  ("01"/"0"/"1") selects which inter-stage boundaries
-                  quantize, for attribution.
+                  CPU at small sizes.  REJECTED TWICE on speed: round-3
+                  layout 33.4 vs 23.0 ms composed at 8K→16K
+                  (scripts/i16mid_ab.py); round-5 re-measure at the
+                  fused-epilogue lane-exact layout 30.0-30.2 vs
+                  25.1-25.4 (scripts/i16mid_ab2.py, 3 interleaved
+                  passes).  The per-boundary split (VKRESAMPLE_I16_
+                  STAGES "0"/"1"/"01") attributes the entire loss to
+                  the S2→S3 boundary: XLA fuses S2→S3, so no spectral
+                  intermediate exists there to shrink — the codec
+                  CREATES one; and the S1→S2 boundary that does
+                  materialize is not traffic-bound (halving its bytes
+                  is a wash, 16.0-16.9 vs 16.2-16.3 transform).  s1
+                  also drifts to ~1.5 u8 LSB (95-99 Q2.14 units).  See
+                  docs/STATUS.md round 5.
 
     'bf16c'     — CENTERED bf16: subtract the per-column (rows conv) /
                   per-row (lanes conv) mean before the stages, run the

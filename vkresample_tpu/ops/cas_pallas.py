@@ -1031,8 +1031,12 @@ def _quad_planes_i32(q, ts, h, sharpen, ws=0, Wh=None):
     16 ops -> 4 x (widen,abs,min)=12; tree identical shape (34 min/max
     + shifts/selects) in i32; boundary crossings grow from 0 to 4 x
     (3 widened adds + 4 convert+mul pairs) = ~44; net ~+40 integer ops
-    per 4-plane tile set against 4 saved f32 muls — the measurement
-    decides (scripts/cas_tree_ab.py)."""
+    per 4-plane tile set against 4 saved f32 muls.  REJECTED on-chip
+    (scripts/cas_tree_ab.py, 3 interleaved passes, 2026-08-20):
+    flagship quad 0.293-0.316 vs f32 0.224-0.290 ms; big strip
+    11.06-11.18 vs 9.43-9.60 — 15-30% slower, matching the ledger.
+    Kept as the env knob for backends whose convert/compare cost
+    ratios differ."""
     rows, Wsw = q[0][0].shape
     if Wh is None:
         Wh = Wsw
