@@ -32,6 +32,13 @@ def main() -> int:
     import jax
     import numpy as np
 
+    from vkresample_tpu.core.bankcache import enable_compilation_cache
+
+    # timing is device-side execution only (compiles happen before the
+    # timed region), so the persistent executable cache changes wall-
+    # clock, never the measurement
+    enable_compilation_cache()
+
     from vkresample_tpu.core.config import Engine, Precision
     from vkresample_tpu.core.plan import UpscalePlan
     from vkresample_tpu.pipeline.bench_util import time_device

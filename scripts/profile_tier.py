@@ -36,6 +36,9 @@ TIERS = {
         dict(h=8192, w=16384, upscale=2.0, channels=3), (8192, 16384, 3), 4,
     ),
     "grid": (dict(h=2048, w=4096, upscale=3.0), (2048, 4096, 3), 8),
+    # round-5 non-128-aligned 7-smooth tier (n1=120 x-split + replicate-
+    # pad CAS) — attribution target: the ~1.26x per-pixel tax vs "big"
+    "na8640": (dict(h=8640, w=8640, upscale=2.0), (8640, 8640, 3), 4),
 }
 
 tier = sys.argv[1] if len(sys.argv) > 1 else "flagship"

@@ -29,6 +29,11 @@ if not os.environ.get("VKRESAMPLE_TEST_TPU"):
     except Exception:
         pass  # older jax: XLA_FLAGS above covers it
 
+# Keep unit tests hermetic: CLI entry points enable the persistent XLA
+# executable cache under ~/.cache/vkresample by default — don't write
+# there from the suite (test_bankcache scopes its own cache dir).
+os.environ.setdefault("VKRESAMPLE_NO_COMPILE_CACHE", "1")
+
 # fp64 plans scope x64 themselves via jax.enable_x64(); the suite stays on
 # default 32-bit semantics.
 

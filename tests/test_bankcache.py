@@ -115,3 +115,27 @@ def test_make_dense_banks_via_cache(cachedir):
             a.view(np.uint16 if a.dtype.name == "bfloat16" else a.dtype),
             b.view(np.uint16 if a.dtype.name == "bfloat16" else a.dtype),
         ), k
+
+
+def test_compilation_cache_config(cachedir, monkeypatch):
+    """enable_compilation_cache points jax's persistent executable cache
+    at $VKRESAMPLE_CACHE_DIR/xla (remote TPU compiles run 20 s - 17 min
+    per program; the reference pays milliseconds of glslang, SURVEY §1)
+    and the opt-out env leaves the config untouched."""
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("VKRESAMPLE_NO_COMPILE_CACHE", "1")
+        bankcache.enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == prev
+
+        monkeypatch.delenv("VKRESAMPLE_NO_COMPILE_CACHE")
+        bankcache.enable_compilation_cache()
+        import os
+
+        want = os.path.join(str(cachedir), "xla")
+        assert jax.config.jax_compilation_cache_dir == want
+        assert os.path.isdir(want)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -771,3 +771,19 @@ def test_quad_y4d_transposed_rows_bit_exact(monkeypatch, dtname, lo, hi):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     finally:
         tuning.current = old
+
+
+def test_lane_pad_target_geometry():
+    """The replicate-pad reroutes pad to a width the strip kernels can
+    actually divide: the minimal 128-multiple of an 8640-class plane
+    (4352 = 2^8*17) admits only Wsb=256 (2.0x column-halo reads, 24.2 ms
+    of the 73.4 ms na8640 program in the round-5 attribution); paying
+    160 more lanes buys Wsb=896 (1.29x)."""
+    from vkresample_tpu.ops.cas_pallas import _fit_block, _lane_pad_target
+
+    got = _lane_pad_target(4320, 1024, 4096)
+    assert got == 4480
+    assert _fit_block(1024, got, 128) == 896
+    # aligned widths and widths under the full-width cap stay minimal
+    assert _lane_pad_target(4096, 1024, 4096) == 4096
+    assert _lane_pad_target(1000, 1024, 4096) == 1024

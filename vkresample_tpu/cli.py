@@ -411,6 +411,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
     cfg, extras = parsed
     print("vkresample-tpu - FFT based upscaling")
+    from .core.bankcache import enable_compilation_cache
+
+    enable_compilation_cache()
     t0 = time.perf_counter()
     try:
         if cfg.file_upload:

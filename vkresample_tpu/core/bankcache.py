@@ -61,6 +61,34 @@ def cache_dir() -> str:
     return d
 
 
+def enable_compilation_cache() -> None:
+    """Persist compiled XLA executables across processes.
+
+    Remote TPU compiles run 20 s (flagship) to ~17 min (big fractional
+    grids, docs/STATUS.md round-5 queue A) per program; the reference
+    pays milliseconds of glslang per shader (SURVEY §1), so recompiling
+    every CLI invocation is this build's one interactive-latency gap.
+    jax's persistent compilation cache closes it the same way this
+    module's bank cache hides host staging: the second run of the same
+    plan geometry loads the executable from disk.  Keying (jax/backend
+    versions, HLO, flags) is jax's own; backends that can't serialize
+    executables log a warning and fall back to compiling, so enabling
+    this can never produce worse results than not.  Cache lives beside
+    the banks ($VKRESAMPLE_CACHE_DIR/xla, default ~/.cache/vkresample/
+    xla); VKRESAMPLE_NO_COMPILE_CACHE=1 disables.
+    """
+    if os.environ.get("VKRESAMPLE_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    d = os.path.join(cache_dir(), "xla")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    # the default 1 s floor skips tiny programs (oracle helpers, probes)
+    # but keeps every real pipeline/plan executable
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _key(tag: str, plan, dtype: str) -> str:
     knobs = {k: os.environ.get(k, "") for k in _CONTENT_KNOBS}
     blob = json.dumps(

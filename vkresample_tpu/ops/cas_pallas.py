@@ -63,6 +63,41 @@ def _fit_block(block_rows: int, h: int, align: int) -> int:
     return max(bt, 0)
 
 
+def _lane_pad_target(W: int, wsb_pref: int, full_cap: int) -> int:
+    """Padded plane width for the replicate-pad reroutes.
+
+    The minimal 128-multiple is the wrong pad target when the column-
+    strip kernels serve the padded plane: the strip width Wsb must
+    DIVIDE the padded width, and a width with no large 128-multiple
+    divisor collapses Wsb toward _CHALO, whose column-halo
+    amplification (Wsb + 2*_CHALO)/Wsb dominates the kernel's reads.
+    At 8640 the minimal pad 4320->4352 = 2^8*17 admits only Wsb=256
+    (2.0x reads) and measured 24.2 ms of the 73.4 ms na8640 program
+    (round-5 profile_tier attribution); 4608 admits Wsb=768 (1.33x at
+    +6% width).  Model the per-output traffic of each candidate —
+    width x halo amplification, with widths at or under `full_cap`
+    paying no column halo — and pad to the cheapest 128-multiple
+    within 8 vregs.  VKRESAMPLE_PAD_TARGET=min restores the minimal
+    pad (A/B knob, scripts/na8640_ab.py)."""
+    import os
+
+    base = W + (-W % _CHALO)
+    if os.environ.get("VKRESAMPLE_PAD_TARGET") == "min":
+        return base
+    best, best_cost = base, None
+    for cand in range(base, base + 8 * _CHALO + 1, _CHALO):
+        if cand <= full_cap:
+            cost = float(cand)
+        else:
+            wsb = _fit_block(wsb_pref, cand, _CHALO)
+            if wsb < _CHALO or cand < wsb + 2 * _CHALO:
+                continue
+            cost = cand * (wsb + 2 * _CHALO) / wsb
+        if best_cost is None or cost < best_cost - 1e-9:
+            best, best_cost = cand, cost
+    return best
+
+
 def _vmem_row_cap(W: int, in_bytes: int, pad: int, n_tiles: int = 2) -> int:
     """Max band height whose working set fits the ~16 MB VMEM budget for a
     full-width kernel: n_tiles double-buffered input tiles of (bh+2*pad, W)
@@ -1539,7 +1574,19 @@ def cas_parity4_planes_u2(
         # output ever reads (the corner composes: row-pad of the
         # col-padded planes).  Without this, misaligned planes fell to
         # the woven XLA fallback, whose (C, h, 2, Wh, 2) stack
-        # lane-pads 64x on TPU (a 229 GB allocation at 8640).
+        # lane-pads 64x on TPU (a 229 GB allocation at 8640).  The pad
+        # target is geometry-aware (_lane_pad_target): wide planes land
+        # on the strip kernels, whose Wsb must divide the padded width.
+        from ..core.tuning import current as _cur
+
+        try:
+            wsb_pref = int(os.environ.get("VKRESAMPLE_QUAD_WSB", "0"))
+        except ValueError:
+            wsb_pref = 0
+        wsb_pref = wsb_pref or _cur().quad_wsb
+        if wpadq:
+            wpadq = _lane_pad_target(Wh, wsb_pref, _cur().quad_wmax) - Wh
+
         def _cpad(p, first):
             fill = jnp.broadcast_to(first, p.shape[:-1] + (wpadq,))
             return jnp.concatenate([p, fill], axis=-1)
@@ -2164,7 +2211,23 @@ def cas_parity_grid_planes(
         # no real output reads (the corner composes: row-pad of the
         # col-padded planes).  Without this, non-128-aligned widths
         # fell to the woven XLA fallback whose stack lane-pads u*64x
-        # on TPU.
+        # on TPU.  The pad target is geometry-aware (_lane_pad_target):
+        # wide planes land on the strip kernels, whose Wsb must divide
+        # the padded width.
+        from ..core.tuning import current as _cur
+
+        def _ei(name):
+            try:
+                return int(os.environ.get(name, "0"))
+            except ValueError:
+                return 0
+
+        wsb_pref = _ei("VKRESAMPLE_GRID_WSB") or _cur().quad_wsb
+        if wpadq:
+            wpadq = (
+                _lane_pad_target(Wp, wsb_pref, wsb_pref + 2 * _CHALO) - Wp
+            )
+
         def _cpad(p, first):
             fill = jnp.broadcast_to(first, p.shape[:-1] + (wpadq,))
             return jnp.concatenate([p, fill], axis=-1)
