@@ -2,7 +2,7 @@
 copy/reshape/fusion instructions (for joining against
 scripts/profile_tier.py's per-op timings).  Compile-only.
 
-Usage: python scripts/hlo_dump_tier.py {flagship|big|bigfrac|bigc2c|big16k|grid}
+Usage: python scripts/hlo_dump_tier.py {flagship|big|bigfrac|bigc2c|big16k|grid|na8640}
 """
 import functools
 import re
@@ -25,6 +25,7 @@ TIERS = {
         dict(h=8192, w=16384, upscale=2.0, channels=3), (8192, 16384, 3),
     ),
     "grid": (dict(h=2048, w=4096, upscale=3.0), (2048, 4096, 3)),
+    "na8640": (dict(h=8640, w=8640, upscale=2.0), (8640, 8640, 3)),
 }
 
 tier = sys.argv[1] if len(sys.argv) > 1 else "big"

@@ -1,6 +1,6 @@
 """Op-level device-time attribution for any bench.py tier.
 
-Usage: python scripts/profile_tier.py {flagship|big|bigfrac|bigc2c|big16k|grid}
+Usage: python scripts/profile_tier.py {flagship|big|bigfrac|bigc2c|big16k|grid|na8640}
 
 Builds the EXACT plan bench.py uses for that tier (planes_out=True on
 the big tiers), traces 8-20 device executions with jax.profiler, and
