@@ -63,7 +63,11 @@ def main() -> int:
     stages = "--stages" in sys.argv[1:]
     matrix = "--matrix" in sys.argv[1:]
     k2 = int(args[0]) if args else 40
-    passes = 3 if "--full" in sys.argv[1:] else 1
+    # 3 interleaved passes + median everywhere (incl. the plain flagship
+    # run the driver records): re-measurement is seconds per pass once
+    # compiles are cached, and the median is what rejects this host's
+    # 0.0-class ack artifacts and pass-1 warmup alike
+    passes = 3
     for i, a in enumerate(sys.argv[1:]):
         if a == "--passes":
             passes = int(sys.argv[1:][i + 1])
