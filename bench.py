@@ -19,6 +19,18 @@ artifacts (a single pass has returned 0.0000 for a tier whose other
 passes agreed at 1.5-1.8 ms).  --full runs 3 passes (compiles are cached
 after pass 1, so later passes cost only execution); --passes N overrides.
 
+Artifact guard: the ack artifact is always anomalously LOW (observed
+0.0000 / 0.33 / 0.71 ms against a 1.23-1.37 flagship band — the tunnel
+acks the forced readback before execution), so per tier any reading
+under 0.45x that tier's max reading is discarded before the median, and
+if a tier is left with < 3 plausible readings (or its plausible spread
+exceeds 1.6x) up to 2 extra full interleaved passes run — execution-only
+cost, everything is compiled by then.  A bad host regime can therefore
+cost minutes, never a garbage committed number; tiers still unstable
+after the extra passes are reported with an "unstable_" key prefix so a
+recorded official can never silently carry a reading the process could
+not reproduce.
+
 Prints ONE JSON line:
   {"metric": ..., "value": ms_per_frame, "unit": "ms", "vs_baseline": x}
 vs_baseline = baseline_ms / measured_ms  (>1 means faster than the 2 ms
@@ -28,7 +40,42 @@ from __future__ import annotations
 
 import functools
 import json
+import statistics
 import sys
+
+# Artifact guard thresholds (module-level so tests can pin the policy).
+# The tunnel's ack-before-execute artifact is always anomalously LOW
+# (observed 0.0 / 0.33 / 0.71 ms against a 1.23-1.37 true band), so a
+# reading under ARTIFACT_FRACTION x the tier's max reading is discarded;
+# plausible readings spanning more than SPREAD_LIMIT x, or fewer than 3
+# survivors out of >= 3 passes, trigger up to EXTRA_PASSES more passes.
+ARTIFACT_FRACTION = 0.45
+SPREAD_LIMIT = 1.6
+EXTRA_PASSES = 2
+
+
+def _plausible(vs: list) -> list:
+    """Readings that are not ack-before-execute artifacts (low outliers)."""
+    vmax = max(vs)
+    return [v for v in vs if v >= ARTIFACT_FRACTION * vmax]
+
+
+def _unstable(vs: list) -> bool:
+    """True when the tier needs more passes (or a caveat): artifacts ate
+    the pass budget, a reading is non-positive, or the plausible spread
+    is wider than genuine pass-to-pass variance ever measures."""
+    keep = _plausible(vs)
+    if not keep or min(keep) <= 0:
+        return True
+    if len(vs) >= 3 and len(keep) < 3:
+        return True
+    return len(keep) >= 2 and max(keep) / min(keep) > SPREAD_LIMIT
+
+
+def _robust_value(vs: list) -> float:
+    """Median of the plausible readings (min when fewer than 3 survive)."""
+    keep = _plausible(vs)
+    return statistics.median(keep) if len(keep) >= 3 else min(keep)
 
 
 def main() -> int:
@@ -267,38 +314,58 @@ def main() -> int:
     # across all three.  The median is robust against both that artifact
     # and pass-1 warmup; for the stable big tiers it coincides with min
     # to within the pass spread.
-    import statistics
-
     vals_all: dict = {}
-    for p in range(max(1, passes)):
+
+    def _run_pass(p: int) -> None:
         for key, th in jobs:
             v = th()
             vals_all.setdefault(key, []).append(v)
-            if passes > 1:
-                print(
-                    f"# pass {p + 1} {key} {v:.4f} ms", file=sys.stderr,
-                    flush=True,
-                )
-    vals = {
-        key: (statistics.median(vs) if len(vs) >= 3 else min(vs))
-        for key, vs in vals_all.items()
-    }
+            print(
+                f"# pass {p} {key} {v:.4f} ms", file=sys.stderr, flush=True
+            )
+
+    total = max(1, passes)
+    for p in range(total):
+        _run_pass(p + 1)
+    if passes > 1:
+        # adaptive extra passes: everything is compiled by now, so a pass
+        # costs execution only — minutes at worst, vs a garbage official
+        for _ in range(EXTRA_PASSES):
+            bad = sorted(k for k, vs in vals_all.items() if _unstable(vs))
+            if not bad:
+                break
+            total += 1
+            print(
+                f"# unstable tiers {bad}: running extra pass {total}",
+                file=sys.stderr, flush=True,
+            )
+            _run_pass(total)
+
+    vals = {}
+    unstable = set()
+    for key, vs in vals_all.items():
+        if passes > 1 and _unstable(vs):
+            unstable.add(key)
+        vals[key] = _robust_value(vs)
 
     ms = vals.pop("__flagship__")
     result = {
         "metric": "upscale_2048x1024_to_4096x2048_fp16_ms_per_frame",
         "value": round(ms, 4),
         "unit": "ms",
-        "vs_baseline": round(baseline_ms / ms, 3),
+        "vs_baseline": round(baseline_ms / ms, 3) if ms > 0 else 0.0,
     }
+    if "__flagship__" in unstable:
+        result["flagship_unstable"] = True
     if stages:
         ms_x = vals.pop("__stage_x__")
         ms_xy = vals.pop("__stage_xy__")
+        unstable.discard("__stage_x__"), unstable.discard("__stage_xy__")
         result["stage_x_matmul_ms"] = round(ms_x, 4)
         result["stage_y_matmul_ms"] = round(ms_xy - ms_x, 4)
         result["stage_cas_ms"] = round(ms - ms_xy, 4)
     for key, v in vals.items():
-        result[key] = round(v, 4)
+        result[("unstable_" + key) if key in unstable else key] = round(v, 4)
 
     print(json.dumps(result))
     return 0
