@@ -23,8 +23,8 @@ Artifact guard: the ack artifact is always anomalously LOW (observed
 0.0000 / 0.33 / 0.71 ms against a 1.23-1.37 flagship band — the tunnel
 acks the forced readback before execution), so per tier any reading
 under 0.45x that tier's max reading is discarded before the median, and
-if a tier is left with < 3 plausible readings (or its plausible spread
-exceeds 1.6x) up to 2 extra full interleaved passes run — execution-only
+if a tier lacks 3 plausible readings agreeing within +-30% of their
+median, up to 2 extra full interleaved passes run — execution-only
 cost, everything is compiled by then.  A bad host regime can therefore
 cost minutes, never a garbage committed number; tiers still unstable
 after the extra passes are reported with an "unstable_" key prefix so a
@@ -46,11 +46,13 @@ import sys
 # Artifact guard thresholds (module-level so tests can pin the policy).
 # The tunnel's ack-before-execute artifact is always anomalously LOW
 # (observed 0.0 / 0.33 / 0.71 ms against a 1.23-1.37 true band), so a
-# reading under ARTIFACT_FRACTION x the tier's max reading is discarded;
-# plausible readings spanning more than SPREAD_LIMIT x, or fewer than 3
-# survivors out of >= 3 passes, trigger up to EXTRA_PASSES more passes.
+# reading under ARTIFACT_FRACTION x the tier's max reading is discarded.
+# A tier is stable once >= 3 plausible readings agree within AGREE_BAND
+# of their median (a lone pass-1 warmup outlier therefore cannot flag a
+# tier whose later passes agree); otherwise up to EXTRA_PASSES more
+# interleaved passes run.
 ARTIFACT_FRACTION = 0.45
-SPREAD_LIMIT = 1.6
+AGREE_BAND = 0.3
 EXTRA_PASSES = 2
 
 
@@ -61,15 +63,15 @@ def _plausible(vs: list) -> list:
 
 
 def _unstable(vs: list) -> bool:
-    """True when the tier needs more passes (or a caveat): artifacts ate
-    the pass budget, a reading is non-positive, or the plausible spread
-    is wider than genuine pass-to-pass variance ever measures."""
+    """True when the tier needs more passes (or a caveat): artifacts or
+    outliers left fewer than 3 readings (or all of them, for short
+    runs) agreeing within AGREE_BAND of the plausible median."""
     keep = _plausible(vs)
     if not keep or min(keep) <= 0:
         return True
-    if len(vs) >= 3 and len(keep) < 3:
-        return True
-    return len(keep) >= 2 and max(keep) / min(keep) > SPREAD_LIMIT
+    m = statistics.median(keep)
+    agree = sum(1 for v in keep if abs(v - m) <= AGREE_BAND * m)
+    return agree < min(3, len(vs))
 
 
 def _robust_value(vs: list) -> float:
@@ -360,7 +362,8 @@ def main() -> int:
     if stages:
         ms_x = vals.pop("__stage_x__")
         ms_xy = vals.pop("__stage_xy__")
-        unstable.discard("__stage_x__"), unstable.discard("__stage_xy__")
+        unstable.discard("__stage_x__")
+        unstable.discard("__stage_xy__")
         result["stage_x_matmul_ms"] = round(ms_x, 4)
         result["stage_y_matmul_ms"] = round(ms_xy - ms_x, 4)
         result["stage_cas_ms"] = round(ms - ms_xy, 4)

@@ -42,16 +42,26 @@ def test_unstable_triggers_extra_passes():
     assert not bench._unstable([1.23, 1.31, 1.37])
     # artifacts ate the pass budget / wide plausible spread / all-zero
     assert bench._unstable([0.0, 0.0, 1.3])
-    assert bench._unstable([0.0, 2.36, 1.2])  # 2.36/1.2 > SPREAD_LIMIT
+    assert bench._unstable([0.0, 2.36, 1.2])
     assert bench._unstable([0.0, 0.0, 0.0])
     # the documented pm-regime flagship passes must be flagged, not
     # committed as-is (STATUS round 5: passes 0.0000-2.36)
     assert bench._unstable([0.0, 1.1, 2.36])
 
 
+def test_warmup_outlier_resolves_with_extra_pass():
+    # a lone slow pass-1 warmup reading asks for one extra pass ...
+    assert bench._unstable([2.0, 1.25, 1.23])
+    # ... and once 3 readings agree within the band, the tier is stable
+    # despite the outlier still being in the list (max/min spread rules
+    # would flag this forever)
+    assert not bench._unstable([2.0, 1.25, 1.23, 1.22])
+    assert abs(bench._robust_value([2.0, 1.25, 1.23, 1.22]) - 1.24) < 1e-9
+
+
 def test_policy_constants():
     # the thresholds are part of the recorded protocol (bench.py
     # docstring + docs/STATUS.md); changing them should be a conscious act
     assert bench.ARTIFACT_FRACTION == 0.45
-    assert bench.SPREAD_LIMIT == 1.6
+    assert bench.AGREE_BAND == 0.3
     assert bench.EXTRA_PASSES == 2
