@@ -787,3 +787,8 @@ def test_lane_pad_target_geometry():
     # aligned widths and widths under the full-width cap stay minimal
     assert _lane_pad_target(4096, 1024, 4096) == 4096
     assert _lane_pad_target(1000, 1024, 4096) == 1024
+    # 10080-class planes (2^5*3^2*5*7): the minimal pad 10112 = 2^7*79
+    # admits no useful strip width, but 10240 keeps Wsb=1024 (1.06x)
+    got = _lane_pad_target(10080, 1024, 4096)
+    assert got == 10240
+    assert _fit_block(1024, got, 128) == 1024

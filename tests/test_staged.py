@@ -987,6 +987,27 @@ def test_x_split_prefer_lane_exact(monkeypatch):
     assert staged.x_split_prefer() == 64
 
 
+def test_x_split_prefer_non_aligned_window(monkeypatch):
+    """Widths 128*q does not divide pick the divisor in the MXU window
+    [64q, 320q] minimizing summed padded-vreg waste across the S1 input
+    (n1 lanes) and S3 output (n1/q lanes) views — the round-5 gate
+    relaxation that keeps any even 7-smooth width on the staged tier
+    (reference: vkFFT schedules any 7-smooth size, vkFFT.h:4707-5189).
+    Pins the on-chip-validated picks: 8640 = 2^6*3^3*5 -> n1=120 (pads
+    to 128, ~6.7%/view; the na8640 tier, 70.1 ms official) and
+    10080 = 2^5*3^2*5*7 -> n1=126 (pads to 128, ~1.6%/view)."""
+    monkeypatch.delenv("VKRESAMPLE_XSPLIT", raising=False)
+    assert staged.x_split_prefer(n=8640) == 120
+    assert staged.x_split_prefer(n=10080) == 126
+    # aligned widths keep the lane-exact 128*q preference (and its
+    # n2 <= 64 doubling) — the window only engages when no lane-exact
+    # split exists
+    assert staged.x_split_prefer(n=8192) == 128
+    # decimated non-aligned: the divisor stays a multiple of q
+    n1 = staged.x_split_prefer(2, n=8640)
+    assert n1 % 2 == 0 and 8640 % n1 == 0
+
+
 def test_conv_apply_rows_emit4d_bit_exact():
     """emit4d returns the transposed-row 4D form: out4[..., d, e, :] ==
     flat[..., e*nd + d, :] bit-exactly, including the dc_add epilogue."""
